@@ -1,0 +1,488 @@
+"""UpsertBatch: serialized columnar upsert wire format (builder + reader).
+
+Wire-compatible with the reference format documented at
+memstore/common/upsert_batch.go:119-151 and implemented by
+memstore/common/upsert_batch_builder.go / upsert_batch_header.go:
+
+    [uint32] version_number (V1 = 0xFEED0001)
+    [int32]  num_of_rows
+    [uint16] num_of_columns
+    <14 reserved bytes>
+    [uint32] arrival_time
+    [uint32] column_offset_0 .. column_offset_n   (n+1 entries, end offsets)
+    [uint32] enum_dict_length_0 .. _{n-1}
+    [uint32] reserved_0 .. _{n-1}
+    [uint32] column_data_type_0 .. _{n-1}
+    [uint16] column_id_0 .. _{n-1}
+    [uint8]  column_flag_0 .. _{n-1}   (mode & 0x7 | update_mode << 3)
+    per column (skipped when mode 0):
+      mode 2 (non-GoType): null bit vector, LSB-first, (rows+7)/8 bytes
+      variable-length types: align 4; (rows+1) uint32 local offsets;
+      align 8; value payload (fixed types bit-packed incl. bool; arrays use
+      the ArrayValue layout: u32 count, packed items, item null bits,
+      8-byte aligned; GeoShape uses the GoDataValue stream layout)
+    final 8-byte alignment
+
+The decoder is vectorized: fixed-width columns are exposed as numpy views
+(values + validity) so ingestion applies whole columns at once instead of the
+reference's per-row writes.
+"""
+
+from __future__ import annotations
+
+import struct
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from aresdb_tpu.common import data_types as dt
+
+V1 = 0xFEED0001
+
+# Column memory modes (reference: memstore/common/vector_party.go:28-40)
+ALL_VALUES_DEFAULT = 0
+ALL_VALUES_PRESENT = 1
+HAS_NULL_VECTOR = 2
+
+# Column update modes (reference: memstore/common/upsert_batch_builder.go:28-44)
+UPDATE_OVERWRITE_NOT_NULL = 0
+UPDATE_FORCE_OVERWRITE = 1
+UPDATE_WITH_ADDITION = 2
+UPDATE_WITH_MIN = 3
+UPDATE_WITH_MAX = 4
+MAX_COLUMN_UPDATE_MODE = 5
+
+
+def _align(offset: int, alignment: int) -> int:
+    return (offset + alignment - 1) // alignment * alignment
+
+
+def _pack_bits(flags: np.ndarray) -> bytes:
+    """LSB-first bit packing (reference: upsert_batch.go writeBool)."""
+    return np.packbits(flags.astype(np.uint8), bitorder="little").tobytes()
+
+
+def _unpack_bits(buf: memoryview, num: int) -> np.ndarray:
+    arr = np.frombuffer(buf, dtype=np.uint8, count=(num + 7) // 8)
+    return np.unpackbits(arr, bitorder="little", count=num).astype(bool)
+
+
+def _array_ser_bytes(item_dt: int, length: int) -> int:
+    """Serialized size of one array value (reference: data_value.go:790-800)."""
+    if length == 0:
+        return 8
+    return (
+        (4 * 8 + (dt.data_type_bits(item_dt) * length + 7) // 8 * 8
+         + (length + 7) // 8 * 8 + 63) // 64 * 8
+    )
+
+
+_STRUCT_BY_BYTES = {
+    (1, False): "B", (1, True): "b",
+    (2, False): "<H", (2, True): "<h",
+    (4, False): "<I", (4, True): "<i",
+    (8, False): "<Q", (8, True): "<q",
+}
+
+
+def _write_scalar(buf: bytearray, offset: int, value: Any, dtype: int) -> None:
+    """Write one fixed-width scalar at a byte offset (not bool)."""
+    if dtype == dt.Float32:
+        struct.pack_into("<f", buf, offset, float(value))
+    elif dtype == dt.UUID:
+        hi, lo = value
+        struct.pack_into("<QQ", buf, offset, hi, lo)
+    elif dtype == dt.GeoPoint:
+        lat, lng = value
+        struct.pack_into("<ff", buf, offset, lat, lng)
+    else:
+        nbytes = dt.data_type_bytes(dtype)
+        signed = dt.is_signed(dtype)
+        struct.pack_into(_STRUCT_BY_BYTES[(nbytes, signed)], buf, offset, int(value))
+
+
+def _serialize_array_value(items: List[Any], item_dt: int) -> bytes:
+    """ArrayValue layout (reference: data_value.go:616-620)."""
+    n = len(items)
+    total = _array_ser_bytes(item_dt, n)
+    buf = bytearray(total)
+    if n == 0:
+        return bytes(buf)
+    struct.pack_into("<I", buf, 0, n)
+    bits = dt.data_type_bits(item_dt)
+    if item_dt == dt.Bool:
+        flags = np.array([bool(v) if v is not None else False for v in items])
+        packed = _pack_bits(flags)
+        buf[4:4 + len(packed)] = packed
+    else:
+        per = dt.data_type_bytes(item_dt)
+        for i, v in enumerate(items):
+            if v is not None:
+                _write_scalar(buf, 4 + i * per, v, item_dt)
+    validity = np.array([v is not None for v in items])
+    packed = _pack_bits(validity)
+    null_off = 4 + (bits * n + 7) // 8
+    buf[null_off:null_off + len(packed)] = packed
+    return bytes(buf)
+
+
+def _deserialize_array_value(buf: memoryview, item_dt: int) -> List[Any]:
+    n = struct.unpack_from("<I", buf, 0)[0]
+    if n == 0:
+        return []
+    items: List[Any] = []
+    if item_dt == dt.Bool:
+        bits = _unpack_bits(buf[4:], n)
+        values = [bool(b) for b in bits]
+        null_off = 4 + (n + 7) // 8
+    else:
+        per = dt.data_type_bytes(item_dt)
+        values = []
+        for i in range(n):
+            values.append(_read_scalar(buf, 4 + i * per, item_dt))
+        null_off = 4 + (dt.data_type_bits(item_dt) * n + 7) // 8
+    validity = _unpack_bits(buf[null_off:], n)
+    for i in range(n):
+        items.append(values[i] if validity[i] else None)
+    return items
+
+
+def _read_scalar(buf: memoryview, offset: int, dtype: int) -> Any:
+    if dtype == dt.Float32:
+        return struct.unpack_from("<f", buf, offset)[0]
+    if dtype == dt.UUID:
+        return struct.unpack_from("<QQ", buf, offset)
+    if dtype == dt.GeoPoint:
+        return struct.unpack_from("<ff", buf, offset)
+    nbytes = dt.data_type_bytes(dtype)
+    signed = dt.is_signed(dtype)
+    return struct.unpack_from(_STRUCT_BY_BYTES[(nbytes, signed)], buf, offset)[0]
+
+
+class _ColumnBuilder:
+    def __init__(self, column_id: int, data_type: int, update_mode: int):
+        if update_mode >= MAX_COLUMN_UPDATE_MODE or update_mode < 0:
+            raise ValueError(f"invalid update mode {update_mode}")
+        self.column_id = column_id
+        self.data_type = data_type
+        self.update_mode = update_mode
+        self.values: List[Any] = []
+        self.num_valid = 0
+
+    def set_value(self, row: int, value: Any) -> None:
+        old = self.values[row]
+        parsed = dt.parse_value(value, self.data_type) if value is not None else None
+        if old is None and parsed is not None:
+            self.num_valid += 1
+        elif old is not None and parsed is None:
+            self.num_valid -= 1
+        self.values[row] = parsed
+
+    def add_row(self) -> None:
+        self.values.append(None)
+
+    def remove_row(self) -> None:
+        v = self.values.pop()
+        if v is not None:
+            self.num_valid -= 1
+
+    def get_mode(self) -> int:
+        # reference: upsert_batch_builder.go GetMode
+        if self.num_valid == 0:
+            return ALL_VALUES_DEFAULT
+        if self.num_valid == len(self.values):
+            return ALL_VALUES_PRESENT
+        return HAS_NULL_VECTOR
+
+    @property
+    def is_variable_length(self) -> bool:
+        return dt.is_array_type(self.data_type) or self.data_type == dt.GeoShape
+
+    def buffer_size(self, offset: int) -> int:
+        mode = self.get_mode()
+        n = len(self.values)
+        if mode == ALL_VALUES_DEFAULT:
+            return offset
+        if mode == HAS_NULL_VECTOR and not self.data_type == dt.GeoShape:
+            offset += (n + 7) // 8
+        if self.is_variable_length:
+            offset = _align(offset, 4)
+            offset += (n + 1) * 4
+            offset = _align(offset, 8)
+            for v in self.values:
+                if v is not None:
+                    if dt.is_array_type(self.data_type):
+                        offset += _array_ser_bytes(dt.item_type(self.data_type), len(v))
+                    else:
+                        raise NotImplementedError("GeoShape in upsert batch")
+        else:
+            offset = _align(offset, 8)
+            offset += (dt.data_type_bits(self.data_type) * n + 7) // 8
+        return offset
+
+    def write(self, buf: bytearray, offset: int) -> int:
+        mode = self.get_mode()
+        n = len(self.values)
+        if mode == ALL_VALUES_DEFAULT:
+            return offset
+        if mode == HAS_NULL_VECTOR and self.data_type != dt.GeoShape:
+            validity = np.array([v is not None for v in self.values])
+            packed = _pack_bits(validity)
+            buf[offset:offset + len(packed)] = packed
+            offset += (n + 7) // 8
+
+        if self.is_variable_length:
+            offset = _align(offset, 4)
+            offset_vec_pos = offset
+            offset += (n + 1) * 4
+            offset = _align(offset, 8)
+            local = 0
+            item_dt = dt.item_type(self.data_type)
+            for i, v in enumerate(self.values):
+                struct.pack_into("<I", buf, offset_vec_pos + i * 4, local)
+                if v is not None:
+                    ser = _serialize_array_value(v, item_dt)
+                    buf[offset + local:offset + local + len(ser)] = ser
+                    local += len(ser)
+            struct.pack_into("<I", buf, offset_vec_pos + n * 4, local)
+            return offset + local
+
+        offset = _align(offset, 8)
+        bits = dt.data_type_bits(self.data_type)
+        if self.data_type == dt.Bool:
+            flags = np.array([bool(v) if v is not None else False for v in self.values])
+            packed = _pack_bits(flags)
+            buf[offset:offset + len(packed)] = packed
+        else:
+            per = dt.data_type_bytes(self.data_type)
+            for i, v in enumerate(self.values):
+                if v is not None:
+                    _write_scalar(buf, offset + i * per, v, self.data_type)
+        return offset + (bits * n + 7) // 8
+
+
+class UpsertBatchBuilder:
+    """Row-wise builder used by the client SDK and tests.
+
+    Reference: memstore/common/upsert_batch_builder.go UpsertBatchBuilder.
+    """
+
+    def __init__(self):
+        self.num_rows = 0
+        self.columns: List[_ColumnBuilder] = []
+        self._arrival_time: Optional[int] = None
+
+    def add_column(self, column_id: int, data_type: int,
+                   update_mode: int = UPDATE_OVERWRITE_NOT_NULL) -> int:
+        dt.new_data_type(data_type)
+        col = _ColumnBuilder(column_id, data_type, update_mode)
+        col.values = [None] * self.num_rows
+        self.columns.append(col)
+        return len(self.columns) - 1
+
+    def add_row(self) -> int:
+        for c in self.columns:
+            c.add_row()
+        self.num_rows += 1
+        return self.num_rows - 1
+
+    def remove_row(self) -> None:
+        if self.num_rows > 0:
+            for c in self.columns:
+                c.remove_row()
+            self.num_rows -= 1
+
+    def reset_rows(self) -> None:
+        for c in self.columns:
+            c.values = []
+            c.num_valid = 0
+        self.num_rows = 0
+
+    def set_value(self, row: int, col: int, value: Any) -> None:
+        self.columns[col].set_value(row, value)
+
+    def to_bytes(self) -> bytes:
+        num_cols = len(self.columns)
+        header_size = 4 + 24 + _column_header_size(num_cols)
+        size = header_size
+        data_starts: List[int] = []
+        for c in self.columns:
+            data_starts.append(size)
+            size = c.buffer_size(size)
+        end_of_data = size
+        size = _align(size, 8)
+        buf = bytearray(size)
+
+        struct.pack_into("<I", buf, 0, V1)
+        struct.pack_into("<i", buf, 4, self.num_rows)
+        struct.pack_into("<H", buf, 8, num_cols)
+        arrival = self._arrival_time if self._arrival_time is not None else int(time.time())
+        struct.pack_into("<I", buf, 24, arrival & 0xFFFFFFFF)
+
+        h = 28  # start of column header
+        # offsets written as we serialize below
+        enum_off = h + (num_cols + 1) * 4
+        reserved_off = enum_off + num_cols * 4
+        type_off = reserved_off + num_cols * 4
+        id_off = type_off + num_cols * 4
+        mode_off = id_off + num_cols * 2
+
+        offset = header_size
+        for i, c in enumerate(self.columns):
+            struct.pack_into("<I", buf, h + i * 4, offset)
+            offset = c.write(buf, offset)
+            struct.pack_into("<I", buf, type_off + i * 4, c.data_type)
+            struct.pack_into("<H", buf, id_off + i * 2, c.column_id)
+            flag = (c.get_mode() & 0x7) | ((c.update_mode & 0x7) << 3)
+            struct.pack_into("<B", buf, mode_off + i, flag)
+        struct.pack_into("<I", buf, h + num_cols * 4, end_of_data)
+        return bytes(buf)
+
+
+def _column_header_size(num_cols: int) -> int:
+    # reference: upsert_batch_header.go:22 ColumnHeaderSize
+    return (num_cols + 1) * 4 + num_cols * 4 + num_cols * 4 + num_cols * 4 + num_cols * 2 + num_cols
+
+
+class UpsertBatchColumn:
+    """Decoded column: numpy values + validity (vectorized view)."""
+
+    def __init__(self, column_id: int, data_type: int, mode: int, update_mode: int):
+        self.column_id = column_id
+        self.data_type = data_type
+        self.mode = mode
+        self.update_mode = update_mode
+        # fixed-width: values is np array (n,) or (n,2) for UUID/GeoPoint
+        self.values: Optional[np.ndarray] = None
+        self.validity: Optional[np.ndarray] = None  # bool (n,)
+        # variable-length (arrays): python list of lists / None
+        self.array_values: Optional[List[Optional[List[Any]]]] = None
+
+    @property
+    def is_array(self) -> bool:
+        return self.array_values is not None
+
+    def get_value(self, row: int) -> Any:
+        """Row accessor for tests / per-row paths. Returns None when null."""
+        if self.is_array:
+            return self.array_values[row]
+        if self.validity is not None and not self.validity[row]:
+            return None
+        v = self.values[row]
+        if self.data_type in (dt.UUID, dt.GeoPoint):
+            return (v[0].item(), v[1].item())
+        return v.item()
+
+
+class UpsertBatch:
+    """Zero-ish-copy reader of a serialized upsert batch.
+
+    Reference: memstore/common/upsert_batch.go NewUpsertBatch/readUpsertBatch.
+    """
+
+    def __init__(self, buffer: bytes):
+        buf = memoryview(buffer)
+        version = struct.unpack_from("<I", buf, 0)[0]
+        if version != V1:
+            raise ValueError(f"unsupported upsert batch version 0x{version:08x}")
+        self.buffer = buffer
+        self.num_rows = struct.unpack_from("<i", buf, 4)[0]
+        num_cols = struct.unpack_from("<H", buf, 8)[0]
+        self.arrival_time = struct.unpack_from("<I", buf, 24)[0]
+        self.num_columns = num_cols
+
+        h = 28
+        enum_off = h + (num_cols + 1) * 4
+        type_off = enum_off + num_cols * 4 * 2  # skip enum + reserved
+        id_off = type_off + num_cols * 4
+        mode_off = id_off + num_cols * 2
+
+        offsets = [struct.unpack_from("<I", buf, h + i * 4)[0] for i in range(num_cols + 1)]
+        self.columns: List[UpsertBatchColumn] = []
+        n = self.num_rows
+        for i in range(num_cols):
+            dtype = struct.unpack_from("<I", buf, type_off + i * 4)[0]
+            dt.new_data_type(dtype)
+            cid = struct.unpack_from("<H", buf, id_off + i * 2)[0]
+            flag = struct.unpack_from("<B", buf, mode_off + i)[0]
+            mode = flag & 0x7
+            update_mode = (flag >> 3) & 0x7
+            col = UpsertBatchColumn(cid, dtype, mode, update_mode)
+            start, end = offsets[i], offsets[i + 1]
+            self._decode_column(col, buf, start, end, n)
+            self.columns.append(col)
+
+    def _decode_column(self, col: UpsertBatchColumn, buf: memoryview,
+                       start: int, end: int, n: int) -> None:
+        dtype = col.data_type
+        is_array = dt.is_array_type(dtype)
+        if col.mode == ALL_VALUES_DEFAULT:
+            col.validity = np.zeros(n, dtype=bool)
+            if is_array:
+                col.array_values = [None] * n
+            else:
+                col.values = np.zeros(
+                    (n, dt.lanes(dtype)) if dt.lanes(dtype) == 2 else n,
+                    dtype=dt.numpy_dtype(dtype) if dtype != dt.GeoShape else np.uint8,
+                )
+            return
+
+        offset = start
+        if col.mode == HAS_NULL_VECTOR and dtype != dt.GeoShape:
+            col.validity = _unpack_bits(buf[offset:], n).copy()
+            offset += (n + 7) // 8
+        else:
+            col.validity = np.ones(n, dtype=bool)
+
+        if is_array:
+            offset = _align(offset, 4)
+            local_offsets = np.frombuffer(buf, dtype="<u4", count=n + 1, offset=offset)
+            offset += (n + 1) * 4
+            offset = _align(offset, 8)
+            item_dt = dt.item_type(dtype)
+            vals: List[Optional[List[Any]]] = []
+            for r in range(n):
+                if not col.validity[r] or local_offsets[r + 1] == local_offsets[r]:
+                    # null array value occupies no payload
+                    if not col.validity[r]:
+                        vals.append(None)
+                        continue
+                vals.append(
+                    _deserialize_array_value(buf[offset + int(local_offsets[r]):], item_dt)
+                    if col.validity[r] else None
+                )
+            col.array_values = vals
+            return
+
+        offset = _align(offset, 8)
+        if dtype == dt.Bool:
+            col.values = _unpack_bits(buf[offset:], n).copy()
+        elif dtype in (dt.UUID, dt.GeoPoint):
+            lane = dt.numpy_dtype(dtype)
+            flat = np.frombuffer(buf, dtype=lane.newbyteorder("<"), count=n * 2, offset=offset)
+            col.values = flat.reshape(n, 2).copy()
+        else:
+            npdt = dt.numpy_dtype(dtype)
+            col.values = np.frombuffer(
+                buf, dtype=npdt.newbyteorder("<"), count=n, offset=offset
+            ).copy()
+        # zero out null slots so downstream vectorized code sees defaults
+        if col.mode == HAS_NULL_VECTOR and col.values is not None and n:
+            if col.values.ndim == 2:
+                col.values[~col.validity, :] = 0
+            else:
+                col.values[~col.validity] = np.zeros((), dtype=col.values.dtype)
+
+    def get_value(self, row: int, col: int) -> Any:
+        return self.columns[col].get_value(row)
+
+    def column_ids(self) -> List[int]:
+        return [c.column_id for c in self.columns]
+
+    def to_dict_rows(self) -> List[Dict[int, Any]]:
+        """Debug helper: rows as {column_id: value}."""
+        out = []
+        for r in range(self.num_rows):
+            out.append({c.column_id: c.get_value(r) for c in self.columns})
+        return out

@@ -1,0 +1,113 @@
+"""Tests for the data type system (parity: memstore/common/data_type_test.go)."""
+
+import numpy as np
+import pytest
+
+from aresdb_tpu.common import data_types as dt
+
+
+def test_type_encoding_matches_reference():
+    # exact 32-bit codes from reference data_type.go:44-72
+    assert dt.Bool == 0x00000001
+    assert dt.Int8 == 0x00010008
+    assert dt.Uint8 == 0x00020008
+    assert dt.Int16 == 0x00030010
+    assert dt.Uint16 == 0x00040010
+    assert dt.Int32 == 0x00050020
+    assert dt.Uint32 == 0x00060020
+    assert dt.Float32 == 0x00070020
+    assert dt.SmallEnum == 0x00080008
+    assert dt.BigEnum == 0x00090010
+    assert dt.UUID == 0x000A0080
+    assert dt.GeoPoint == 0x000B0040
+    assert dt.GeoShape == 0x000C0000
+    assert dt.Int64 == 0x000D0040
+    assert dt.ArrayInt32 == 0x01050020
+
+
+def test_width_and_bytes():
+    assert dt.data_type_bits(dt.Bool) == 1
+    assert dt.data_type_bytes(dt.Bool) == 1
+    assert dt.data_type_bytes(dt.Uint32) == 4
+    assert dt.data_type_bytes(dt.UUID) == 16
+    assert dt.data_type_bytes(dt.GeoPoint) == 8
+    assert dt.data_type_bytes(dt.Int64) == 8
+    assert dt.data_type_bits(dt.ArrayInt16) == 16
+
+
+def test_array_flags():
+    assert dt.is_array_type(dt.ArrayUint32)
+    assert not dt.is_array_type(dt.Uint32)
+    assert dt.item_type(dt.ArrayUint32) == dt.Uint32
+
+
+def test_name_round_trip():
+    for name in ("Bool", "Uint32", "SmallEnum", "UUID", "GeoPoint", "ArrayInt64"):
+        assert dt.DATA_TYPE_NAME[dt.data_type_from_string(name)] == name
+    with pytest.raises(ValueError):
+        dt.data_type_from_string("NotAType")
+
+
+def test_new_data_type_validation():
+    assert dt.new_data_type(0x00060020) == dt.Uint32
+    with pytest.raises(ValueError):
+        dt.new_data_type(0x00FF0000)
+
+
+def test_parse_bool():
+    assert dt.parse_value("true", dt.Bool) is True
+    assert dt.parse_value("0", dt.Bool) is False
+    assert dt.parse_value(1, dt.Bool) is True
+    with pytest.raises(ValueError):
+        dt.parse_value("yes", dt.Bool)
+    with pytest.raises(ValueError):
+        dt.parse_value(2, dt.Bool)
+
+
+def test_parse_int_bounds():
+    assert dt.parse_value("255", dt.Uint8) == 255
+    with pytest.raises(ValueError):
+        dt.parse_value(256, dt.Uint8)
+    with pytest.raises(ValueError):
+        dt.parse_value(-1, dt.Uint8)
+    assert dt.parse_value(-128, dt.Int8) == -128
+    assert dt.parse_value("0x10", dt.Uint16) == 16
+
+
+def test_parse_uuid_round_trip():
+    s = "d585cc25-5ca9-4655-855d-dcb94a0b9f04"
+    hi, lo = dt.parse_value(s, dt.UUID)
+    assert dt.uuid_to_string(hi, lo) == s
+
+
+def test_parse_geopoint():
+    lat, lng = dt.parse_value("Point(11.1 22.2)", dt.GeoPoint)
+    assert abs(lat - 11.1) < 1e-6 and abs(lng - 22.2) < 1e-6
+    assert dt.parse_value((1.5, -2.5), dt.GeoPoint) == (1.5, -2.5)
+    with pytest.raises(ValueError):
+        dt.parse_value("11.1,22.2", dt.GeoPoint)
+
+
+def test_parse_array():
+    assert dt.parse_value([1, None, 3], dt.ArrayInt32) == [1, None, 3]
+    assert dt.parse_value("[1,2,3]", dt.ArrayUint8) == [1, 2, 3]
+
+
+def test_null_passthrough():
+    assert dt.parse_value(None, dt.Uint32) is None
+
+
+def test_numpy_dtype_mapping():
+    assert dt.numpy_dtype(dt.Uint32) == np.uint32
+    assert dt.numpy_dtype(dt.SmallEnum) == np.uint8
+    assert dt.numpy_dtype(dt.BigEnum) == np.uint16
+    assert dt.numpy_dtype(dt.UUID) == np.uint64
+    assert dt.lanes(dt.UUID) == 2
+    assert dt.lanes(dt.GeoPoint) == 2
+    assert dt.lanes(dt.Float32) == 1
+
+
+def test_agg_identity():
+    assert dt.agg_identity(np.dtype(np.float32), "sum") == 0
+    assert dt.agg_identity(np.dtype(np.float32), "min") == np.inf
+    assert dt.agg_identity(np.dtype(np.int32), "max") == np.iinfo(np.int32).min
