@@ -1,0 +1,30 @@
+"""Shared memstore primitives: RecordID, batch id conventions.
+
+Reference: memstore/common/primary_key.go:36 (RecordID),
+memstore/live_store.go:30 (BaseBatchID), memstore/archive_store.go
+(archive batch id = days since epoch).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+# Live batch ids count up from the most negative int32, so that all live
+# batch ids are strictly smaller than any archive batch id (days since epoch).
+BASE_BATCH_ID = -(2**31)
+
+SECONDS_PER_DAY = 86400
+
+
+class RecordID(NamedTuple):
+    batch_id: int
+    index: int
+
+
+def archive_batch_id_for_time(event_time: int) -> int:
+    """Archive batch id for an event timestamp: UTC days since epoch."""
+    return int(event_time) // SECONDS_PER_DAY
+
+
+def archive_batch_time_range(batch_id: int) -> tuple[int, int]:
+    return batch_id * SECONDS_PER_DAY, (batch_id + 1) * SECONDS_PER_DAY

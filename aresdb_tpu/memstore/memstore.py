@@ -1,0 +1,203 @@
+"""MemStore facade: tables, shards, ingestion entry, recovery.
+
+Reference: memstore/memstore.go (MemStore interface :37-73, memStoreImpl),
+memstore/recovery.go (InitShards/PlayRedoLog), memstore/schema.go FetchSchema.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from aresdb_tpu.common.schema import Table, TableSchema
+from aresdb_tpu.common.upsert_batch import UpsertBatch
+from aresdb_tpu.diskstore.local_diskstore import LocalDiskStore
+from aresdb_tpu.memstore.host_memory import HostMemoryManager
+from aresdb_tpu.memstore.table_shard import IngestionStats, TableShard
+from aresdb_tpu.memstore.vector_party import ArchiveVectorParty
+from aresdb_tpu.metastore.disk_metastore import DiskMetaStore
+from aresdb_tpu.redolog.file_redolog import FileRedoLogManager
+
+
+class MemStore:
+    def __init__(self, metastore: DiskMetaStore, diskstore: LocalDiskStore,
+                 total_memory_bytes: int = 0):
+        self.metastore = metastore
+        self.diskstore = diskstore
+        self.schemas: Dict[str, TableSchema] = {}
+        self.shards: Dict[Tuple[str, int], TableShard] = {}
+        self.host_memory_manager = HostMemoryManager(self, total_memory_bytes)
+        self.lock = threading.RLock()
+
+    # ------------------------------------------------------------------
+    # schema
+    # ------------------------------------------------------------------
+
+    def fetch_schema(self) -> None:
+        """Load all table schemas + enum dictionaries from the metastore."""
+        with self.lock:
+            for name in self.metastore.list_tables():
+                table = self.metastore.get_table(name)
+                ts = self.schemas.get(name)
+                if ts is None:
+                    ts = TableSchema(table)
+                    self.schemas[name] = ts
+                else:
+                    ts.set_table(table)
+                for col in table.columns:
+                    if col.is_enum_column():
+                        cases = self.metastore.get_enum_cases(name, col.name)
+                        ts.enum_dicts[col.name].extend(cases)
+
+    def create_table(self, table: Table) -> TableSchema:
+        self.metastore.create_table(table)
+        ts = TableSchema(table)
+        with self.lock:
+            self.schemas[table.name] = ts
+        return ts
+
+    def get_schema(self, table: str) -> TableSchema:
+        ts = self.schemas.get(table)
+        if ts is None:
+            raise KeyError(f"unknown table {table!r}")
+        return ts
+
+    def get_schemas(self) -> Dict[str, TableSchema]:
+        return dict(self.schemas)
+
+    # ------------------------------------------------------------------
+    # shards
+    # ------------------------------------------------------------------
+
+    def add_table_shard(self, table: str, shard_id: int = 0) -> TableShard:
+        with self.lock:
+            key = (table, shard_id)
+            if key in self.shards:
+                return self.shards[key]
+            schema = self.get_schema(table)
+            cfg = schema.table.config
+            redolog = FileRedoLogManager(
+                table, shard_id, self.diskstore,
+                rotation_interval=cfg.redo_log_rotation_interval,
+                max_redolog_size=cfg.max_redo_log_file_size)
+            shard = TableShard(schema, shard_id, diskstore=self.diskstore,
+                               metastore=self.metastore,
+                               redolog_manager=redolog,
+                               host_memory_manager=self.host_memory_manager)
+            self.shards[key] = shard
+            return shard
+
+    def get_table_shard(self, table: str, shard_id: int = 0) -> TableShard:
+        shard = self.shards.get((table, shard_id))
+        if shard is None:
+            raise KeyError(f"no shard {shard_id} for table {table!r}")
+        return shard
+
+    def remove_table_shard(self, table: str, shard_id: int) -> None:
+        with self.lock:
+            shard = self.shards.pop((table, shard_id), None)
+            if shard is not None and shard.redolog_manager is not None:
+                shard.redolog_manager.close()
+
+    def list_shards(self) -> List[Tuple[str, int]]:
+        return sorted(self.shards)
+
+    # ------------------------------------------------------------------
+    # ingestion (reference: memstore/ingestion.go HandleIngestion)
+    # ------------------------------------------------------------------
+
+    def handle_ingestion(self, table: str, shard_id: int,
+                         batch: UpsertBatch) -> IngestionStats:
+        shard = self.get_table_shard(table, shard_id)
+        return shard.save_upsert_batch(batch)
+
+    # ------------------------------------------------------------------
+    # recovery (reference: memstore/recovery.go:218 InitShards)
+    # ------------------------------------------------------------------
+
+    def init_shards(self, shard_assignments: Optional[List[Tuple[str, int]]] = None
+                    ) -> None:
+        """Create shards and replay redo logs / load snapshots + archives."""
+        if shard_assignments is None:
+            shard_assignments = [(t, 0) for t in sorted(self.schemas)]
+        for table, shard_id in shard_assignments:
+            shard = self.add_table_shard(table, shard_id)
+            self._recover_shard(shard)
+
+    def _recover_shard(self, shard: TableShard) -> None:
+        table = shard.schema.table.name
+        sid = shard.shard_id
+        fact = shard.schema.table.is_fact_table
+
+        # archive metadata + cutoff (fact tables)
+        if fact:
+            shard.archive_store.load_metadata()
+            cutoff = shard.archive_store.get_current_version().archiving_cutoff
+            shard.live_store.archiving_cutoff_high_watermark = cutoff
+            shard.live_store.primary_key.update_event_time_cutoff(cutoff)
+            redo_file, offset = self.metastore.get_backfill_progress(table, sid)
+        else:
+            # dimension table: load latest snapshot, then replay from there
+            redo_file, offset, _, _ = self.metastore.get_snapshot_progress(table, sid)
+            self._load_snapshot(shard, redo_file, offset)
+
+        replayed = 0
+        for rf, off, payload in shard.redolog_manager.iterate(redo_file, offset):
+            batch = UpsertBatch(payload)
+            shard.apply_upsert_batch(batch, recovery=True,
+                                     redo_file=rf, batch_offset=off)
+            max_et = shard._max_event_time(batch)
+            if max_et:
+                shard.redolog_manager.update_max_event_time(max_et, rf)
+            replayed += 1
+        shard.live_store.advance_last_read_record()
+
+    def _load_snapshot(self, shard: TableShard, redo_file: int,
+                       offset: int) -> None:
+        """Rebuild a dimension table's live store from its last snapshot."""
+        if redo_file == 0 and offset == 0:
+            return
+        table = shard.schema.table.name
+        sid = shard.shard_id
+        from aresdb_tpu.memstore.primary_key import build_keys
+
+        batch_ids = self.diskstore.list_snapshot_batches(table, sid, redo_file, offset)
+        for bid in batch_ids:
+            col_ids = self.diskstore.list_snapshot_batch_columns(
+                table, sid, redo_file, offset, bid)
+            if not col_ids:
+                continue
+            vps = {}
+            n = 0
+            for cid in col_ids:
+                data = self.diskstore.read_snapshot_column(
+                    table, sid, redo_file, offset, bid, cid)
+                vp = ArchiveVectorParty.from_bytes(data)
+                vps[cid] = vp
+                n = max(n, vp.num_rows)
+            # write rows back into the live store
+            recs = shard.live_store.allocate_records(n)
+            dest_batches = np.asarray([r.batch_id for r in recs])
+            dest_idx = np.asarray([r.index for r in recs])
+            for dbid in np.unique(dest_batches):
+                live_batch = shard.live_store.get_batch(int(dbid))
+                m = dest_batches == dbid
+                src = np.nonzero(m)[0]
+                dst = dest_idx[m]
+                for cid, vp in vps.items():
+                    lvp = live_batch.get_or_create_column(cid)
+                    if vp.is_list:
+                        lvp.write_rows(dst, None, vp.validity[src],
+                                       [vp.list_values[int(r)] for r in src])
+                    else:
+                        lvp.write_rows(dst, vp.values[src], vp.validity[src])
+            # rebuild the primary key from snapshot rows
+            key_ids = shard.schema.table.primary_key_columns
+            key_cols = [vps[cid].values for cid in key_ids]
+            keys = build_keys(key_cols, n)
+            pk = shard.live_store.primary_key
+            for i, key in enumerate(keys):
+                pk.find_or_insert(key, recs[i], 0)
+        shard.live_store.advance_last_read_record()
