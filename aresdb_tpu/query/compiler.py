@@ -1,0 +1,650 @@
+"""AQL compiler: schema resolution, type inference, rewrites, plan building.
+
+Reference: query/aql_compiler.go (Compile: readSchema → parseExprs →
+processJoinConditions → processTimezone → resolveTypes → processFilters →
+processTimeFilter → processMeasure → processDimensions) and
+query/time_bucketizer.go (buildTimeDimensionExpr).
+
+The output `CompiledQuery` is a backend-agnostic logical plan; the TPU kernel
+emitter (kernels.py) traces its ASTs directly into one fused XLA computation
+per (plan, batch-shape) pair — there is no per-AST-node kernel dispatch as in
+the reference's OOPK machinery, because XLA fusion supersedes it.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from aresdb_tpu.common import data_types as mdt
+from aresdb_tpu.common.schema import TableSchema
+from aresdb_tpu.query import expr as E
+from aresdb_tpu.query import time_util as TU
+from aresdb_tpu.query.aql import AQLQuery, Dimension
+
+NON_AGGREGATION_QUERY_LIMIT = 1000
+
+
+class QueryError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Plan dataclasses
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ForeignTablePlan:
+    """One equi-joined dimension table.
+
+    Reference: query/aql_compiler.go matchEquiJoin — conditions must be a
+    single `main_expr = foreign.primary_key_column` equality.
+    """
+
+    alias: str
+    schema: TableSchema
+    main_key_expr: E.Expr          # typed expr over main table columns
+    foreign_key_column: int        # pk column id in the foreign table
+    used_columns: List[int] = field(default_factory=list)
+
+
+@dataclass
+class DimensionPlan:
+    expr: E.Expr                   # typed AST (bucketizers already applied)
+    raw: Dimension = None          # original query dimension (for formatting)
+    data_type: int = 0             # memstore data type for output formatting
+    enum_reverse_dict: Optional[List[str]] = None
+    from_offset: int = 0
+    to_offset: int = 0
+    dst_switch_ts: int = 0
+
+
+@dataclass
+class MeasurePlan:
+    agg: str                       # 'sum'|'min'|'max'|'avg'|'count'|'hll'
+    expr: Optional[E.Expr]         # argument AST (literal 1 for count)
+    out_float: bool = True         # aggregate in float vs int lanes
+
+
+@dataclass
+class CompiledQuery:
+    query: AQLQuery
+    main_schema: TableSchema
+    shards: List[int]
+    filters: List[E.Expr]                      # ANDed row filters (typed)
+    time_filter_expr: List[E.Expr]             # from/to exprs on time column
+    from_ts: Optional[int] = None              # resolved [from, to) unix secs
+    to_ts: Optional[int] = None
+    time_column_id: int = -1                   # main-table time column (or -1)
+    dimensions: List[DimensionPlan] = field(default_factory=list)
+    measure: Optional[MeasurePlan] = None
+    is_non_agg: bool = False
+    limit: int = 0
+    foreign_tables: List[ForeignTablePlan] = field(default_factory=list)
+    used_columns: List[int] = field(default_factory=list)   # main table
+    timezone: Optional[_dt.tzinfo] = None
+    from_offset: int = 0
+    to_offset: int = 0
+    dst_switch_ts: int = 0
+    now_ts: int = 0
+
+
+# ---------------------------------------------------------------------------
+# type helpers
+# ---------------------------------------------------------------------------
+
+_UNSIGNED_DTS = (mdt.Uint8, mdt.Uint16, mdt.Uint32, mdt.SmallEnum, mdt.BigEnum)
+_SIGNED_DTS = (mdt.Int8, mdt.Int16, mdt.Int32, mdt.Int64)
+
+
+def _expr_type_for_dt(data_type: int) -> int:
+    if data_type == mdt.Bool:
+        return E.BOOLEAN
+    if data_type in _UNSIGNED_DTS:
+        return E.UNSIGNED
+    if data_type in _SIGNED_DTS:
+        return E.SIGNED
+    if data_type == mdt.Float32:
+        return E.FLOAT
+    if data_type == mdt.GeoPoint:
+        return E.GEOPOINT
+    if data_type == mdt.GeoShape:
+        return E.GEOSHAPE
+    if mdt.is_array_type(data_type):
+        return _expr_type_for_dt(mdt.item_type(data_type))
+    return E.UNKNOWN_TYPE  # UUID handled specially (hex() only)
+
+
+_CMP_OPS = {"=", "!=", "<>", "<", "<=", ">", ">="}
+_BOOL_OPS = {"AND", "OR"}
+_ARITH_OPS = {"+", "-", "*", "/", "%", "FLOOR"}
+_BITWISE_OPS = {"&", "|", "^", "<<", ">>"}
+
+
+class Compiler:
+    """Compiles one AQLQuery against a set of runtime table schemas."""
+
+    def __init__(self, schemas: Dict[str, TableSchema]):
+        self.schemas = schemas
+
+    # -- public --
+
+    def compile(self, q: AQLQuery) -> CompiledQuery:
+        if not q.table:
+            raise QueryError("query missing table")
+        main = self.schemas.get(q.table)
+        if main is None:
+            raise QueryError(f"unknown table {q.table!r}")
+        if not q.measures:
+            raise QueryError("exactly 1 measure is required")
+
+        cq = CompiledQuery(query=q, main_schema=main, shards=list(q.shards),
+                           filters=[], time_filter_expr=[])
+        cq.now_ts = q.now or int(_dt.datetime.now(_dt.timezone.utc).timestamp())
+
+        # table alias map: index 0 = main table
+        self._aliases: Dict[str, int] = {q.table: 0}
+        self._tables: List[TableSchema] = [main]
+        self._process_joins(q, cq)
+
+        # timezone (fixed only; timezone(column) requires the timezone join
+        # machinery — gated until timezone tables are wired)
+        if q.timezone and "(" in q.timezone:
+            raise QueryError("timezone column lookups not yet supported")
+        cq.timezone = TU.parse_timezone(q.timezone) if q.timezone else _dt.timezone.utc
+
+        self._process_time_filter(q, cq)
+        self._process_filters(q, cq)
+        self._process_measure(q, cq)
+        self._process_dimensions(q, cq)
+        self._collect_column_usage(cq)
+        return cq
+
+    # -- joins --
+
+    def _process_joins(self, q: AQLQuery, cq: CompiledQuery) -> None:
+        for j in q.joins:
+            schema = self.schemas.get(j.table)
+            if schema is None:
+                raise QueryError(f"unknown join table {j.table!r}")
+            alias = j.alias or j.table
+            if alias in self._aliases:
+                raise QueryError(f"duplicate table alias {alias!r}")
+            if schema.table.is_fact_table:
+                raise QueryError("only dimension tables can be joined")
+            if len(j.conditions) != 1:
+                raise QueryError(
+                    "exactly 1 equi-join condition supported per join")
+            cond = E.parse(j.conditions[0])
+            if not (isinstance(cond, E.BinaryExpr) and cond.op == "="):
+                raise QueryError(f"join condition must be equality: {j.conditions[0]}")
+            table_id = len(self._tables)
+            self._aliases[alias] = table_id
+            self._tables.append(schema)
+
+            # one side must be foreign.pk, other side main-table expr
+            pk_cols = schema.table.primary_key_columns
+            if len(pk_cols) != 1:
+                raise QueryError(
+                    f"join table {j.table!r} must have a single-column primary key")
+
+            def is_foreign_pk(e: E.Expr) -> bool:
+                return (isinstance(e, E.VarRef) and "." in e.val
+                        and e.val.split(".", 1)[0] == alias
+                        and schema.column_ids.get(e.val.split(".", 1)[1]) == pk_cols[0])
+
+            if is_foreign_pk(cond.lhs):
+                main_side = cond.rhs
+            elif is_foreign_pk(cond.rhs):
+                main_side = cond.lhs
+            else:
+                raise QueryError(
+                    f"join condition must reference {alias}'s primary key")
+            main_side = self._resolve(main_side, allow_tables={0})
+            cq.foreign_tables.append(ForeignTablePlan(
+                alias=alias, schema=schema, main_key_expr=main_side,
+                foreign_key_column=pk_cols[0]))
+
+    # -- name resolution + typing + rewrites --
+
+    def _resolve(self, e: E.Expr, allow_tables=None) -> E.Expr:
+        """Resolve VarRefs, infer types, apply enum/constant rewrites."""
+
+        def resolve_var(node: E.Expr) -> E.Expr:
+            if not isinstance(node, E.VarRef) or node.val == "*":
+                return node
+            name = node.val
+            if "." in name:
+                t_alias, col = name.split(".", 1)
+                if t_alias not in self._aliases:
+                    raise QueryError(f"unknown table alias {t_alias!r} in {name!r}")
+                table_id = self._aliases[t_alias]
+            else:
+                table_id, col = 0, name
+            if allow_tables is not None and table_id not in allow_tables:
+                raise QueryError(f"column {name!r} not allowed in this context")
+            schema = self._tables[table_id]
+            cid = schema.column_ids.get(col)
+            if cid is None:
+                raise QueryError(
+                    f"unknown column {col!r} in table {schema.table.name!r}")
+            column = schema.table.columns[cid]
+            node.table_id = table_id
+            node.column_id = cid
+            node.data_type = column.data_type
+            node.type = _expr_type_for_dt(column.data_type)
+            if column.is_enum_column():
+                ed = schema.enum_dicts.get(column.name)
+                if ed is not None:
+                    node.enum_dict = ed.str_to_rank
+                    node.enum_reverse_dict = ed.rank_to_str
+            return node
+
+        e = E.transform(e, resolve_var)
+        return E.transform(e, self._type_and_rewrite)
+
+    def _type_and_rewrite(self, node: E.Expr) -> E.Expr:
+        """Post-order type inference + rewrites (reference Rewrite :551)."""
+        if isinstance(node, E.ParenExpr):
+            node.type = node.expr.type
+            return node
+
+        if isinstance(node, E.UnaryExpr):
+            c = node.expr
+            if node.op == "-":
+                if isinstance(c, E.NumberLiteral):
+                    c.val = -c.val
+                    c.int_val = -c.int_val
+                    c.expr = f"-{c.expr}"
+                    c.type = E.FLOAT if c.type == E.FLOAT else E.SIGNED
+                    return c
+                node.type = E.FLOAT if c.type == E.FLOAT else E.SIGNED
+            elif node.op == "~":
+                node.type = c.type
+            elif node.op in ("NOT", "IS_NULL", "IS_NOT_NULL", "IS_TRUE", "IS_FALSE"):
+                node.type = E.BOOLEAN
+            elif node.op in ("GET_WEEK_START", "GET_MONTH_START",
+                             "GET_QUARTER_START", "GET_YEAR_START",
+                             "GET_DAY_OF_MONTH", "GET_DAY_OF_YEAR",
+                             "GET_MONTH_OF_YEAR", "GET_QUARTER_OF_YEAR"):
+                node.type = E.UNSIGNED
+            return node
+
+        if isinstance(node, E.BinaryExpr):
+            return self._type_binary(node)
+
+        if isinstance(node, E.Call):
+            return self._type_call(node)
+
+        if isinstance(node, E.Case):
+            t = E.UNKNOWN_TYPE
+            for _, v in node.when_thens:
+                t = max(t, v.type)
+            if node.else_expr is not None:
+                t = max(t, node.else_expr.type)
+            node.type = t
+            return node
+
+        return node
+
+    def _type_binary(self, node: E.BinaryExpr) -> E.Expr:
+        lhs, rhs, op = node.lhs, node.rhs, node.op
+
+        # enum translation: enum column vs string literal(s)
+        if op in ("=", "!=", "<>", "IN", "NOT IN"):
+            for a, b in ((lhs, rhs), (rhs, lhs)):
+                if isinstance(a, E.VarRef) and a.enum_dict is not None:
+                    if isinstance(b, E.StringLiteral):
+                        self._translate_enum_literal(a, b)
+                    elif isinstance(b, E.Call) and b.name == "":
+                        for arg in b.args:
+                            if isinstance(arg, E.StringLiteral):
+                                self._translate_enum_literal(a, arg)
+
+        # geopoint literal: 'point(lat,lng)' compared against geo column
+        # handled at kernel level
+
+        if op in _CMP_OPS or op in ("IN", "NOT IN"):
+            node.type = E.BOOLEAN
+        elif op in _BOOL_OPS:
+            node.type = E.BOOLEAN
+        elif op == "/":
+            node.type = E.FLOAT
+        elif op in _ARITH_OPS:
+            if lhs.type == E.FLOAT or rhs.type == E.FLOAT:
+                node.type = E.FLOAT
+            elif lhs.type == E.SIGNED or rhs.type == E.SIGNED or op == "-":
+                node.type = E.SIGNED
+            else:
+                node.type = E.UNSIGNED
+        elif op in _BITWISE_OPS:
+            node.type = E.UNSIGNED
+        else:
+            raise QueryError(f"unsupported binary operator {op!r}")
+
+        # constant folding of pure-literal arithmetic
+        if (isinstance(lhs, E.NumberLiteral) and isinstance(rhs, E.NumberLiteral)
+                and op in _ARITH_OPS):
+            return self._fold(node, lhs, rhs, op)
+        return node
+
+    @staticmethod
+    def _translate_enum_literal(var: E.VarRef, lit: E.StringLiteral) -> None:
+        rank = var.enum_dict.get(lit.val)
+        # unknown enum values get an out-of-range rank so equality never
+        # matches (reference Rewrite translates unknown enums similarly)
+        lit.type = E.UNSIGNED
+        lit.val = str(rank) if rank is not None else ""
+        lit.__class__ = E.NumberLiteral  # in-place morph keeps parent links
+        lit.int_val = rank if rank is not None else (1 << 31) - 1
+        lit.expr = lit.val if rank is not None else "<unknown-enum>"
+        # NumberLiteral dataclass field: .val should be numeric
+        lit.val = float(lit.int_val)
+
+    @staticmethod
+    def _fold(node, lhs, rhs, op) -> E.NumberLiteral:
+        if node.type == E.FLOAT:
+            a, b = lhs.val, rhs.val
+            if op == "+":
+                v = a + b
+            elif op == "-":
+                v = a - b
+            elif op == "*":
+                v = a * b
+            elif op == "/":
+                v = a / b if b else 0.0
+            elif op == "%":
+                v = a % b if b else 0.0
+            else:
+                v = (a // b) * b if b else 0.0
+            return E.NumberLiteral(val=v, int_val=int(v), expr=str(v), type=E.FLOAT)
+        a, b = lhs.int_val, rhs.int_val
+        if op == "+":
+            v = a + b
+        elif op == "-":
+            v = a - b
+        elif op == "*":
+            v = a * b
+        elif op == "%":
+            v = a % b if b else 0
+        else:  # FLOOR
+            v = (a // b) * b if b else 0
+        return E.NumberLiteral(val=float(v), int_val=v, expr=str(v), type=node.type)
+
+    def _type_call(self, node: E.Call) -> E.Expr:
+        name = node.name
+        if name == "":
+            node.type = E.UNKNOWN_TYPE  # IN-list container
+            return node
+        if name in E.AGGREGATE_CALLS:
+            node.type = E.FLOAT if name in (E.SUM, E.AVG) else E.UNSIGNED
+            return node
+        if name == E.HEX:
+            node.type = E.UNKNOWN_TYPE
+            return node
+        if name == E.FROM_UNIXTIME:
+            # from_unixtime(col) is identity at storage level (seconds)
+            node.type = E.UNSIGNED
+            return node
+        if name in (E.HOUR, E.DAY_OF_WEEK):
+            node.type = E.UNSIGNED
+            return node
+        if name == E.CONVERT_TZ:
+            node.type = E.UNSIGNED
+            return node
+        if name == E.LENGTH:
+            node.type = E.UNSIGNED
+            return node
+        if name == E.CONTAINS:
+            node.type = E.BOOLEAN
+            return node
+        if name == E.ELEMENT_AT:
+            if node.args and isinstance(node.args[0], E.VarRef):
+                node.type = _expr_type_for_dt(
+                    mdt.item_type(node.args[0].data_type))
+            return node
+        if name == E.GEOGRAPHY_INTERSECTS:
+            node.type = E.BOOLEAN
+            return node
+        raise QueryError(f"unknown function {name!r}")
+
+    # -- time filter --
+
+    def _process_time_filter(self, q: AQLQuery, cq: CompiledQuery) -> None:
+        tf = q.time_filter
+        main = cq.main_schema
+        # resolve the time column
+        if tf.column:
+            col_expr = E.parse(tf.column)
+        elif main.table.is_fact_table:
+            col_expr = E.VarRef(val=main.table.columns[0].name)
+        else:
+            col_expr = None
+        if tf.empty:
+            if main.table.is_fact_table and col_expr is not None:
+                cq.time_column_id = 0
+            return
+        if col_expr is None:
+            raise QueryError("time filter requires a time column")
+        col_expr = self._resolve(col_expr)
+        if isinstance(col_expr, E.VarRef) and col_expr.table_id == 0:
+            cq.time_column_id = col_expr.column_id
+
+        from_t, to_t = TU.parse_time_filter(tf.from_, tf.to, cq.timezone, cq.now_ts)
+        if from_t is not None:
+            cq.from_ts = from_t.ts
+            cq.time_filter_expr.append(E.BinaryExpr(
+                op=">=", lhs=col_expr,
+                rhs=E.NumberLiteral(val=float(from_t.ts), int_val=from_t.ts,
+                                    expr=str(from_t.ts), type=E.UNSIGNED),
+                type=E.BOOLEAN))
+        if to_t is not None:
+            cq.to_ts = to_t.ts
+            cq.time_filter_expr.append(E.BinaryExpr(
+                op="<", lhs=col_expr,
+                rhs=E.NumberLiteral(val=float(to_t.ts), int_val=to_t.ts,
+                                    expr=str(to_t.ts), type=E.UNSIGNED),
+                type=E.BOOLEAN))
+        # timezone offsets over the query window (for bucketizers/formatting)
+        if cq.from_ts is not None and cq.to_ts is not None:
+            cq.from_offset, cq.to_offset, cq.dst_switch_ts = TU.dst_switch_ts(
+                cq.timezone, cq.from_ts, cq.to_ts)
+        elif cq.timezone is not None:
+            off = TU.tz_offset_at(cq.timezone, cq.now_ts)
+            cq.from_offset = cq.to_offset = off
+
+    # -- filters --
+
+    def _process_filters(self, q: AQLQuery, cq: CompiledQuery) -> None:
+        all_filters = list(q.filters) + list(q.measures[0].filters)
+        for f in all_filters:
+            ast = self._resolve(E.parse(f))
+            if ast.type != E.BOOLEAN and not (
+                    isinstance(ast, E.VarRef) and ast.data_type == mdt.Bool):
+                raise QueryError(f"filter must be boolean: {f!r}")
+            cq.filters.append(ast)
+
+    # -- measure --
+
+    def _process_measure(self, q: AQLQuery, cq: CompiledQuery) -> None:
+        m = q.measures[0]
+        ast = E.parse(m.expr)
+        if isinstance(ast, E.NumberLiteral):
+            cq.is_non_agg = True
+            cq.limit = q.limit or NON_AGGREGATION_QUERY_LIMIT
+            return
+        if not isinstance(ast, E.Call) or ast.name not in E.AGGREGATE_CALLS:
+            raise QueryError(f"expect aggregate function, got {m.expr!r}")
+        name = ast.name
+        if name == E.COUNT_DISTINCT_HLL:
+            name = E.HLL
+        if len(ast.args) != 1:
+            raise QueryError(
+                f"expect 1 parameter for aggregate {name}, got {len(ast.args)}")
+        if name == E.COUNT:
+            arg = E.NumberLiteral(val=1.0, int_val=1, expr="1", type=E.UNSIGNED)
+            cq.measure = MeasurePlan(agg="count", expr=arg, out_float=False)
+            return
+        arg = self._resolve(ast.args[0])
+        if name == E.SUM:
+            cq.measure = MeasurePlan(agg="sum", expr=arg,
+                                     out_float=arg.type == E.FLOAT)
+        elif name == E.AVG:
+            cq.measure = MeasurePlan(agg="avg", expr=arg, out_float=True)
+        elif name == E.MIN:
+            cq.measure = MeasurePlan(agg="min", expr=arg,
+                                     out_float=arg.type == E.FLOAT)
+        elif name == E.MAX:
+            cq.measure = MeasurePlan(agg="max", expr=arg,
+                                     out_float=arg.type == E.FLOAT)
+        elif name == E.HLL:
+            cq.measure = MeasurePlan(agg="hll", expr=arg, out_float=False)
+        else:
+            raise QueryError(f"unsupported aggregate function: {name}")
+
+    # -- dimensions --
+
+    def _process_dimensions(self, q: AQLQuery, cq: CompiledQuery) -> None:
+        for d in q.dimensions:
+            cq.dimensions.append(self._compile_dimension(d, cq))
+
+    def _compile_dimension(self, d: Dimension, cq: CompiledQuery) -> DimensionPlan:
+        main = cq.main_schema
+        if d.is_time_dimension:
+            # expr defaults to the designated time column
+            raw_expr = d.expr or (
+                main.table.columns[0].name if main.table.is_fact_table else None)
+            if raw_expr is None:
+                raise QueryError("time dimension requires an expression")
+            col = self._resolve(E.parse(raw_expr))
+            ast = self._build_time_dimension_expr(d.time_bucketizer, col, cq)
+            return DimensionPlan(
+                expr=ast, raw=d, data_type=mdt.Uint32,
+                from_offset=cq.from_offset, to_offset=cq.to_offset,
+                dst_switch_ts=cq.dst_switch_ts)
+
+        ast = self._resolve(E.parse(d.expr))
+        if not d.numeric_bucketizer.empty:
+            ast = E.Call(name="__numeric_bucket", args=[ast], type=E.FLOAT)
+            ast.bucketizer = d.numeric_bucketizer  # type: ignore[attr-defined]
+
+        data_type = mdt.Uint32
+        rev = None
+        if isinstance(ast, E.VarRef):
+            data_type = ast.data_type
+            rev = ast.enum_reverse_dict
+        elif isinstance(ast, E.Call) and ast.name == E.HEX and ast.args \
+                and isinstance(ast.args[0], E.VarRef) \
+                and ast.args[0].data_type == mdt.UUID:
+            data_type = mdt.UUID
+        elif ast.type == E.FLOAT:
+            data_type = mdt.Float32
+        elif ast.type == E.SIGNED:
+            data_type = mdt.Int32
+        elif ast.type == E.BOOLEAN:
+            data_type = mdt.Bool
+        return DimensionPlan(expr=ast, raw=d, data_type=data_type,
+                             enum_reverse_dict=rev)
+
+    def _build_time_dimension_expr(self, tb: str, col: E.Expr,
+                                   cq: CompiledQuery) -> E.Expr:
+        """Reference: buildTimeDimensionExpr (query/time_bucketizer.go:72)."""
+        shifted = col
+        if cq.from_offset or cq.to_offset:
+            if cq.from_offset != cq.to_offset and cq.dst_switch_ts:
+                # col + from_offset + (col >= switch_ts) * (to-from... note the
+                # reference uses offsetDiff = fromOffset - toOffset and the
+                # kernel adds fromOffset then subtracts... replicate exactly:
+                # timeCol + fromOffset + (timeCol >= switchTs) * offsetDiff
+                diff = cq.from_offset - cq.to_offset
+                shifted = E.BinaryExpr(
+                    op="+", lhs=col, type=E.SIGNED,
+                    rhs=E.BinaryExpr(
+                        op="+", type=E.SIGNED,
+                        lhs=E.NumberLiteral(val=float(cq.from_offset),
+                                            int_val=cq.from_offset,
+                                            expr=str(cq.from_offset),
+                                            type=E.SIGNED),
+                        rhs=E.BinaryExpr(
+                            op="*", type=E.SIGNED,
+                            lhs=E.NumberLiteral(val=float(diff), int_val=diff,
+                                                expr=str(diff), type=E.SIGNED),
+                            rhs=E.BinaryExpr(
+                                op=">=", lhs=col, type=E.BOOLEAN,
+                                rhs=E.NumberLiteral(
+                                    val=float(cq.dst_switch_ts),
+                                    int_val=cq.dst_switch_ts,
+                                    expr=str(cq.dst_switch_ts),
+                                    type=E.UNSIGNED)))))
+            else:
+                off = cq.from_offset
+                shifted = E.BinaryExpr(
+                    op="+", lhs=col, type=E.SIGNED,
+                    rhs=E.NumberLiteral(val=float(off), int_val=off,
+                                        expr=str(off), type=E.SIGNED))
+
+        def lit(v: int, t=E.UNSIGNED) -> E.NumberLiteral:
+            return E.NumberLiteral(val=float(v), int_val=v, expr=str(v), type=t)
+
+        # recurring "x of y" bucketizers
+        minutes = TU.parse_minutes_of_day(tb) if tb.endswith("minutes of day") else None
+        rec = TU.RECURRING_BUCKETIZERS.get(tb)
+        if minutes is not None:
+            rec = (minutes, TU.SECONDS_PER_DAY)
+        if rec is not None:
+            base, bucket = rec
+            adjusted = shifted
+            if bucket == TU.SECONDS_PER_WEEK:
+                adjusted = E.BinaryExpr(op="-", lhs=shifted,
+                                        rhs=lit(TU.SECONDS_PER_4DAY),
+                                        type=E.SIGNED)
+            if base > 1:
+                e = E.BinaryExpr(
+                    op="FLOOR", type=E.UNSIGNED,
+                    lhs=E.BinaryExpr(op="%", lhs=adjusted, rhs=lit(bucket),
+                                     type=E.UNSIGNED),
+                    rhs=lit(base))
+            else:
+                e = E.BinaryExpr(op="%", lhs=shifted, rhs=lit(bucket),
+                                 type=E.UNSIGNED)
+            if base >= TU.SECONDS_PER_DAY:
+                e = E.BinaryExpr(op="/", lhs=e, rhs=lit(base, E.FLOAT),
+                                 type=E.FLOAT)
+            return e
+
+        if tb in TU.RECURRING_CALENDAR_BUCKETIZERS:
+            op = "GET_" + tb.upper().replace(" ", "_")
+            return E.UnaryExpr(op=op, expr=shifted, type=E.UNSIGNED)
+
+        if tb in TU.IRREGULAR_BUCKETIZERS:
+            op = f"GET_{tb.upper()}_START"
+            return E.UnaryExpr(op=op, expr=shifted, type=E.UNSIGNED)
+
+        size, unit = TU.parse_regular_time_bucketizer(tb)
+        width = TU.bucketizer_seconds(size, unit)
+        return E.BinaryExpr(op="FLOOR", lhs=shifted, rhs=lit(width),
+                            type=E.UNSIGNED)
+
+    # -- column usage --
+
+    def _collect_column_usage(self, cq: CompiledQuery) -> None:
+        used: Dict[int, set] = {i: set() for i in range(len(self._tables))}
+
+        def visit(node: E.Expr) -> None:
+            if isinstance(node, E.VarRef) and node.column_id >= 0:
+                used[node.table_id].add(node.column_id)
+
+        for f in cq.filters + cq.time_filter_expr:
+            E.walk(f, visit)
+        for d in cq.dimensions:
+            E.walk(d.expr, visit)
+        if cq.measure is not None and cq.measure.expr is not None:
+            E.walk(cq.measure.expr, visit)
+        for ft in cq.foreign_tables:
+            E.walk(ft.main_key_expr, visit)
+        if cq.time_column_id >= 0:
+            used[0].add(cq.time_column_id)
+        cq.used_columns = sorted(used[0])
+        for i, ft in enumerate(cq.foreign_tables):
+            ft.used_columns = sorted(used[i + 1] | {ft.foreign_key_column})

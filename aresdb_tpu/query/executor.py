@@ -1,0 +1,331 @@
+"""Query executor: batch loop over live+archive stores, device staging, merge.
+
+Reference: query/aql_processor.go (ProcessQuery/processShard/processBatch) and
+query/aql_batchexecutor.go. The TPU design differs deliberately:
+
+- The reference issues one CUDA kernel per AST node with double-buffered
+  streams; here each batch is ONE fused jitted call (XLA overlaps its own
+  host→HBM transfers via async dispatch, and the per-batch partial group
+  tables are tiny so the merge is host-side and exact).
+- Batch row counts are padded to power-of-two buckets so the jit cache stays
+  bounded (SURVEY.md §7 'jit cache discipline').
+- Group capacity K starts small and retries ×8 on overflow (fixed-capacity
+  group table; reference uses dynamic thrust reduce_by_key which XLA cannot).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from aresdb_tpu.utils import jax_env
+
+jax_env.ensure()
+
+import jax.numpy as jnp
+
+from aresdb_tpu.common import data_types as mdt
+from aresdb_tpu.memstore.common import SECONDS_PER_DAY
+from aresdb_tpu.query import expr as E
+from aresdb_tpu.query.compiler import CompiledQuery, QueryError
+from aresdb_tpu.query.kernels import (
+    GLOBAL_KERNEL_CACHE,
+    SENTINEL64,
+    round_up_pow2,
+)
+
+DEFAULT_GROUP_CAPACITY = 4096
+MAX_GROUP_CAPACITY = 1 << 22
+
+
+class GroupTable:
+    """Host-side exact merge of per-batch partial aggregates.
+
+    The cross-batch merge mirrors the broker's merge lattice semantics
+    (reference: broker/result_merge.go) — sum/count add, min/min, max/max,
+    avg carried as (sum, count).
+    """
+
+    def __init__(self, plan: CompiledQuery):
+        self.plan = plan
+        self.groups: Dict[int, list] = {}  # key -> [dims, dim_valids, agg, cnt]
+
+    def merge_batch(self, keys, slot_used, agg, cnt, dim_values, dim_valids):
+        agg_kind = self.plan.measure.agg
+        used = np.nonzero(slot_used)[0]
+        for slot in used:
+            k = int(keys[slot])
+            entry = self.groups.get(k)
+            if entry is None:
+                dims = tuple(dv[slot] for dv in dim_values)
+                dvalid = tuple(bool(dv[slot]) for dv in dim_valids)
+                self.groups[k] = [dims, dvalid, agg[slot], int(cnt[slot])]
+                continue
+            if agg_kind in ("sum", "count", "avg"):
+                entry[2] += agg[slot]
+            elif agg_kind == "min":
+                entry[2] = min(entry[2], agg[slot])
+            else:
+                entry[2] = max(entry[2], agg[slot])
+            entry[3] += int(cnt[slot])
+
+
+class ShardExecutor:
+    """Executes one compiled query against local table shards."""
+
+    def __init__(self, memstore, kernel_cache=GLOBAL_KERNEL_CACHE):
+        self.memstore = memstore
+        self.kernel_cache = kernel_cache
+
+    # -- public --
+
+    def execute(self, plan: CompiledQuery):
+        """Returns (GroupTable, None) for agg or (None, rows) for non-agg."""
+        foreign = self._stage_foreign_tables(plan)
+        shards = plan.shards or [0]
+
+        if plan.is_non_agg:
+            rows = self._execute_non_agg(plan, foreign, shards)
+            return None, rows
+
+        table = GroupTable(plan)
+        for shard_id in shards:
+            shard = self.memstore.get_table_shard(
+                plan.main_schema.table.name, shard_id)
+            for batch_cols, n_valid, n_padded in self._iter_batches(plan, shard):
+                self._run_agg_batch(plan, foreign, batch_cols, n_valid,
+                                    n_padded, table)
+        return table, None
+
+    # -- batch iteration + staging --
+
+    def _iter_batches(self, plan: CompiledQuery, shard):
+        """Yield (staged columns, n_valid, n_padded) for live+archive batches."""
+        live = shard.live_store
+        used = plan.used_columns
+        schema = plan.main_schema
+
+        # live batches (skip by time column min/max like shouldSkipLiveBatch,
+        # reference aql_processor.go:1435)
+        with live.lock:
+            snapshots = live.snapshot_columns(used)
+        for batch_id, n, batch in snapshots:
+            if plan.time_column_id >= 0 and (plan.from_ts or plan.to_ts):
+                vp = batch.column(plan.time_column_id)
+                if vp is not None and vp.values is not None and n > 0:
+                    tvals = vp.values[:n]
+                    tvalid = vp.validity[:n]
+                    if tvalid.any():
+                        tmin = int(tvals[tvalid].min())
+                        tmax = int(tvals[tvalid].max())
+                        if plan.from_ts and tmax < plan.from_ts:
+                            continue
+                        if plan.to_ts and tmin >= plan.to_ts:
+                            continue
+            yield self._stage_live_batch(schema, batch, n, used)
+
+        # archive batches (fact tables): day-ranged by the time filter
+        if schema.table.is_fact_table:
+            version = shard.archive_store.get_current_version()
+            day_ids = version.get_batch_ids_for_range(
+                plan.from_ts or 0, plan.to_ts or 0)
+            for day in day_ids:
+                ab = version.request_batch(day)
+                staged = self._stage_archive_batch(schema, ab, used)
+                if staged is not None:
+                    yield staged
+
+    def _stage_live_batch(self, schema, batch, n: int, used: List[int]):
+        n_padded = round_up_pow2(max(n, 1))
+        cols = {}
+        for cid in used:
+            vp = batch.column(cid)
+            col_schema = schema.table.columns[cid]
+            if vp is None or vp.values is None and not vp.is_list:
+                cols[(0, cid)] = _default_column(col_schema, n_padded)
+                continue
+            if vp.is_list:
+                raise QueryError(
+                    f"array column {col_schema.name!r} not yet supported in queries")
+            cols[(0, cid)] = _pad_column(vp.values[:n], vp.validity[:n],
+                                         n_padded, col_schema.data_type)
+        return cols, n, n_padded
+
+    def _stage_archive_batch(self, schema, ab, used: List[int]):
+        # resolve row count from any present column
+        vps = {}
+        n = ab.size
+        for cid in used:
+            vp = ab.request_column(cid)
+            if vp is not None:
+                vp = vp.expanded()
+                n = max(n, vp.num_rows)
+            vps[cid] = vp
+        if n == 0:
+            return None
+        n_padded = round_up_pow2(max(n, 1))
+        cols = {}
+        for cid in used:
+            vp = vps[cid]
+            col_schema = schema.table.columns[cid]
+            if vp is None:
+                cols[(0, cid)] = _default_column(col_schema, n_padded)
+            elif vp.is_list:
+                raise QueryError(
+                    f"array column {col_schema.name!r} not yet supported in queries")
+            else:
+                cols[(0, cid)] = _pad_column(vp.values, vp.validity, n_padded,
+                                             col_schema.data_type)
+        return cols, n, n_padded
+
+    def _stage_foreign_tables(self, plan: CompiledQuery):
+        """Stage each joined dimension table: sorted key index + used columns.
+
+        Replaces the reference's device cuckoo probe (query/hash_lookup.cu)
+        with a host argsort + device searchsorted (kernels._EvalCtx.foreign_row).
+        """
+        staged = []
+        for ft in plan.foreign_tables:
+            shard = self.memstore.get_table_shard(ft.schema.table.name, 0)
+            live = shard.live_store
+            with live.lock:
+                snaps = live.snapshot_columns(ft.used_columns)
+            # concatenate visible rows of all live batches
+            parts: Dict[int, list] = {cid: [] for cid in ft.used_columns}
+            valid_parts: Dict[int, list] = {cid: [] for cid in ft.used_columns}
+            total = 0
+            for _, n, batch in snaps:
+                for cid in ft.used_columns:
+                    vp = batch.column(cid)
+                    col_schema = ft.schema.table.columns[cid]
+                    if vp is None or vp.values is None:
+                        npdt = mdt.numpy_dtype(col_schema.data_type)
+                        shape = (n, 2) if mdt.lanes(col_schema.data_type) == 2 else (n,)
+                        parts[cid].append(np.zeros(shape, npdt))
+                        valid_parts[cid].append(np.zeros(n, bool))
+                    else:
+                        parts[cid].append(np.asarray(vp.values[:n]))
+                        valid_parts[cid].append(np.asarray(vp.validity[:n]))
+                total += n
+            if total == 0:
+                # empty dim table: single never-matching sentinel row
+                key_sorted = np.asarray([np.iinfo(np.int64).max], np.int64)
+                perm = np.zeros(1, np.int64)
+                columns = {}
+                for cid in ft.used_columns:
+                    col_schema = ft.schema.table.columns[cid]
+                    columns[(0, cid)] = _default_column(col_schema, 1)
+                staged.append(((jnp.asarray(key_sorted), jnp.asarray(perm)),
+                               columns))
+                continue
+            key_cid = ft.foreign_key_column
+            keys = np.concatenate(parts[key_cid]).astype(np.int64)
+            keys_valid = np.concatenate(valid_parts[key_cid])
+            # invalid keys sort to the end and can never match
+            keys = np.where(keys_valid, keys, np.iinfo(np.int64).max)
+            perm = np.argsort(keys, kind="stable")
+            key_sorted = keys[perm]
+            columns = {}
+            for cid in ft.used_columns:
+                vals = np.concatenate(parts[cid])
+                valid = np.concatenate(valid_parts[cid])
+                columns[(0, cid)] = (jnp.asarray(vals), jnp.asarray(valid))
+            staged.append(((jnp.asarray(key_sorted), jnp.asarray(perm)),
+                           columns))
+        return staged
+
+    # -- agg execution --
+
+    def _run_agg_batch(self, plan, foreign, batch_cols, n_valid, n_padded,
+                       table: GroupTable):
+        foreign_idx = tuple(f[0] for f in foreign)
+        # foreign columns are referenced through table_id > 0 VarRefs: install
+        # them under their (table_id, column_id) keys
+        columns = dict(batch_cols)
+        for ti, (_, fcols) in enumerate(foreign, start=1):
+            for (_, cid), arrs in fcols.items():
+                columns[(ti, cid)] = arrs
+
+        k = DEFAULT_GROUP_CAPACITY
+        while True:
+            kernel = self.kernel_cache.agg_kernel(plan, n_padded, k)
+            (gkeys, _, slot_used, agg, cnt, n_groups, dim_values,
+             dim_valids) = kernel(columns, foreign_idx, np.int32(n_valid))
+            if int(n_groups) <= k:
+                break
+            if k >= MAX_GROUP_CAPACITY:
+                raise QueryError(
+                    f"group cardinality {int(n_groups)} exceeds maximum "
+                    f"capacity {MAX_GROUP_CAPACITY}")
+            k = min(round_up_pow2(int(n_groups)), MAX_GROUP_CAPACITY)
+        table.merge_batch(np.asarray(gkeys), np.asarray(slot_used),
+                          np.asarray(agg), np.asarray(cnt),
+                          [np.asarray(d) for d in dim_values],
+                          [np.asarray(d) for d in dim_valids])
+
+    # -- non-agg execution --
+
+    def _execute_non_agg(self, plan, foreign, shards):
+        """Collect up to limit rows of dim values (reference non-agg path)."""
+        rows: List[Tuple] = []
+        limit = plan.limit
+        foreign_idx = tuple(f[0] for f in foreign)
+        for shard_id in shards:
+            shard = self.memstore.get_table_shard(
+                plan.main_schema.table.name, shard_id)
+            for batch_cols, n_valid, n_padded in self._iter_batches(plan, shard):
+                columns = dict(batch_cols)
+                for ti, (_, fcols) in enumerate(foreign, start=1):
+                    for (_, cid), arrs in fcols.items():
+                        columns[(ti, cid)] = arrs
+                kernel = self.kernel_cache.select_kernel(plan, n_padded)
+                mask, dim_values, dim_valids = kernel(
+                    columns, foreign_idx, np.int32(n_valid))
+                mask = np.asarray(mask)
+                sel = np.nonzero(mask)[0]
+                if limit and len(rows) + len(sel) > limit:
+                    sel = sel[:limit - len(rows)]
+                dvs = [np.asarray(d) for d in dim_values]
+                dvds = [np.asarray(d) for d in dim_valids]
+                for i in sel:
+                    rows.append(tuple(
+                        (dvs[d][i], bool(dvds[d][i]))
+                        for d in range(len(dvs))))
+                if limit and len(rows) >= limit:
+                    return rows
+        return rows
+
+
+# ---------------------------------------------------------------------------
+# staging helpers
+# ---------------------------------------------------------------------------
+
+def _pad_column(values: np.ndarray, validity: np.ndarray, n_padded: int,
+                data_type: int):
+    n = len(validity)
+    if n < n_padded:
+        pad_shape = (n_padded - n,) + values.shape[1:]
+        values = np.concatenate([values, np.zeros(pad_shape, values.dtype)])
+        validity = np.concatenate([validity, np.zeros(n_padded - n, bool)])
+    return jnp.asarray(values), jnp.asarray(validity)
+
+
+def _default_column(col_schema, n_padded: int):
+    """Column never written in this batch: default value or all-null."""
+    data_type = col_schema.data_type
+    npdt = mdt.numpy_dtype(data_type)
+    shape = (n_padded, 2) if mdt.lanes(data_type) == 2 else (n_padded,)
+    if col_schema.default_value is not None:
+        v = mdt.parse_value(col_schema.default_value, data_type)
+        values = np.full(shape, 0, npdt)
+        if mdt.lanes(data_type) == 2:
+            values[:, 0] = v[0]
+            values[:, 1] = v[1]
+        else:
+            values[:] = v
+        validity = np.ones(n_padded, bool)
+    else:
+        values = np.zeros(shape, npdt)
+        validity = np.zeros(n_padded, bool)
+    return jnp.asarray(values), jnp.asarray(validity)

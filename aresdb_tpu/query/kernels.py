@@ -1,0 +1,689 @@
+"""TPU kernel layer: fused expression eval + fixed-shape group-by reduce.
+
+This replaces the reference's per-AST-node CUDA kernel dispatch
+(query/time_series_aggregate.go processExpression + query/transform.cu,
+filter.cu, sort_reduce.cu) with a single traced XLA computation per
+(plan, batch-shape): XLA fuses the whole expression forest, the filter
+mask, the dimension packing and the measure eval into a few kernels, and the
+group-by runs as sort + segment-reduce over **static** shapes:
+
+    rows --eval--> filter mask + dim lanes + measure lane
+         --pack--> 64/32-bit group key   (exact pack when dims fit, else mixed
+                                          splitmix64 hash, mirroring the
+                                          reference's 64-bit murmur group-by
+                                          in query/sort_reduce.cu:117)
+         --sort--> argsort(keys)         (XLA sort, MXU-adjacent throughput)
+         --segment-reduce--> fixed-capacity group table (K slots + overflow)
+
+Selection is mask-carrying (no index compaction): filtered rows get the
+sentinel key and sort to the end, bounding the live groups without any
+dynamic shape (SURVEY.md §7 'Selection/compaction').
+
+Null semantics mirror the reference functors (query/functor.hpp): binary ops
+and comparisons propagate null; AND/OR use the reference's three-valued
+rules; null measures contribute the aggregation identity
+(query/iterator.hpp:620 MeasureProxy).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from aresdb_tpu.utils import jax_env
+
+jax_env.ensure()
+
+import jax
+import jax.numpy as jnp
+
+from aresdb_tpu.common import data_types as mdt
+from aresdb_tpu.query import expr as E
+from aresdb_tpu.query.compiler import CompiledQuery, QueryError
+
+SENTINEL64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# aggregation identities (match reference get_identity_value)
+_F32_MAX = np.float32(np.finfo(np.float32).max)
+_I64_MAX = np.int64(np.iinfo(np.int64).max)
+
+
+# ---------------------------------------------------------------------------
+# typed value: (array, validity) pairs flowing through the expression forest
+# ---------------------------------------------------------------------------
+
+class _Val:
+    __slots__ = ("value", "valid")
+
+    def __init__(self, value, valid):
+        self.value = value
+        self.valid = valid
+
+
+class _EvalCtx:
+    """Per-trace context: staged column arrays + lazily-joined foreign rows."""
+
+    def __init__(self, columns, foreign, n_rows: int):
+        # columns: {(table_id, column_id): (values, validity)}
+        self.columns = columns
+        # foreign: list of (sorted_keys, perm) per foreign table (device arrays)
+        self.foreign = foreign
+        self.n_rows = n_rows
+        self._foreign_rows: Dict[int, Tuple] = {}
+
+    def foreign_row(self, table_id: int, main_key: _Val):
+        """Resolve main rows to foreign row indices via sorted binary search.
+
+        TPU-native replacement for the reference's GPU cuckoo probe
+        (query/hash_lookup.cu): the executor stages the foreign key column
+        sorted (host argsort), the device does a vectorized searchsorted.
+        """
+        cached = self._foreign_rows.get(table_id)
+        if cached is not None:
+            return cached
+        sorted_keys, perm = self.foreign[table_id - 1]
+        key = main_key.value.astype(sorted_keys.dtype)
+        pos = jnp.searchsorted(sorted_keys, key)
+        pos = jnp.clip(pos, 0, sorted_keys.shape[0] - 1)
+        hit = (sorted_keys[pos] == key) & main_key.valid
+        rows = perm[pos]
+        self._foreign_rows[table_id] = (rows, hit)
+        return rows, hit
+
+
+def _dtype_for_expr_type(t: int):
+    if t == E.FLOAT:
+        return jnp.float32
+    if t == E.BOOLEAN:
+        return jnp.bool_
+    return jnp.int64
+
+
+def _to_numeric(v: _Val, dtype) -> _Val:
+    val = v.value
+    if val.dtype == jnp.bool_ and dtype != jnp.bool_:
+        val = val.astype(dtype)
+    elif val.dtype != dtype:
+        val = val.astype(dtype)
+    return _Val(val, v.valid)
+
+
+def _emit(node: E.Expr, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
+    """Trace one AST node into jnp ops, returning (value, valid) lanes."""
+    if isinstance(node, E.ParenExpr):
+        return _emit(node.expr, ctx, plan)
+
+    if isinstance(node, E.NumberLiteral):
+        if node.type == E.FLOAT:
+            v = jnp.float32(node.val)
+        else:
+            v = jnp.int64(node.int_val)
+        return _Val(jnp.full((ctx.n_rows,), v), jnp.ones(ctx.n_rows, jnp.bool_))
+
+    if isinstance(node, E.BooleanLiteral):
+        return _Val(jnp.full((ctx.n_rows,), node.val, jnp.bool_),
+                    jnp.ones(ctx.n_rows, jnp.bool_))
+
+    if isinstance(node, E.NullLiteral):
+        return _Val(jnp.zeros(ctx.n_rows, jnp.int64),
+                    jnp.zeros(ctx.n_rows, jnp.bool_))
+
+    if isinstance(node, E.StringLiteral):
+        raise QueryError(
+            f"string literal {node.val!r} not resolvable (non-enum context)")
+
+    if isinstance(node, E.VarRef):
+        return _emit_varref(node, ctx, plan)
+
+    if isinstance(node, E.UnaryExpr):
+        return _emit_unary(node, ctx, plan)
+
+    if isinstance(node, E.BinaryExpr):
+        return _emit_binary(node, ctx, plan)
+
+    if isinstance(node, E.Call):
+        return _emit_call(node, ctx, plan)
+
+    if isinstance(node, E.Case):
+        return _emit_case(node, ctx, plan)
+
+    raise QueryError(f"cannot emit expression node {node!r}")
+
+
+def _emit_varref(node: E.VarRef, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
+    key = (node.table_id, node.column_id)
+    entry = ctx.columns.get(key)
+    if entry is None:
+        raise QueryError(f"column {node.val!r} not staged")
+    values, validity = entry
+    if node.table_id > 0:
+        ft = plan.foreign_tables[node.table_id - 1]
+        main_key = _emit(ft.main_key_expr, ctx, plan)
+        rows, hit = ctx.foreign_row(node.table_id, main_key)
+        values = values[rows]
+        validity = validity[rows] & hit
+    if node.data_type in (mdt.UUID, mdt.GeoPoint):
+        return _Val(values, validity)  # (n, 2) lanes, special consumers only
+    if node.data_type == mdt.Bool:
+        return _Val(values.astype(jnp.bool_), validity)
+    if node.data_type == mdt.Float32:
+        return _Val(values.astype(jnp.float32), validity)
+    return _Val(values.astype(jnp.int64), validity)
+
+
+def _emit_unary(node: E.UnaryExpr, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
+    op = node.op
+    c = _emit(node.expr, ctx, plan)
+    if op == "-":
+        v = _to_numeric(c, _dtype_for_expr_type(node.type))
+        return _Val(-v.value, v.valid)
+    if op == "~":
+        v = _to_numeric(c, jnp.int64)
+        return _Val(~v.value, v.valid)
+    if op == "NOT":
+        t = _truthy(c)
+        return _Val(~t.value, t.valid)
+    if op == "IS_NULL":
+        return _Val(~c.valid, jnp.ones(ctx.n_rows, jnp.bool_))
+    if op == "IS_NOT_NULL":
+        return _Val(c.valid, jnp.ones(ctx.n_rows, jnp.bool_))
+    if op == "IS_TRUE":
+        t = _truthy(c)
+        return _Val(t.value & t.valid, jnp.ones(ctx.n_rows, jnp.bool_))
+    if op == "IS_FALSE":
+        t = _truthy(c)
+        return _Val(~t.value & t.valid, jnp.ones(ctx.n_rows, jnp.bool_))
+    if op.startswith("GET_"):
+        return _emit_calendar(op, c, ctx)
+    raise QueryError(f"unsupported unary op {op!r}")
+
+
+def _truthy(v: _Val) -> _Val:
+    if v.value.dtype == jnp.bool_:
+        return v
+    return _Val(v.value != 0, v.valid)
+
+
+def _emit_binary(node: E.BinaryExpr, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
+    op = node.op
+    if op in ("AND", "OR"):
+        l, r = _truthy(_emit(node.lhs, ctx, plan)), _truthy(_emit(node.rhs, ctx, plan))
+        if op == "AND":
+            # null if either null (reference AndFunctor)
+            valid = l.valid & r.valid
+            return _Val(l.value & r.value, valid)
+        # OR: true if either valid-true; else null if either null
+        true_side = (l.value & l.valid) | (r.value & r.valid)
+        valid = true_side | (l.valid & r.valid)
+        return _Val(true_side, valid)
+
+    if op in ("IN", "NOT IN"):
+        l = _emit(node.lhs, ctx, plan)
+        assert isinstance(node.rhs, E.Call)
+        hits = jnp.zeros(ctx.n_rows, jnp.bool_)
+        for arg in node.rhs.args:
+            r = _emit(arg, ctx, plan)
+            dt = jnp.float32 if (l.value.dtype == jnp.float32
+                                 or r.value.dtype == jnp.float32) else jnp.int64
+            hits = hits | (_to_numeric(l, dt).value == _to_numeric(r, dt).value)
+        if op == "NOT IN":
+            hits = ~hits
+        return _Val(hits, l.valid)
+
+    l = _emit(node.lhs, ctx, plan)
+    r = _emit(node.rhs, ctx, plan)
+
+    if op in ("=", "!=", "<>", "<", "<=", ">", ">="):
+        # GeoPoint equality on 2-lane arrays
+        if l.value.ndim == 2 or r.value.ndim == 2:
+            eq = jnp.all(l.value == r.value, axis=-1)
+            valid = l.valid & r.valid
+            return _Val(eq if op == "=" else ~eq, valid)
+        dt = jnp.float32 if (l.value.dtype == jnp.float32
+                             or r.value.dtype == jnp.float32) else jnp.int64
+        a, b = _to_numeric(l, dt).value, _to_numeric(r, dt).value
+        if op == "=":
+            v = a == b
+        elif op in ("!=", "<>"):
+            v = a != b
+        elif op == "<":
+            v = a < b
+        elif op == "<=":
+            v = a <= b
+        elif op == ">":
+            v = a > b
+        else:
+            v = a >= b
+        return _Val(v, l.valid & r.valid)
+
+    valid = l.valid & r.valid
+    if op == "/":
+        a = _to_numeric(l, jnp.float32).value
+        b = _to_numeric(r, jnp.float32).value
+        return _Val(jnp.where(b != 0, a / jnp.where(b != 0, b, 1.0), 0.0),
+                    valid & (b != 0))
+    if op in ("+", "-", "*", "%", "FLOOR"):
+        dt = _dtype_for_expr_type(node.type)
+        if dt == jnp.bool_:
+            dt = jnp.int64
+        a = _to_numeric(l, dt).value
+        b = _to_numeric(r, dt).value
+        if op == "+":
+            return _Val(a + b, valid)
+        if op == "-":
+            return _Val(a - b, valid)
+        if op == "*":
+            return _Val(a * b, valid)
+        if op == "%":
+            safe = jnp.where(b != 0, b, 1)
+            return _Val(jnp.where(b != 0, a % safe, 0), valid & (b != 0))
+        # FLOOR: floor(a / b) * b in integer space
+        safe = jnp.where(b != 0, b, 1)
+        return _Val(jnp.where(b != 0, (a // safe) * b, 0), valid & (b != 0))
+    if op in ("&", "|", "^", "<<", ">>"):
+        a = _to_numeric(l, jnp.int64).value
+        b = _to_numeric(r, jnp.int64).value
+        if op == "&":
+            return _Val(a & b, valid)
+        if op == "|":
+            return _Val(a | b, valid)
+        if op == "^":
+            return _Val(a ^ b, valid)
+        if op == "<<":
+            return _Val(a << b, valid)
+        return _Val(a >> b, valid)
+    raise QueryError(f"unsupported binary op {op!r}")
+
+
+def _emit_call(node: E.Call, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
+    name = node.name
+    if name == E.FROM_UNIXTIME:
+        # from_unixtime(col) / 1000 pattern yields seconds again; storage is
+        # already unix seconds so this is the identity (reference Rewrite
+        # collapses it the same way, aql_compiler.go:560)
+        return _emit(node.args[0], ctx, plan)
+    if name == E.HOUR:
+        c = _to_numeric(_emit(node.args[0], ctx, plan), jnp.int64)
+        return _Val((c.value % 86400) // 3600, c.valid)
+    if name == E.DAY_OF_WEEK:
+        # reference functor: weekday 1..7 with Monday=1 (GetDayOfWeekFunctor)
+        c = _to_numeric(_emit(node.args[0], ctx, plan), jnp.int64)
+        days = c.value // 86400
+        return _Val((days + 3) % 7 + 1, c.valid)
+    if name == E.CONVERT_TZ:
+        base = _emit(node.args[0], ctx, plan)
+        off = _emit(node.args[1], ctx, plan) if len(node.args) > 1 else None
+        if off is None:
+            return base
+        return _Val(_to_numeric(base, jnp.int64).value
+                    + _to_numeric(off, jnp.int64).value,
+                    base.valid & off.valid)
+    if name == E.HEX:
+        return _emit(node.args[0], ctx, plan)  # 2-lane uuid passthrough
+    if name == "__numeric_bucket":
+        return _emit_numeric_bucket(node, ctx, plan)
+    raise QueryError(f"unsupported function {name!r} in kernel emitter")
+
+
+def _emit_numeric_bucket(node: E.Call, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
+    c = _to_numeric(_emit(node.args[0], ctx, plan), jnp.float32)
+    b = node.bucketizer  # attached by compiler
+    if b.bucket_width:
+        w = jnp.float32(b.bucket_width)
+        return _Val(jnp.floor(c.value / w) * w, c.valid)
+    if b.log_base:
+        base = jnp.float32(b.log_base)
+        pos = c.value > 0
+        exp = jnp.floor(jnp.log(jnp.where(pos, c.value, 1.0)) / jnp.log(base))
+        return _Val(jnp.where(pos, base ** exp, 0.0), c.valid & pos)
+    parts = jnp.asarray(np.asarray(b.manual_partitions, np.float32))
+    idx = jnp.searchsorted(parts, c.value, side="right")
+    lower = jnp.concatenate([jnp.array([-np.inf], jnp.float32), parts])[idx]
+    return _Val(lower, c.valid)
+
+
+def _emit_case(node: E.Case, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
+    dt = _dtype_for_expr_type(node.type)
+    if node.else_expr is not None:
+        out = _to_numeric(_emit(node.else_expr, ctx, plan), dt)
+        value, valid = out.value, out.valid
+    else:
+        value = jnp.zeros(ctx.n_rows, dt)
+        valid = jnp.zeros(ctx.n_rows, jnp.bool_)
+    for cond, res in reversed(node.when_thens):
+        c = _truthy(_emit(cond, ctx, plan))
+        r = _to_numeric(_emit(res, ctx, plan), dt)
+        take = c.value & c.valid
+        value = jnp.where(take, r.value, value)
+        valid = jnp.where(take, r.valid, valid)
+    return _Val(value, valid)
+
+
+# ---------------------------------------------------------------------------
+# calendar math (vectorized port of the 400-year-cycle algorithm the
+# reference uses on device, query/functor.cu:71 resolveTimeBucketizer)
+# ---------------------------------------------------------------------------
+
+_ABSOLUTE_ZERO_TS = -62135596800  # 0001-01-01T00:00:00Z
+_DAYS_PER_400Y = 365 * 400 + 97
+_DAYS_PER_100Y = 365 * 100 + 24
+_DAYS_PER_4Y = 365 * 4 + 1
+_DAYS_BEFORE_MONTH = np.array(
+    [0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334, 365], np.int64)
+
+
+def _calendar_decompose(ts):
+    """ts (int64 seconds) → (year_start_ts, days_into_year, year_index)."""
+    t = ts - _ABSOLUTE_ZERO_TS
+    days = t // 86400
+    n = days // _DAYS_PER_400Y
+    year = 400 * n
+    start = n * _DAYS_PER_400Y * 86400
+    days = days - _DAYS_PER_400Y * n
+    n = days // _DAYS_PER_100Y
+    n = n - (n >> 2)
+    year = year + 100 * n
+    start = start + n * _DAYS_PER_100Y * 86400
+    days = days - _DAYS_PER_100Y * n
+    n = days // _DAYS_PER_4Y
+    year = year + 4 * n
+    start = start + n * _DAYS_PER_4Y * 86400
+    days = days - _DAYS_PER_4Y * n
+    n = days // 365
+    n = n - (n >> 2)
+    year = year + n
+    days = days - 365 * n
+    start = start + n * 365 * 86400
+    return start + _ABSOLUTE_ZERO_TS, days, year
+
+
+def _is_leap(year):
+    # year here is 0-based (reference isLeapYear(year + 1))
+    y = year + 1
+    return ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+
+
+def _days_before_month(month, leap):
+    base = jnp.asarray(_DAYS_BEFORE_MONTH)[month]
+    return base + jnp.where(leap & (month >= 2), 1, 0)
+
+
+def _month_of(days, leap):
+    month = days // 31
+    month_end = _days_before_month(month + 1, leap)
+    return jnp.where(days >= month_end, month + 1, month)
+
+
+def _emit_calendar(op: str, c: _Val, ctx: _EvalCtx) -> _Val:
+    ts = _to_numeric(c, jnp.int64).value
+    if op == "GET_WEEK_START":
+        # reference getWeekStartTimestamp (functor.cu:207)
+        four_days = 4 * 86400
+        v = jnp.where(ts < four_days, 0,
+                      ts - (ts - four_days) % (7 * 86400))
+        return _Val(v, c.valid)
+    start, days, year = _calendar_decompose(ts)
+    if op == "GET_YEAR_START":
+        return _Val(start, c.valid)
+    if op == "GET_DAY_OF_YEAR":
+        return _Val(days, c.valid)
+    leap = _is_leap(year)
+    month = _month_of(days, leap)
+    if op == "GET_MONTH_START":
+        return _Val(start + _days_before_month(month, leap) * 86400, c.valid)
+    if op == "GET_DAY_OF_MONTH":
+        return _Val(days - _days_before_month(month, leap), c.valid)
+    if op == "GET_MONTH_OF_YEAR":
+        return _Val(month, c.valid)
+    quarter = month // 3
+    if op == "GET_QUARTER_OF_YEAR":
+        return _Val(quarter, c.valid)
+    if op == "GET_QUARTER_START":
+        return _Val(start + _days_before_month(quarter * 3, leap) * 86400,
+                    c.valid)
+    raise QueryError(f"unsupported calendar op {op!r}")
+
+
+# ---------------------------------------------------------------------------
+# dim packing: exact bit-pack when dims fit in 64 bits, else splitmix64 mix
+# ---------------------------------------------------------------------------
+
+def _splitmix64(x):
+    x = (x + jnp.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+    return x ^ (x >> jnp.uint64(31))
+
+
+def _dim_bits(data_type: int) -> int:
+    if data_type == mdt.Bool:
+        return 1
+    return mdt.data_type_bits(data_type)
+
+
+def _value_bits_u64(dim_val: _Val, data_type: int):
+    """Dim value → uint64 bit pattern (list of lanes for UUID)."""
+    v = dim_val.value
+    if data_type == mdt.UUID:
+        return [v[:, 0].astype(jnp.uint64), v[:, 1].astype(jnp.uint64)]
+    if data_type == mdt.GeoPoint:
+        lat = jax.lax.bitcast_convert_type(v[:, 0], jnp.uint32).astype(jnp.uint64)
+        lng = jax.lax.bitcast_convert_type(v[:, 1], jnp.uint32).astype(jnp.uint64)
+        return [lat | (lng << jnp.uint64(32))]
+    if v.dtype == jnp.float32:
+        return [jax.lax.bitcast_convert_type(v, jnp.uint32).astype(jnp.uint64)]
+    if v.dtype == jnp.bool_:
+        return [v.astype(jnp.uint64)]
+    return [v.astype(jnp.uint64) & jnp.uint64((1 << _dim_bits(data_type)) - 1
+                                              if _dim_bits(data_type) < 64
+                                              else 0xFFFFFFFFFFFFFFFF)]
+
+
+def pack_dim_keys(dim_vals: List[_Val], dim_types: List[int], mask):
+    """Per-row uint64 group key; filtered rows get the sentinel."""
+    total_bits = sum(min(_dim_bits(t), 64) + 1 for t in dim_types)
+    n = mask.shape[0]
+    if not dim_vals:
+        key = jnp.zeros(n, jnp.uint64)
+    elif total_bits <= 63 and not any(t == mdt.UUID for t in dim_types):
+        key = jnp.zeros(n, jnp.uint64)
+        shift = 0
+        for dv, t in zip(dim_vals, dim_types):
+            # canonical NULL: zero the value bits so every null row lands in
+            # one group regardless of the undefined value lane
+            bits = jnp.where(dv.valid, _value_bits_u64(dv, t)[0], jnp.uint64(0))
+            width = min(_dim_bits(t), 64)
+            key = key | (bits << jnp.uint64(shift))
+            shift += width
+            key = key | (dv.valid.astype(jnp.uint64) << jnp.uint64(shift))
+            shift += 1
+    else:
+        key = jnp.uint64(0)
+        acc = jnp.zeros(n, jnp.uint64)
+        for dv, t in zip(dim_vals, dim_types):
+            for lane in _value_bits_u64(dv, t):
+                lane = jnp.where(dv.valid, lane, jnp.uint64(0))
+                acc = _splitmix64(acc ^ _splitmix64(
+                    lane + dv.valid.astype(jnp.uint64)))
+        key = acc
+        # avoid accidental sentinel
+        key = jnp.where(key == SENTINEL64, jnp.uint64(0), key)
+    return jnp.where(mask, key, SENTINEL64)
+
+
+# ---------------------------------------------------------------------------
+# batch kernels
+# ---------------------------------------------------------------------------
+
+def _eval_common(plan: CompiledQuery, ctx: _EvalCtx, n_valid):
+    """Filter mask + dim value lanes."""
+    row_ok = (jnp.arange(ctx.n_rows, dtype=jnp.int32) < n_valid)
+    mask = row_ok
+    for f in plan.filters + plan.time_filter_expr:
+        v = _truthy(_emit(f, ctx, plan))
+        mask = mask & v.value & v.valid
+    dim_vals = [_emit(d.expr, ctx, plan) for d in plan.dimensions]
+    return mask, dim_vals
+
+
+def _measure_lane(plan: CompiledQuery, ctx: _EvalCtx):
+    m = plan.measure
+    mv = _emit(m.expr, ctx, plan)
+    if m.agg in ("sum", "count", "avg"):
+        dtype = jnp.float64 if m.out_float else jnp.int64
+    else:
+        dtype = jnp.float32 if m.out_float else jnp.int64
+    return _Val(mv.value.astype(dtype), mv.valid)
+
+
+def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
+                  k_groups: int, dim_vals: Optional[List[_Val]] = None):
+    """Sort + segment-reduce rows (or partial tables) by 64-bit group key.
+
+    The shared primitive behind per-batch aggregation AND cross-device /
+    cross-batch merges — fixed output capacity `k_groups` plus one overflow
+    slot; rows with the sentinel key are dropped.
+
+    Returns (group_keys[K], slot_used[K], agg[K], cnt[K], n_groups,
+             dim_values, dim_valids).
+    """
+    order = jnp.argsort(keys)
+    skeys = keys[order]
+    first = jnp.concatenate([jnp.ones(1, jnp.bool_), skeys[1:] != skeys[:-1]])
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    live = skeys != SENTINEL64
+    seg_c = jnp.where(live & (seg < k_groups), seg, k_groups)
+
+    mval = mval[order]
+    mvalid = mvalid[order]
+
+    num = k_groups + 1
+    if agg in ("sum", "count", "avg"):
+        contrib = jnp.where(mvalid, mval, jnp.zeros((), mval.dtype))
+        aggv = jax.ops.segment_sum(contrib, seg_c, num_segments=num)[:k_groups]
+    elif agg == "min":
+        big = _F32_MAX if out_float else _I64_MAX
+        contrib = jnp.where(mvalid, mval, big)
+        aggv = jax.ops.segment_min(contrib, seg_c, num_segments=num)[:k_groups]
+    elif agg == "max":
+        small = -_F32_MAX if out_float else np.int64(np.iinfo(np.int64).min)
+        contrib = jnp.where(mvalid, mval, small)
+        aggv = jax.ops.segment_max(contrib, seg_c, num_segments=num)[:k_groups]
+    else:
+        raise QueryError(f"agg {agg} has no device kernel yet")
+
+    ones = jnp.where(mvalid, jnp.int64(1), jnp.int64(0))
+    cnt = jax.ops.segment_sum(ones, seg_c, num_segments=num)[:k_groups]
+
+    rep = jax.ops.segment_min(order.astype(jnp.int32), seg_c,
+                              num_segments=num)[:k_groups]
+    gkeys = jax.ops.segment_min(skeys, seg_c, num_segments=num)[:k_groups]
+    slot_used = gkeys != SENTINEL64
+    rep_safe = jnp.where(slot_used, rep, 0)
+    n_groups = jnp.sum(first & live).astype(jnp.int32)
+
+    dim_values = []
+    dim_valids = []
+    for dv in dim_vals or []:
+        dim_values.append(dv.value[rep_safe])
+        dim_valids.append(dv.valid[rep_safe] & slot_used)
+    return (gkeys, slot_used, aggv, cnt, n_groups,
+            tuple(dim_values), tuple(dim_valids))
+
+
+def agg_batch_body(plan: CompiledQuery, n_rows: int, k_groups: int,
+                   columns, foreign, n_valid):
+    """Un-jitted per-batch aggregation body (reused by the sharded path)."""
+    ctx = _EvalCtx(columns, foreign, n_rows)
+    mask, dim_vals = _eval_common(plan, ctx, n_valid)
+    mlane = _measure_lane(plan, ctx)
+    keys = pack_dim_keys(dim_vals, [d.data_type for d in plan.dimensions], mask)
+    gkeys, slot_used, aggv, cnt, n_groups, dim_values, dim_valids = \
+        reduce_by_key(keys, mlane.value, mlane.valid, plan.measure.agg,
+                      plan.measure.out_float, k_groups, dim_vals)
+    rep_safe = jnp.zeros_like(gkeys, jnp.int32)  # retained for ABI stability
+    return (gkeys, rep_safe, slot_used, aggv, cnt, n_groups,
+            dim_values, dim_valids)
+
+
+def make_agg_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
+    """Build the jitted per-batch aggregation function.
+
+    Signature: fn(columns, foreign, n_valid) ->
+        (group_keys[K] u64, rep_idx[K] i32, slot_used[K] bool,
+         agg[K], cnt[K] i64, n_groups i32,
+         dim_values (tuple per dim), dim_valids (tuple per dim))
+    """
+
+    def fn(columns, foreign, n_valid):
+        return agg_batch_body(plan, n_rows, k_groups, columns, foreign, n_valid)
+
+    return jax.jit(fn)
+
+
+def make_select_kernel(plan: CompiledQuery, n_rows: int):
+    """Non-aggregation kernel: filter mask + dim lanes (no reduce).
+
+    Reference: query/aql_nonaggr_batchexecutor.go — dims are written directly
+    per passing row; the host applies the limit.
+    """
+
+    def fn(columns, foreign, n_valid):
+        ctx = _EvalCtx(columns, foreign, n_rows)
+        mask, dim_vals = _eval_common(plan, ctx, n_valid)
+        return (mask,
+                tuple(dv.value for dv in dim_vals),
+                tuple(dv.valid for dv in dim_vals))
+
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# kernel cache: keyed by (plan signature, shape buckets)
+# ---------------------------------------------------------------------------
+
+def plan_signature(plan: CompiledQuery) -> str:
+    """Structural key so textually-identical queries share compilations."""
+    parts = [plan.main_schema.table.name,
+             "|".join(str(f) for f in plan.filters),
+             "|".join(str(f) for f in plan.time_filter_expr),
+             "|".join(str(d.expr) for d in plan.dimensions)]
+    if plan.measure:
+        parts.append(f"{plan.measure.agg}:{plan.measure.expr}:{plan.measure.out_float}")
+    for ft in plan.foreign_tables:
+        parts.append(f"join:{ft.alias}:{ft.main_key_expr}:{ft.foreign_key_column}")
+    parts.append(f"nonagg:{plan.is_non_agg}")
+    return "\x01".join(parts)
+
+
+class KernelCache:
+    def __init__(self):
+        self._cache: Dict[Tuple, object] = {}
+
+    def agg_kernel(self, plan: CompiledQuery, n_rows: int, k_groups: int):
+        key = ("agg", plan_signature(plan), n_rows, k_groups)
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = make_agg_kernel(plan, n_rows, k_groups)
+            self._cache[key] = fn
+        return fn
+
+    def select_kernel(self, plan: CompiledQuery, n_rows: int):
+        key = ("sel", plan_signature(plan), n_rows)
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = make_select_kernel(plan, n_rows)
+            self._cache[key] = fn
+        return fn
+
+
+GLOBAL_KERNEL_CACHE = KernelCache()
+
+
+def round_up_pow2(n: int, minimum: int = 1024) -> int:
+    c = minimum
+    while c < n:
+        c <<= 1
+    return c

@@ -7,12 +7,21 @@ fallback strategy, SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment points JAX at real TPU hardware.
+# The environment's TPU plugin calls jax.config.update("jax_platforms", ...)
+# at interpreter start, so the env var alone is not enough — re-update the
+# config here, before any backend is initialized. Unit tests must be hermetic
+# and fast; bench.py is the only entry point that targets the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,349 @@
+"""End-to-end AQL query tests over live data.
+
+Mirrors the reference's integration-test strategy
+(integration/integration_test.go: fixed clock, ingest, exact JSON asserts)
+with the JAX CPU backend standing in for TPU (SURVEY.md §4 HOST-mode parity).
+"""
+
+import numpy as np
+import pytest
+
+from aresdb_tpu.common import data_types as dt
+from aresdb_tpu.common.schema import Table, TableSchema
+from aresdb_tpu.common.upsert_batch import UpsertBatch, UpsertBatchBuilder
+from aresdb_tpu.memstore.table_shard import TableShard
+from aresdb_tpu.query.service import QueryService
+
+NOW = 1_600_000_000  # 2020-09-13T12:26:40Z
+
+TRIPS_SCHEMA = {
+    "name": "trips",
+    "columns": [
+        {"name": "request_at", "type": "Uint32"},
+        {"name": "uuid", "type": "UUID"},
+        {"name": "city_id", "type": "Uint16"},
+        {"name": "status", "type": "SmallEnum"},
+        {"name": "fare", "type": "Float32"},
+    ],
+    "primaryKeyColumns": [1],
+    "isFactTable": True,
+    "config": {"batchSize": 64, "recordRetentionInDays": 0},
+}
+
+CITIES_SCHEMA = {
+    "name": "cities",
+    "columns": [
+        {"name": "id", "type": "Uint16"},
+        {"name": "name", "type": "BigEnum"},
+    ],
+    "primaryKeyColumns": [0],
+    "isFactTable": False,
+    "config": {"batchSize": 64},
+}
+
+
+class FakeMemStore:
+    """Minimal MemStore facade for query tests (schemas + shards only)."""
+
+    def __init__(self):
+        self.schemas = {}
+        self.shards = {}
+
+    def create(self, schema_json):
+        table = Table.from_json(schema_json)
+        ts = TableSchema(table)
+        self.schemas[table.name] = ts
+        self.shards[(table.name, 0)] = TableShard(ts)
+        return ts
+
+    def get_schemas(self):
+        return dict(self.schemas)
+
+    def get_table_shard(self, table, shard_id=0):
+        return self.shards[(table, shard_id)]
+
+
+HOUR = 3600
+
+
+def make_store():
+    store = FakeMemStore()
+    trips = store.create(TRIPS_SCHEMA)
+    cities = store.create(CITIES_SCHEMA)
+
+    status_ranks = trips.extend_enum("status", ["completed", "canceled", "rejected"])
+    assert status_ranks == [0, 1, 2]
+
+    # 12 trips over the last 3 hours; a couple of nulls
+    rows = [
+        # (ts_offset_hours_ago, uuid_no, city, status, fare)
+        (0.5, 1, 1, "completed", 10.0),
+        (0.5, 2, 1, "completed", 5.5),
+        (0.6, 3, 2, "canceled", 2.0),
+        (0.9, 4, 2, "completed", 7.25),
+        (1.5, 5, 1, "rejected", None),
+        (1.5, 6, 3, "completed", 20.0),
+        (1.7, 7, 1, "completed", 1.75),
+        (2.5, 8, 2, "canceled", 3.0),
+        (2.5, 9, 1, "completed", 12.5),
+        (2.9, 10, 9, "completed", 4.0),  # city 9 not in cities table
+        (2.2, 11, None, "completed", 8.0),  # null city
+        (0.1, 12, 1, None, 6.0),  # null status
+    ]
+    b = UpsertBatchBuilder()
+    b.add_column(0, dt.Uint32)
+    b.add_column(1, dt.UUID)
+    b.add_column(2, dt.Uint16)
+    b.add_column(3, dt.SmallEnum)
+    b.add_column(4, dt.Float32)
+    for i, (h, uid, city, status, fare) in enumerate(rows):
+        b.add_row()
+        b.set_value(i, 0, int(NOW - h * HOUR))
+        b.set_value(i, 1, (uid, 0))
+        if city is not None:
+            b.set_value(i, 2, city)
+        if status is not None:
+            b.set_value(i, 3,
+                        trips.enum_dicts["status"].get_or_add(status))
+        if fare is not None:
+            b.set_value(i, 4, fare)
+    store.get_table_shard("trips").save_upsert_batch(UpsertBatch(b.to_bytes()))
+
+    city_names = cities.extend_enum("name", ["San Francisco", "New York", "Paris"])
+    cb = UpsertBatchBuilder()
+    cb.add_column(0, dt.Uint16)
+    cb.add_column(1, dt.BigEnum)
+    for i, (cid, rank) in enumerate([(1, 0), (2, 1), (3, 2)]):
+        cb.add_row()
+        cb.set_value(i, 0, cid)
+        cb.set_value(i, 1, rank)
+    store.get_table_shard("cities").save_upsert_batch(UpsertBatch(cb.to_bytes()))
+    return store
+
+
+@pytest.fixture(scope="module")
+def service():
+    return QueryService(make_store())
+
+
+def run(service, query):
+    query.setdefault("now", NOW)
+    resp = service.handle_aql({"queries": [query]})
+    assert "errors" not in resp, resp.get("errors")
+    return resp["results"][0]
+
+
+def hour_bucket(h_ago):
+    ts = int(NOW - h_ago * HOUR)
+    return ts - ts % HOUR
+
+
+def fmt_hour(ts):
+    import datetime as _dt
+    return _dt.datetime.fromtimestamp(ts, _dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:00")
+
+
+def test_count_group_by_hour_with_filter(service):
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "count(*)",
+                      "rowFilters": ["status='completed'"]}],
+        "dimensions": [{"sqlExpression": "request_at",
+                        "timeBucketizer": "hour"}],
+        "timeFilter": {"column": "request_at",
+                       "from": "24 hours ago", "to": "this quarter-hour"},
+    })
+    # completed trips: 0.5h x2, 0.9, 1.5, 1.7, 2.5, 2.9, 2.2 → hour buckets
+    expected = {}
+    for h, fare in [(0.5, 2), (0.9, 1)]:
+        pass
+    counts = {}
+    for h in [0.5, 0.5, 0.9, 1.5, 1.7, 2.5, 2.9, 2.2]:
+        key = fmt_hour(hour_bucket(h))
+        counts[key] = counts.get(key, 0) + 1
+    assert result == {k: float(v) for k, v in counts.items()}
+
+
+def test_sum_fare(service):
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "sum(fare)",
+                      "rowFilters": ["status='completed'"]}],
+        "dimensions": [{"sqlExpression": "request_at",
+                        "timeBucketizer": "hour"}],
+        "timeFilter": {"column": "request_at",
+                       "from": "24 hours ago", "to": "this quarter-hour"},
+    })
+    sums = {}
+    for h, fare in [(0.5, 10.0), (0.5, 5.5), (0.9, 7.25), (1.5, 20.0),
+                    (1.7, 1.75), (2.5, 12.5), (2.9, 4.0), (2.2, 8.0)]:
+        key = fmt_hour(hour_bucket(h))
+        sums[key] = sums.get(key, 0.0) + fare
+    assert set(result) == set(sums)
+    for k in sums:
+        assert result[k] == pytest.approx(sums[k], rel=1e-5)
+
+
+def test_group_by_enum_dimension(service):
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "count(*)"}],
+        "dimensions": [{"sqlExpression": "status"}],
+    })
+    assert result == {"completed": 8.0, "canceled": 2.0, "rejected": 1.0,
+                      "NULL": 1.0}
+
+
+def test_avg_min_max(service):
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "avg(fare)",
+                      "rowFilters": ["status='completed'"]}],
+        "dimensions": [],
+    })
+    fares = [10.0, 5.5, 7.25, 20.0, 1.75, 3.0 * 0 + 12.5, 4.0, 8.0]
+    assert result[""] == pytest.approx(sum(fares) / len(fares), rel=1e-5)
+
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "max(fare)"}],
+        "dimensions": [{"sqlExpression": "city_id"}],
+    })
+    assert result["1"] == pytest.approx(12.5)
+    assert result["2"] == pytest.approx(7.25)
+    assert result["NULL"] == pytest.approx(8.0)
+
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "min(fare)",
+                      "rowFilters": ["city_id=1"]}],
+        "dimensions": [],
+    })
+    assert result[""] == pytest.approx(1.75)
+
+
+def test_numeric_filters(service):
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "count(*)",
+                      "rowFilters": ["fare > 5", "city_id IN (1, 2)"]}],
+    })
+    # fare>5 & city in (1,2): 10.0, 5.5, 7.25, 12.5, 6.0 → 5 rows
+    assert result[""] == 5.0
+
+
+def test_null_handling_in_filters(service):
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "count(*)",
+                      "rowFilters": ["fare IS NULL"]}],
+    })
+    assert result[""] == 1.0
+
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "count(*)",
+                      "rowFilters": ["status IS NOT NULL"]}],
+    })
+    assert result[""] == 11.0
+
+
+def test_join_dimension_table(service):
+    result = run(service, {
+        "table": "trips",
+        "joins": [{"table": "cities", "alias": "c",
+                   "conditions": ["c.id = city_id"]}],
+        "measures": [{"sqlExpression": "count(*)"}],
+        "dimensions": [{"sqlExpression": "c.name"}],
+    })
+    # city 1 → SF x6, city 2 → NY x3, city 3 → Paris x1,
+    # city 9 (no match) + null city → NULL x2
+    assert result == {"San Francisco": 6.0, "New York": 3.0, "Paris": 1.0,
+                      "NULL": 2.0}
+
+
+def test_non_agg_query(service):
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "1"}],
+        "dimensions": [{"sqlExpression": "city_id"},
+                       {"sqlExpression": "fare"}],
+        "rowFilters": ["status='canceled'"],
+        "limit": 10,
+    })
+    assert result["headers"] == ["city_id", "fare"]
+    assert sorted(result["matrixData"]) == sorted([["2", "2"], ["2", "3"]])
+
+
+def test_non_agg_limit(service):
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "1"}],
+        "dimensions": [{"sqlExpression": "city_id"}],
+        "limit": 3,
+    })
+    assert len(result["matrixData"]) == 3
+
+
+def test_uuid_dimension_hex(service):
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "count(*)"}],
+        "dimensions": [{"sqlExpression": "hex(uuid)"}],
+        "rowFilters": ["city_id = 3"],
+    })
+    # only trip 6 has city 3
+    keys = list(result)
+    assert len(keys) == 1
+    assert result[keys[0]] == 1.0
+
+
+def test_numeric_bucketizer(service):
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "count(*)",
+                      "rowFilters": ["fare IS NOT NULL"]}],
+        "dimensions": [{"sqlExpression": "fare",
+                        "numericBucketizer": {"bucketWidth": 5.0}}],
+    })
+    buckets = {}
+    for fare in [10.0, 5.5, 2.0, 7.25, 20.0, 1.75, 3.0, 12.5, 4.0, 8.0, 6.0]:
+        b = np.floor(np.float32(fare) / np.float32(5.0)) * np.float32(5.0)
+        from aresdb_tpu.query.postprocess import format_float32
+        key = format_float32(b)
+        buckets[key] = buckets.get(key, 0) + 1
+    assert result == {k: float(v) for k, v in buckets.items()}
+
+
+def test_arithmetic_measure(service):
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "sum(fare * 2)",
+                      "rowFilters": ["city_id = 3"]}],
+    })
+    assert result[""] == pytest.approx(40.0)
+
+
+def test_error_unknown_table(service):
+    resp = service.handle_aql({"queries": [{
+        "table": "nope", "measures": [{"sqlExpression": "count(*)"}]}]})
+    assert resp["errors"][0]
+
+
+def test_error_unknown_column(service):
+    resp = service.handle_aql({"queries": [{
+        "table": "trips",
+        "measures": [{"sqlExpression": "sum(missing_col)"}]}]})
+    assert resp["errors"][0]
+
+
+def test_time_filter_excludes_old_rows(service):
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "count(*)"}],
+        "timeFilter": {"column": "request_at",
+                       "from": "1 hour ago"},
+    })
+    # rows within the last hour: 0.5, 0.5, 0.6, 0.9, 0.1 → 5
+    assert result[""] == 5.0
