@@ -1,0 +1,505 @@
+"""Archiving pipeline: live→archive migration, backfill, snapshot, purge.
+
+Reference: memstore/archiving.go (Archive/createArchivingPatches/
+createNewArchiveStoreVersion), memstore/merge.go (k-sorted merge with mode-3
+count compression), memstore/backfill.go, memstore/snapshot.go,
+memstore/purge.go.
+
+Design departure from the reference: instead of the 2-pass recursive
+k-sorted-column merge (merge.go:509 mergeRecursive), the whole day batch is
+rebuilt vectorized — expand base + concat patch + np.lexsort + run-length
+compress. This is O(n log n) numpy instead of hand-rolled merge, and the
+sorted/compressed output format is identical.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from aresdb_tpu.common import data_types as mdt
+from aresdb_tpu.memstore.common import SECONDS_PER_DAY
+from aresdb_tpu.memstore.primary_key import build_keys
+from aresdb_tpu.memstore.vector_party import ArchiveVectorParty
+from aresdb_tpu.utils import clock
+
+
+class ArchiveJobStats:
+    def __init__(self):
+        self.rows_archived = 0
+        self.days = 0
+        self.batches_purged = 0
+
+
+# ---------------------------------------------------------------------------
+# column gathering helpers
+# ---------------------------------------------------------------------------
+
+def _gather_live_columns(shard, row_sel: List[Tuple[int, np.ndarray]],
+                         column_ids: List[int]):
+    """Gather (values, validity) per column for selected live rows.
+
+    row_sel: [(batch_id, row_indices)] in iteration order.
+    """
+    schema = shard.schema
+    out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    total = sum(len(idx) for _, idx in row_sel)
+    for cid in column_ids:
+        col = schema.table.columns[cid]
+        npdt = mdt.numpy_dtype(col.data_type)
+        lanes = mdt.lanes(col.data_type)
+        shape = (total, 2) if lanes == 2 else (total,)
+        values = np.zeros(shape, npdt)
+        validity = np.zeros(total, bool)
+        pos = 0
+        for batch_id, idx in row_sel:
+            n = len(idx)
+            vp = shard.live_store.batches[batch_id].column(cid)
+            if vp is not None and vp.values is not None:
+                values[pos:pos + n] = vp.values[idx]
+                validity[pos:pos + n] = vp.validity[idx]
+            elif col.default_value is not None:
+                v = mdt.parse_value(col.default_value, col.data_type)
+                if lanes == 2:
+                    values[pos:pos + n, 0] = v[0]
+                    values[pos:pos + n, 1] = v[1]
+                else:
+                    values[pos:pos + n] = v
+                validity[pos:pos + n] = True
+            pos += n
+        out[cid] = (values, validity)
+    return out
+
+
+def _expand_archive_columns(batch, column_ids: List[int], schema):
+    """Expanded (values, validity) per column of an archive batch ('' if empty)."""
+    n = 0
+    vps = {}
+    for cid in column_ids:
+        vp = batch.request_column(cid) if batch is not None else None
+        if vp is not None:
+            vp = vp.expanded()
+            n = max(n, vp.num_rows)
+        vps[cid] = vp
+    out = {}
+    for cid in column_ids:
+        col = schema.table.columns[cid]
+        vp = vps[cid]
+        npdt = mdt.numpy_dtype(col.data_type)
+        lanes = mdt.lanes(col.data_type)
+        if vp is None or vp.values is None:
+            shape = (n, 2) if lanes == 2 else (n,)
+            values = np.zeros(shape, npdt)
+            validity = np.zeros(n, bool)
+            if col.default_value is not None and n:
+                v = mdt.parse_value(col.default_value, col.data_type)
+                if lanes == 2:
+                    values[:, 0], values[:, 1] = v[0], v[1]
+                else:
+                    values[:] = v
+                validity[:] = True
+        else:
+            values = np.asarray(vp.values)
+            validity = np.asarray(vp.validity)
+            if len(validity) < n:  # defensive
+                pad = n - len(validity)
+                values = np.concatenate(
+                    [values, np.zeros((pad,) + values.shape[1:], values.dtype)])
+                validity = np.concatenate([validity, np.zeros(pad, bool)])
+        out[cid] = (values, validity)
+    return out, n
+
+
+def _sort_and_compress(columns: Dict[int, Tuple[np.ndarray, np.ndarray]],
+                       sort_cols: List[int], n: int
+                       ) -> Dict[int, ArchiveVectorParty]:
+    """Stable lexsort by sort columns, mode-3 compress the sorted prefix.
+
+    Compression parity with the reference (memstore/merge.go): sort column k
+    stores one entry per distinct (col_0..col_k) prefix run with a cumulative
+    count vector; non-sort columns stay row-per-entry (mode 0/1/2), nulls
+    sort before values within each parent run.
+    """
+    if n == 0:
+        return {}
+    if sort_cols:
+        keys = []
+        for cid in sort_cols:
+            values, validity = columns[cid]
+            if values.ndim == 2:
+                keys.append(values[:, 1])
+                keys.append(values[:, 0])
+            else:
+                keys.append(values)
+            keys.append(validity.astype(np.uint8))  # nulls (0) first
+        order = np.lexsort(keys[::-1])
+    else:
+        order = np.arange(n)
+
+    out: Dict[int, ArchiveVectorParty] = {}
+    prefix_change = np.zeros(n, bool)
+    prefix_change[0] = True
+    for k, cid in enumerate(sort_cols):
+        values, validity = columns[cid]
+        sv = values[order]
+        sb = validity[order]
+        if sv.ndim == 2:
+            change = np.zeros(n, bool)
+            change[1:] = np.any(sv[1:] != sv[:-1], axis=1)
+        else:
+            change = np.zeros(n, bool)
+            change[1:] = sv[1:] != sv[:-1]
+        change[1:] |= sb[1:] != sb[:-1]
+        prefix_change |= change
+        starts = np.nonzero(prefix_change)[0]
+        counts = np.zeros(len(starts) + 1, np.uint32)
+        counts[1:] = np.append(starts[1:], n)
+        out[cid] = ArchiveVectorParty(
+            self_dt(values, cid, columns), values=sv[starts],
+            validity=sb[starts], counts=counts)
+    for cid, (values, validity) in columns.items():
+        if cid in out:
+            continue
+        out[cid] = ArchiveVectorParty(
+            self_dt(values, cid, columns), values=values[order],
+            validity=validity[order])
+    return out
+
+
+_COLUMN_DTYPES: Dict[int, int] = {}
+
+
+def self_dt(values, cid, columns):
+    # data type resolved by caller via set_dtypes (kept simple: stored map)
+    return _COLUMN_DTYPES[cid]
+
+
+class Archiver:
+    """Runs archiving / backfill / snapshot / purge for one TableShard."""
+
+    def __init__(self, shard, metastore, diskstore):
+        self.shard = shard
+        self.metastore = metastore
+        self.diskstore = diskstore
+        self.lock = threading.RLock()
+
+    # -- archiving (fact tables) ---------------------------------------
+
+    def archive(self, new_cutoff: int) -> ArchiveJobStats:
+        """Move records with event time in [old_cutoff, new_cutoff) to archive.
+
+        Reference: memstore/archiving.go:251 Archive.
+        """
+        shard = self.shard
+        schema = shard.schema
+        stats = ArchiveJobStats()
+        if not schema.table.is_fact_table:
+            raise ValueError("archiving applies to fact tables only")
+        live = shard.live_store
+        old_cutoff = live.archiving_cutoff_high_watermark
+        if new_cutoff <= old_cutoff:
+            return stats
+
+        _COLUMN_DTYPES.update({
+            i: c.data_type for i, c in enumerate(schema.table.columns)})
+        all_cols = [i for i, c in enumerate(schema.table.columns)
+                    if not c.deleted]
+        sort_cols = list(schema.table.archiving_sort_columns)
+
+        with live.lock:
+            snapshots = [(bid, live.visible_rows_in_batch(bid),
+                          live.batches[bid]) for bid in live.get_batch_ids()]
+
+        # select rows to archive, grouped by day
+        day_rows: Dict[int, List[Tuple[int, np.ndarray]]] = {}
+        batch_max_time: Dict[int, int] = {}
+        for bid, n, batch in snapshots:
+            tvp = batch.column(0)
+            if tvp is None or tvp.values is None or n == 0:
+                continue
+            t = tvp.values[:n].astype(np.int64)
+            batch_max_time[bid] = int(t.max()) if n else 0
+            sel = (t >= old_cutoff) & (t < new_cutoff) & tvp.validity[:n]
+            if not sel.any():
+                continue
+            days = t[sel] // SECONDS_PER_DAY
+            idx = np.nonzero(sel)[0]
+            for day in np.unique(days):
+                day_idx = idx[days == day - 0]
+                day_rows.setdefault(int(day), []).append(
+                    (bid, idx[days == day]))
+
+        version = shard.archive_store.get_current_version()
+        from aresdb_tpu.memstore.archive_store import (
+            ArchiveBatch, ArchiveStoreVersion)
+        new_version = ArchiveStoreVersion(new_cutoff, shard.archive_store)
+        new_version.batches.update(version.batches)
+
+        for day, row_sel in sorted(day_rows.items()):
+            patch = _gather_live_columns(shard, row_sel, all_cols)
+            n_patch = sum(len(i) for _, i in row_sel)
+            base_batch = version.batches.get(day)
+            base_cols, n_base = (
+                _expand_archive_columns(base_batch, all_cols, schema)
+                if base_batch is not None else ({}, 0))
+            merged = {}
+            for cid in all_cols:
+                pv, pb = patch[cid]
+                if n_base:
+                    bv, bb = base_cols[cid]
+                    merged[cid] = (np.concatenate([bv, pv]),
+                                   np.concatenate([bb, pb]))
+                else:
+                    merged[cid] = (pv, pb)
+            n_total = n_base + n_patch
+            vps = _sort_and_compress(merged, sort_cols, n_total)
+
+            old = version.batches.get(day)
+            seq = (old.seq + 1) if (old is not None and
+                                    old.version == new_cutoff) else 0
+            for cid, vp in vps.items():
+                self.diskstore.write_archive_column(
+                    schema.table.name, shard.shard_id, day, new_cutoff, seq,
+                    cid, vp.to_bytes())
+            self.metastore.add_archive_batch_version(
+                schema.table.name, shard.shard_id, day, new_cutoff, seq,
+                n_total)
+            nb = ArchiveBatch(day, new_cutoff, seq, n_total,
+                              shard.archive_store)
+            for cid, vp in vps.items():
+                nb.set_column(cid, vp)
+            new_version.batches[day] = nb
+            stats.days += 1
+            stats.rows_archived += n_patch
+
+        # publish: cutoff + version swap + PK expiry + live purge
+        self.metastore.update_archiving_cutoff(
+            schema.table.name, shard.shard_id, new_cutoff)
+        shard.archive_store.swap_version(new_version)
+        with live.lock:
+            live.archiving_cutoff_high_watermark = new_cutoff
+            live.primary_key.update_event_time_cutoff(new_cutoff)
+            last = live.last_read_record
+            for bid in sorted(live.batches):
+                if bid >= last.batch_id:
+                    break
+                if batch_max_time.get(bid, 1 << 62) < new_cutoff:
+                    del live.batches[bid]
+
+        # redolog checkpoint: files fully below the cutoff are obsolete once
+        # backfill progress covers them (redolog_manager.go CheckpointRedolog)
+        if shard.redolog_manager is not None:
+            bm = shard.backfill_manager
+            rf, off = ((bm.last_redo_file, bm.last_batch_offset)
+                       if bm is not None else (1 << 62, 0))
+            shard.redolog_manager.checkpoint(new_cutoff, rf, off)
+        return stats
+
+    # -- backfill (late records into archive batches) -------------------
+
+    def backfill(self) -> int:
+        """Apply queued pre-cutoff upserts into their day batches.
+
+        Reference: memstore/backfill.go:30 — per-day patches; PK-matched rows
+        update in place (column update modes respected), new keys append;
+        the batch is then re-sorted/compressed and written as a new seq.
+        """
+        shard = self.shard
+        schema = shard.schema
+        bm = shard.backfill_manager
+        if bm is None or not bm.qualifies_for_backfill():
+            return 0
+        queued, redo_file, batch_offset = bm.drain()
+        if not queued:
+            return 0
+
+        _COLUMN_DTYPES.update({
+            i: c.data_type for i, c in enumerate(schema.table.columns)})
+        all_cols = [i for i, c in enumerate(schema.table.columns)
+                    if not c.deleted]
+        sort_cols = list(schema.table.archiving_sort_columns)
+        key_ids = schema.table.primary_key_columns
+
+        # group queued rows by day
+        day_groups: Dict[int, List[Tuple[object, np.ndarray]]] = {}
+        for batch, rows in queued:
+            cols_by_id = {c.column_id: c for c in batch.columns}
+            tcol = cols_by_id.get(0)
+            if tcol is None or tcol.values is None:
+                continue
+            t = tcol.values[rows].astype(np.int64)
+            days = t // SECONDS_PER_DAY
+            for day in np.unique(days):
+                day_groups.setdefault(int(day), []).append(
+                    (batch, rows[days == day]))
+
+        version = shard.archive_store.get_current_version()
+        from aresdb_tpu.memstore.archive_store import (
+            ArchiveBatch, ArchiveStoreVersion)
+        new_version = ArchiveStoreVersion(version.archiving_cutoff,
+                                          shard.archive_store)
+        new_version.batches.update(version.batches)
+        applied = 0
+
+        for day, groups in sorted(day_groups.items()):
+            base_batch = version.batches.get(day)
+            base_cols, n_base = _expand_archive_columns(
+                base_batch, all_cols, schema)
+            # host PK map for this day batch
+            key_cols = [base_cols[cid][0] for cid in key_ids]
+            base_keys = build_keys(key_cols, n_base)
+            key_to_row = {k: i for i, k in enumerate(base_keys)}
+
+            appends: Dict[int, list] = {cid: [] for cid in all_cols}
+            n_appends = 0
+            for batch, rows in groups:
+                cols_by_id = {c.column_id: c for c in batch.columns}
+                kcols, kvalid = [], None
+                from aresdb_tpu.memstore.primary_key import (
+                    key_columns_from_batch_columns)
+                kcols, kvalid = key_columns_from_batch_columns(
+                    key_ids, cols_by_id, batch.num_rows)
+                keys = build_keys(kcols, batch.num_rows)
+                for r in rows.tolist():
+                    if not kvalid[r]:
+                        continue
+                    row_key = keys[r]
+                    dest = key_to_row.get(row_key)
+                    if dest is not None:
+                        for col in batch.columns:
+                            if col.column_id in key_ids or col.is_array:
+                                continue
+                            bv, bb = base_cols[col.column_id]
+                            if col.validity[r]:
+                                bv[dest] = col.values[r]
+                                bb[dest] = True
+                    else:
+                        key_to_row[row_key] = n_base + n_appends
+                        for cid in all_cols:
+                            col = cols_by_id.get(cid)
+                            if col is None or col.values is None:
+                                appends[cid].append((None, False))
+                            else:
+                                appends[cid].append(
+                                    (col.values[r], bool(col.validity[r])))
+                        n_appends += 1
+                    applied += 1
+
+            merged = {}
+            for cid in all_cols:
+                bv, bb = base_cols[cid]
+                if n_appends:
+                    colschema = schema.table.columns[cid]
+                    npdt = mdt.numpy_dtype(colschema.data_type)
+                    lanes = mdt.lanes(colschema.data_type)
+                    shape = (n_appends, 2) if lanes == 2 else (n_appends,)
+                    av = np.zeros(shape, npdt)
+                    ab = np.zeros(n_appends, bool)
+                    for i, (v, valid) in enumerate(appends[cid]):
+                        if valid:
+                            av[i] = v
+                            ab[i] = True
+                    merged[cid] = (np.concatenate([bv, av]),
+                                   np.concatenate([bb, ab]))
+                else:
+                    merged[cid] = (bv, bb)
+            n_total = n_base + n_appends
+            vps = _sort_and_compress(merged, sort_cols, n_total)
+
+            old = version.batches.get(day)
+            ver = version.archiving_cutoff
+            seq = (old.seq + 1) if (old is not None and old.version == ver) else 0
+            for cid, vp in vps.items():
+                self.diskstore.write_archive_column(
+                    schema.table.name, shard.shard_id, day, ver, seq, cid,
+                    vp.to_bytes())
+            self.metastore.add_archive_batch_version(
+                schema.table.name, shard.shard_id, day, ver, seq, n_total)
+            nb = ArchiveBatch(day, ver, seq, n_total, shard.archive_store)
+            for cid, vp in vps.items():
+                nb.set_column(cid, vp)
+            new_version.batches[day] = nb
+
+        shard.archive_store.swap_version(new_version)
+        self.metastore.update_backfill_progress(
+            schema.table.name, shard.shard_id, redo_file, batch_offset)
+        return applied
+
+    # -- snapshot (dimension tables) ------------------------------------
+
+    def snapshot(self) -> int:
+        """Dump the dimension table's live store to disk.
+
+        Reference: memstore/snapshot.go:25 Snapshot.
+        """
+        shard = self.shard
+        schema = shard.schema
+        sm = shard.snapshot_manager
+        if sm is None:
+            return 0
+        with sm.lock:
+            redo_file = sm.last_redo_file
+            offset = sm.last_batch_offset
+            pending = sm.num_mutations
+            record = sm.last_record
+        if pending == 0:
+            return 0
+        live = shard.live_store
+        rows = 0
+        with live.lock:
+            snapshots = [(bid, live.visible_rows_in_batch(bid),
+                          live.batches[bid]) for bid in live.get_batch_ids()]
+        for bid, n, batch in snapshots:
+            if n == 0:
+                continue
+            for cid, col in enumerate(schema.table.columns):
+                if col.deleted:
+                    continue
+                vp = batch.column(cid)
+                if vp is None:
+                    continue
+                avp = vp.slice(n)
+                self.diskstore.write_snapshot_column(
+                    schema.table.name, shard.shard_id, redo_file, offset,
+                    bid, cid, avp.to_bytes())
+            rows += n
+        self.metastore.update_snapshot_progress(
+            schema.table.name, shard.shard_id, redo_file, offset,
+            record.batch_id, record.index)
+        self.diskstore.delete_snapshot(
+            schema.table.name, shard.shard_id, redo_file, offset)
+        sm.done(redo_file, offset, pending)
+        if shard.redolog_manager is not None:
+            shard.redolog_manager.checkpoint(1 << 62, redo_file, offset)
+        return rows
+
+    # -- purge ----------------------------------------------------------
+
+    def purge(self, now_ts: Optional[int] = None) -> int:
+        """Drop archive batches beyond retention (memstore/purge.go:23)."""
+        shard = self.shard
+        schema = shard.schema
+        retention_days = schema.table.config.record_retention_in_days
+        if not schema.table.is_fact_table or retention_days <= 0:
+            return 0
+        now_ts = now_ts or clock.now_unix()
+        cutoff_day = now_ts // SECONDS_PER_DAY - retention_days
+        version = shard.archive_store.get_current_version()
+        purged = [bid for bid in version.batches if bid < cutoff_day]
+        if not purged:
+            return 0
+        from aresdb_tpu.memstore.archive_store import ArchiveStoreVersion
+        new_version = ArchiveStoreVersion(version.archiving_cutoff,
+                                          shard.archive_store)
+        new_version.batches.update(
+            {bid: b for bid, b in version.batches.items()
+             if bid >= cutoff_day})
+        shard.archive_store.swap_version(new_version)
+        for bid in purged:
+            self.diskstore.delete_archive_batch(
+                schema.table.name, shard.shard_id, bid)
+        self.metastore.purge_archive_batches(
+            schema.table.name, shard.shard_id, cutoff_day)
+        return len(purged)

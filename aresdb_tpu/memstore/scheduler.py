@@ -1,0 +1,152 @@
+"""Job scheduler: periodic archiving/backfill/snapshot/purge per shard.
+
+Reference: memstore/scheduler.go (single-threaded job executor),
+memstore/job_manager.go (per-jobtype managers generating jobs on intervals),
+memstore/job_status.go (status reporting for /dbg).
+"""
+
+from __future__ import annotations
+
+import threading
+import traceback
+from typing import Dict, List, Optional
+
+from aresdb_tpu.memstore.archiving import Archiver
+from aresdb_tpu.utils import clock
+
+JOB_TYPES = ("archiving", "backfill", "snapshot", "purge")
+
+
+class JobStatus:
+    def __init__(self):
+        self.last_run = 0
+        self.last_duration = 0.0
+        self.last_error: Optional[str] = None
+        self.num_runs = 0
+        self.last_result = None
+
+    def to_json(self):
+        return {
+            "lastRun": self.last_run,
+            "lastDuration": self.last_duration,
+            "lastError": self.last_error,
+            "numRuns": self.num_runs,
+            "lastResult": self.last_result,
+        }
+
+
+class Scheduler:
+    """Runs due jobs for every shard of a MemStore.
+
+    Single job-executor thread like the reference (scheduler.go:44); jobs
+    are generated per (table, shard, jobtype) when their interval elapses.
+    """
+
+    def __init__(self, memstore, interval_seconds: int = 60):
+        self.memstore = memstore
+        self.interval_seconds = interval_seconds
+        self.enabled = threading.Event()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._last_run: Dict[tuple, int] = {}
+        self.statuses: Dict[tuple, JobStatus] = {}
+        self.lock = threading.RLock()
+
+    # -- lifecycle --
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="ares-scheduler")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def enable(self) -> None:
+        self.enabled.set()
+
+    def disable(self) -> None:
+        self.enabled.clear()
+
+    def _loop(self) -> None:
+        while not self._stop.wait(timeout=1.0):
+            if self.enabled.is_set():
+                try:
+                    self.run_due_jobs()
+                except Exception:  # keep the scheduler alive
+                    traceback.print_exc()
+
+    # -- job generation/execution --
+
+    def _intervals(self, schema) -> Dict[str, int]:
+        cfg = schema.table.config
+        if schema.table.is_fact_table:
+            return {
+                "archiving": cfg.archiving_interval_minutes * 60,
+                "backfill": cfg.backfill_interval_minutes * 60,
+                "purge": 24 * 3600,
+            }
+        return {"snapshot": cfg.snapshot_interval_minutes * 60}
+
+    def run_due_jobs(self, now: Optional[int] = None) -> List[tuple]:
+        now = now or clock.now_unix()
+        ran = []
+        for (table, shard_id) in self.memstore.list_shards():
+            shard = self.memstore.get_table_shard(table, shard_id)
+            for jobtype, interval in self._intervals(shard.schema).items():
+                key = (table, shard_id, jobtype)
+                last = self._last_run.get(key, 0)
+                if now - last < max(interval, 1):
+                    continue
+                # backpressure-driven early backfill (backfill_manager.go)
+                self.run_job(table, shard_id, jobtype, now)
+                ran.append(key)
+        return ran
+
+    def run_job(self, table: str, shard_id: int, jobtype: str,
+                now: Optional[int] = None):
+        """Execute one job immediately (also the debug-endpoint entry)."""
+        now = now or clock.now_unix()
+        shard = self.memstore.get_table_shard(table, shard_id)
+        archiver = Archiver(shard, self.memstore.metastore,
+                            self.memstore.diskstore)
+        key = (table, shard_id, jobtype)
+        status = self.statuses.setdefault(key, JobStatus())
+        start = clock.now()
+        result = None
+        try:
+            if jobtype == "archiving":
+                delay = shard.schema.table.config.archiving_delay_minutes * 60
+                cutoff = max(0, now - delay)
+                st = archiver.archive(cutoff)
+                result = {"rowsArchived": st.rows_archived, "days": st.days,
+                          "cutoff": cutoff}
+            elif jobtype == "backfill":
+                result = {"rowsBackfilled": archiver.backfill()}
+            elif jobtype == "snapshot":
+                result = {"rowsSnapshotted": archiver.snapshot()}
+            elif jobtype == "purge":
+                result = {"batchesPurged": archiver.purge(now)}
+            else:
+                raise ValueError(f"unknown job type {jobtype!r}")
+            status.last_error = None
+        except Exception as e:
+            status.last_error = f"{type(e).__name__}: {e}"
+            raise
+        finally:
+            status.last_run = now
+            status.num_runs += 1
+            status.last_duration = clock.now() - start
+            status.last_result = result
+            self._last_run[key] = now
+        return result
+
+    def job_statuses(self) -> Dict[str, dict]:
+        return {"/".join(map(str, k)): v.to_json()
+                for k, v in self.statuses.items()}

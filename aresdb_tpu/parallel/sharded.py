@@ -25,6 +25,14 @@ jax_env.ensure()
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aresdb_tpu.query import kernels as K
+from aresdb_tpu.query.compiler import CompiledQuery
+
+SHARD_AXIS = "shard"
+
+
 def _shard_map(f, *, mesh, in_specs, out_specs):
     """Version-portable shard_map (jax.shard_map in ≥0.8, experimental before)."""
     try:
@@ -34,12 +42,6 @@ def _shard_map(f, *, mesh, in_specs, out_specs):
         from jax.experimental.shard_map import shard_map as _sm
         return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_rep=False)
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from aresdb_tpu.query import kernels as K
-from aresdb_tpu.query.compiler import CompiledQuery
-
-SHARD_AXIS = "shard"
 
 
 def make_mesh(n_devices: int = 0) -> Mesh:
@@ -66,7 +68,7 @@ def make_sharded_agg_kernel(plan: CompiledQuery, rows_per_device: int,
         # n_valid: int32[1] rows valid in THIS shard
         (gkeys, _, slot_used, aggv, cnt, n_groups, dim_values, dim_valids) = \
             K.agg_batch_body(plan, rows_per_device, k_groups,
-                             columns, foreign, n_valid[0])
+                             columns, foreign, n_valid[0], None)
         # gather partial tables from all chips over ICI
         all_keys = jax.lax.all_gather(gkeys, SHARD_AXIS).reshape(-1)
         all_agg = jax.lax.all_gather(aggv, SHARD_AXIS).reshape(-1)

@@ -621,6 +621,11 @@ class Compiler:
             op = f"GET_{tb.upper()}_START"
             return E.UnaryExpr(op=op, expr=shifted, type=E.UNSIGNED)
 
+        if not tb:
+            # timeUnit-only dimension: raw (tz-shifted) seconds; the unit
+            # division happens at formatting time (dimval.go formatTimeDimension)
+            return shifted
+
         size, unit = TU.parse_regular_time_bucketizer(tb)
         width = TU.bucketizer_seconds(size, unit)
         return E.BinaryExpr(op="FLOOR", lhs=shifted, rhs=lit(width),

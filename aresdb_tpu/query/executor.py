@@ -29,6 +29,7 @@ from aresdb_tpu.common import data_types as mdt
 from aresdb_tpu.memstore.common import SECONDS_PER_DAY
 from aresdb_tpu.query import expr as E
 from aresdb_tpu.query.compiler import CompiledQuery, QueryError
+from aresdb_tpu.query.dense import plan_dense
 from aresdb_tpu.query.kernels import (
     GLOBAL_KERNEL_CACHE,
     SENTINEL64,
@@ -39,27 +40,40 @@ DEFAULT_GROUP_CAPACITY = 4096
 MAX_GROUP_CAPACITY = 1 << 22
 
 
+def _hashable(v) -> object:
+    """One dim value → hashable merge key component."""
+    a = np.asarray(v)
+    if a.ndim > 0:
+        return tuple(a.tolist())
+    return a.item()
+
+
 class GroupTable:
     """Host-side exact merge of per-batch partial aggregates.
 
-    The cross-batch merge mirrors the broker's merge lattice semantics
-    (reference: broker/result_merge.go) — sum/count add, min/min, max/max,
-    avg carried as (sum, count).
+    Groups are keyed by their decoded (valid, value) dimension tuples, so
+    partials from heterogeneous kernels (sort path, dense path with
+    per-batch slot spaces, remote shards) all merge exactly. The lattice
+    mirrors the broker's merge semantics (reference: broker/result_merge.go)
+    — sum/count add, min/min, max/max, avg carried as (sum, count).
     """
 
     def __init__(self, plan: CompiledQuery):
         self.plan = plan
-        self.groups: Dict[int, list] = {}  # key -> [dims, dim_valids, agg, cnt]
+        self.groups: Dict[tuple, list] = {}  # key -> [dims, dim_valids, agg, cnt]
 
-    def merge_batch(self, keys, slot_used, agg, cnt, dim_values, dim_valids):
+    def merge_batch(self, slot_used, agg, cnt, dim_values, dim_valids):
+        """dim_values/dim_valids: per-dim arrays aligned with slots."""
         agg_kind = self.plan.measure.agg
         used = np.nonzero(slot_used)[0]
         for slot in used:
-            k = int(keys[slot])
+            dvalid = tuple(bool(dv[slot]) for dv in dim_valids)
+            dims = tuple(dv[slot] for dv in dim_values)
+            k = tuple(
+                (valid, _hashable(value) if valid else None)
+                for valid, value in zip(dvalid, dims))
             entry = self.groups.get(k)
             if entry is None:
-                dims = tuple(dv[slot] for dv in dim_values)
-                dvalid = tuple(bool(dv[slot]) for dv in dim_valids)
                 self.groups[k] = [dims, dvalid, agg[slot], int(cnt[slot])]
                 continue
             if agg_kind in ("sum", "count", "avg"):
@@ -90,21 +104,41 @@ class ShardExecutor:
             return None, rows
 
         table = GroupTable(plan)
+        stat_keys = self._dense_stat_keys(plan)
         for shard_id in shards:
             shard = self.memstore.get_table_shard(
                 plan.main_schema.table.name, shard_id)
-            for batch_cols, n_valid, n_padded in self._iter_batches(plan, shard):
+            for batch_cols, n_valid, n_padded, stats, cutoff in \
+                    self._iter_batches(plan, shard, stat_keys):
                 self._run_agg_batch(plan, foreign, batch_cols, n_valid,
-                                    n_padded, table)
+                                    n_padded, table, stats, cutoff)
         return table, None
+
+    @staticmethod
+    def _dense_stat_keys(plan: CompiledQuery):
+        """Main-table integer dim columns whose max unlocks dense mode."""
+        from aresdb_tpu.query import expr as _E
+        keys = set()
+        for d in plan.dimensions:
+            e = d.expr
+            if isinstance(e, _E.VarRef) and e.table_id == 0 and \
+                    e.data_type in (mdt.Uint16, mdt.Uint32):
+                keys.add((0, e.column_id))
+        return keys
 
     # -- batch iteration + staging --
 
-    def _iter_batches(self, plan: CompiledQuery, shard):
-        """Yield (staged columns, n_valid, n_padded) for live+archive batches."""
+    def _iter_batches(self, plan: CompiledQuery, shard, stat_keys=frozenset()):
+        """Yield (columns, n_valid, n_padded, stats) for live+archive batches."""
         live = shard.live_store
         used = plan.used_columns
         schema = plan.main_schema
+        # cutoff of the archive version consistent with this query's view;
+        # live rows below it are already archived (liveCustomFilter)
+        live_cutoff = 0
+        if schema.table.is_fact_table:
+            live_cutoff = shard.archive_store.get_current_version(
+                ).archiving_cutoff
 
         # live batches (skip by time column min/max like shouldSkipLiveBatch,
         # reference aql_processor.go:1435)
@@ -123,7 +157,8 @@ class ShardExecutor:
                             continue
                         if plan.to_ts and tmin >= plan.to_ts:
                             continue
-            yield self._stage_live_batch(schema, batch, n, used)
+            yield self._stage_live_batch(schema, batch, n, used, stat_keys) \
+                + (live_cutoff,)
 
         # archive batches (fact tables): day-ranged by the time filter
         if schema.table.is_fact_table:
@@ -132,13 +167,20 @@ class ShardExecutor:
                 plan.from_ts or 0, plan.to_ts or 0)
             for day in day_ids:
                 ab = version.request_batch(day)
-                staged = self._stage_archive_batch(schema, ab, used)
+                staged = self._stage_archive_batch(schema, ab, used, stat_keys)
                 if staged is not None:
-                    yield staged
+                    yield staged + (0,)
 
-    def _stage_live_batch(self, schema, batch, n: int, used: List[int]):
+    @staticmethod
+    def _column_stat(stats, stat_keys, cid, values, validity):
+        if (0, cid) in stat_keys and len(validity) and validity.any():
+            stats[(0, cid)] = int(np.max(values[validity]))
+
+    def _stage_live_batch(self, schema, batch, n: int, used: List[int],
+                          stat_keys=frozenset()):
         n_padded = round_up_pow2(max(n, 1))
         cols = {}
+        stats = {}
         for cid in used:
             vp = batch.column(cid)
             col_schema = schema.table.columns[cid]
@@ -148,11 +190,14 @@ class ShardExecutor:
             if vp.is_list:
                 raise QueryError(
                     f"array column {col_schema.name!r} not yet supported in queries")
+            self._column_stat(stats, stat_keys, cid, vp.values[:n],
+                              vp.validity[:n])
             cols[(0, cid)] = _pad_column(vp.values[:n], vp.validity[:n],
                                          n_padded, col_schema.data_type)
-        return cols, n, n_padded
+        return cols, n, n_padded, stats
 
-    def _stage_archive_batch(self, schema, ab, used: List[int]):
+    def _stage_archive_batch(self, schema, ab, used: List[int],
+                             stat_keys=frozenset()):
         # resolve row count from any present column
         vps = {}
         n = ab.size
@@ -166,6 +211,7 @@ class ShardExecutor:
             return None
         n_padded = round_up_pow2(max(n, 1))
         cols = {}
+        stats = {}
         for cid in used:
             vp = vps[cid]
             col_schema = schema.table.columns[cid]
@@ -175,9 +221,10 @@ class ShardExecutor:
                 raise QueryError(
                     f"array column {col_schema.name!r} not yet supported in queries")
             else:
+                self._column_stat(stats, stat_keys, cid, vp.values, vp.validity)
                 cols[(0, cid)] = _pad_column(vp.values, vp.validity, n_padded,
                                              col_schema.data_type)
-        return cols, n, n_padded
+        return cols, n, n_padded, stats
 
     def _stage_foreign_tables(self, plan: CompiledQuery):
         """Stage each joined dimension table: sorted key index + used columns.
@@ -238,7 +285,7 @@ class ShardExecutor:
     # -- agg execution --
 
     def _run_agg_batch(self, plan, foreign, batch_cols, n_valid, n_padded,
-                       table: GroupTable):
+                       table: GroupTable, batch_stats=None, live_cutoff=0):
         foreign_idx = tuple(f[0] for f in foreign)
         # foreign columns are referenced through table_id > 0 VarRefs: install
         # them under their (table_id, column_id) keys
@@ -247,11 +294,31 @@ class ShardExecutor:
             for (_, cid), arrs in fcols.items():
                 columns[(ti, cid)] = arrs
 
+        # fast path: dense slot aggregation when every dim is bounded
+        dense_plan = plan_dense(plan, batch_stats)
+        if dense_plan is not None:
+            kernel = self.kernel_cache.dense_agg_kernel(plan, n_padded,
+                                                        dense_plan)
+            aggv, cnt, rows, overflow = kernel(columns, foreign_idx,
+                                               np.int32(n_valid),
+                                               np.int64(live_cutoff))
+            if int(overflow) == 0:
+                rows = np.asarray(rows)
+                used = rows > 0
+                slots = np.arange(dense_plan.n_slots)
+                decoded = dense_plan.decode_slots(slots)
+                table.merge_batch(used, np.asarray(aggv), np.asarray(cnt),
+                                  [v for v, _ in decoded],
+                                  [b for _, b in decoded])
+                return
+            # fall through to the general sort path
+
         k = DEFAULT_GROUP_CAPACITY
         while True:
             kernel = self.kernel_cache.agg_kernel(plan, n_padded, k)
             (gkeys, _, slot_used, agg, cnt, n_groups, dim_values,
-             dim_valids) = kernel(columns, foreign_idx, np.int32(n_valid))
+             dim_valids) = kernel(columns, foreign_idx, np.int32(n_valid),
+                                  np.int64(live_cutoff))
             if int(n_groups) <= k:
                 break
             if k >= MAX_GROUP_CAPACITY:
@@ -259,7 +326,7 @@ class ShardExecutor:
                     f"group cardinality {int(n_groups)} exceeds maximum "
                     f"capacity {MAX_GROUP_CAPACITY}")
             k = min(round_up_pow2(int(n_groups)), MAX_GROUP_CAPACITY)
-        table.merge_batch(np.asarray(gkeys), np.asarray(slot_used),
+        table.merge_batch(np.asarray(slot_used),
                           np.asarray(agg), np.asarray(cnt),
                           [np.asarray(d) for d in dim_values],
                           [np.asarray(d) for d in dim_valids])
@@ -274,14 +341,15 @@ class ShardExecutor:
         for shard_id in shards:
             shard = self.memstore.get_table_shard(
                 plan.main_schema.table.name, shard_id)
-            for batch_cols, n_valid, n_padded in self._iter_batches(plan, shard):
+            for batch_cols, n_valid, n_padded, _, cutoff in \
+                    self._iter_batches(plan, shard):
                 columns = dict(batch_cols)
                 for ti, (_, fcols) in enumerate(foreign, start=1):
                     for (_, cid), arrs in fcols.items():
                         columns[(ti, cid)] = arrs
                 kernel = self.kernel_cache.select_kernel(plan, n_padded)
                 mask, dim_values, dim_valids = kernel(
-                    columns, foreign_idx, np.int32(n_valid))
+                    columns, foreign_idx, np.int32(n_valid), np.int64(cutoff))
                 mask = np.asarray(mask)
                 sel = np.nonzero(mask)[0]
                 if limit and len(rows) + len(sel) > limit:

@@ -517,10 +517,20 @@ def pack_dim_keys(dim_vals: List[_Val], dim_types: List[int], mask):
 # batch kernels
 # ---------------------------------------------------------------------------
 
-def _eval_common(plan: CompiledQuery, ctx: _EvalCtx, n_valid):
-    """Filter mask + dim value lanes."""
+def _eval_common(plan: CompiledQuery, ctx: _EvalCtx, n_valid, live_cutoff=None):
+    """Filter mask + dim value lanes.
+
+    live_cutoff: archiving-cutoff custom filter for fact-table live batches —
+    rows below the cutoff already live in archive batches and must be
+    excluded to avoid double counting (reference: liveCustomFilter,
+    query/aql_processor.go processBatch). Archive batches pass 0.
+    """
     row_ok = (jnp.arange(ctx.n_rows, dtype=jnp.int32) < n_valid)
     mask = row_ok
+    if (live_cutoff is not None and plan.main_schema.table.is_fact_table
+            and (0, 0) in ctx.columns):
+        tvals, _ = ctx.columns[(0, 0)]
+        mask = mask & (tvals.astype(jnp.int64) >= live_cutoff.astype(jnp.int64))
     for f in plan.filters + plan.time_filter_expr:
         v = _truthy(_emit(f, ctx, plan))
         mask = mask & v.value & v.valid
@@ -594,10 +604,10 @@ def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
 
 
 def agg_batch_body(plan: CompiledQuery, n_rows: int, k_groups: int,
-                   columns, foreign, n_valid):
+                   columns, foreign, n_valid, live_cutoff=None):
     """Un-jitted per-batch aggregation body (reused by the sharded path)."""
     ctx = _EvalCtx(columns, foreign, n_rows)
-    mask, dim_vals = _eval_common(plan, ctx, n_valid)
+    mask, dim_vals = _eval_common(plan, ctx, n_valid, live_cutoff)
     mlane = _measure_lane(plan, ctx)
     keys = pack_dim_keys(dim_vals, [d.data_type for d in plan.dimensions], mask)
     gkeys, slot_used, aggv, cnt, n_groups, dim_values, dim_valids = \
@@ -617,8 +627,85 @@ def make_agg_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
          dim_values (tuple per dim), dim_valids (tuple per dim))
     """
 
-    def fn(columns, foreign, n_valid):
-        return agg_batch_body(plan, n_rows, k_groups, columns, foreign, n_valid)
+    def fn(columns, foreign, n_valid, live_cutoff):
+        return agg_batch_body(plan, n_rows, k_groups, columns, foreign,
+                              n_valid, live_cutoff)
+
+    return jax.jit(fn)
+
+
+def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
+    """Dense slot-indexed aggregation — no sort, no 64-bit keys.
+
+    Each row maps to slot = Σ (dim_idx+1) * stride (0 = NULL per dim) in a
+    fixed [0, n_slots) space (dense.DensePlan); segment reductions produce
+    the whole group table in one pass. Rows whose dim value falls outside
+    the planned domain are counted in `overflow` — the executor falls back
+    to the sort path for that batch when overflow > 0.
+
+    Returns (agg[S], cnt[S], rows[S], overflow) with S = n_slots.
+    """
+    agg = plan.measure.agg
+    out_float = plan.measure.out_float
+    n_slots = dense_plan.n_slots
+
+    def fn(columns, foreign, n_valid, live_cutoff):
+        ctx = _EvalCtx(columns, foreign, n_rows)
+        mask, dim_vals = _eval_common(plan, ctx, n_valid, live_cutoff)
+        mlane = _measure_lane(plan, ctx)
+
+        slot = jnp.zeros(n_rows, jnp.int32)
+        bad = jnp.zeros(n_rows, jnp.bool_)
+        for dv, dom, stride in zip(dim_vals, dense_plan.domains,
+                                   dense_plan.strides):
+            v = dv.value
+            if v.dtype == jnp.bool_:
+                v = v.astype(jnp.int64)
+            elif v.dtype == jnp.float32 and dom.post_div == 0.0:
+                v = v.astype(jnp.int64)
+            if dom.kind == "lookup":
+                table = jnp.asarray(dom.values)
+                idx = jnp.clip(jnp.searchsorted(table, v), 0, dom.size - 1)
+                in_range = table[idx] == v
+                idx = idx.astype(jnp.int32)
+            else:
+                if dom.post_div:
+                    # value was divided by post_div on the float path; recover
+                    # the integer index directly from the pre-division value
+                    v = jnp.round(v * jnp.float32(dom.post_div)).astype(jnp.int64)
+                idx64 = (v - jnp.int64(dom.base)) // jnp.int64(max(dom.step, 1))
+                in_range = (idx64 >= 0) & (idx64 < dom.size)
+                idx = jnp.clip(idx64, 0, dom.size - 1).astype(jnp.int32)
+            idxp1 = jnp.where(dv.valid & in_range, idx + 1, 0)
+            bad = bad | (dv.valid & ~in_range)
+            slot = slot + idxp1 * jnp.int32(stride)
+
+        keep = mask & ~bad
+        slot = jnp.where(keep, slot, jnp.int32(n_slots))
+        overflow = jnp.sum(mask & bad).astype(jnp.int32)
+
+        mval, mvalid = mlane.value, mlane.valid & keep
+        num = n_slots + 1
+        if agg in ("sum", "count", "avg"):
+            contrib = jnp.where(mvalid, mval, jnp.zeros((), mval.dtype))
+            aggv = jax.ops.segment_sum(contrib, slot, num_segments=num)[:n_slots]
+        elif agg == "min":
+            big = _F32_MAX if out_float else _I64_MAX
+            contrib = jnp.where(mvalid, mval, big)
+            aggv = jax.ops.segment_min(contrib, slot, num_segments=num)[:n_slots]
+        elif agg == "max":
+            small = -_F32_MAX if out_float else np.int64(np.iinfo(np.int64).min)
+            contrib = jnp.where(mvalid, mval, small)
+            aggv = jax.ops.segment_max(contrib, slot, num_segments=num)[:n_slots]
+        else:
+            raise QueryError(f"agg {agg} has no dense kernel")
+
+        ones = jnp.where(mvalid, jnp.int64(1), jnp.int64(0))
+        cnt = jax.ops.segment_sum(ones, slot, num_segments=num)[:n_slots]
+        rows = jax.ops.segment_sum(
+            jnp.where(keep, jnp.int32(1), jnp.int32(0)), slot,
+            num_segments=num)[:n_slots]
+        return aggv, cnt, rows, overflow
 
     return jax.jit(fn)
 
@@ -630,9 +717,9 @@ def make_select_kernel(plan: CompiledQuery, n_rows: int):
     per passing row; the host applies the limit.
     """
 
-    def fn(columns, foreign, n_valid):
+    def fn(columns, foreign, n_valid, live_cutoff):
         ctx = _EvalCtx(columns, foreign, n_rows)
-        mask, dim_vals = _eval_common(plan, ctx, n_valid)
+        mask, dim_vals = _eval_common(plan, ctx, n_valid, live_cutoff)
         return (mask,
                 tuple(dv.value for dv in dim_vals),
                 tuple(dv.valid for dv in dim_vals))
@@ -675,6 +762,18 @@ class KernelCache:
         fn = self._cache.get(key)
         if fn is None:
             fn = make_select_kernel(plan, n_rows)
+            self._cache[key] = fn
+        return fn
+
+    def dense_agg_kernel(self, plan: CompiledQuery, n_rows: int, dense_plan):
+        dsig = tuple(
+            (d.kind, d.size, d.base, d.step, d.post_div,
+             None if d.values is None else d.values.tobytes())
+            for d in dense_plan.domains)
+        key = ("dense", plan_signature(plan), n_rows, dsig)
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = make_dense_agg_kernel(plan, n_rows, dense_plan)
             self._cache[key] = fn
         return fn
 

@@ -1,0 +1,244 @@
+"""Archiving / backfill / snapshot / purge pipeline tests.
+
+Parity targets: memstore/archiving_test.go, backfill_test.go,
+snapshot_test.go, purge_test.go behaviors (table-driven golden merges).
+"""
+
+import numpy as np
+import pytest
+
+from aresdb_tpu.common import data_types as dt
+from aresdb_tpu.common.schema import Table, TableSchema
+from aresdb_tpu.common.upsert_batch import UpsertBatch, UpsertBatchBuilder
+from aresdb_tpu.diskstore.local_diskstore import LocalDiskStore
+from aresdb_tpu.memstore.archiving import Archiver
+from aresdb_tpu.memstore.memstore import MemStore
+from aresdb_tpu.memstore.scheduler import Scheduler
+from aresdb_tpu.metastore.disk_metastore import DiskMetaStore
+from aresdb_tpu.query.service import QueryService
+from aresdb_tpu.utils import clock
+
+DAY = 86400
+
+FACT = {
+    "name": "trips",
+    "columns": [
+        {"name": "request_at", "type": "Uint32"},
+        {"name": "id", "type": "Uint32"},
+        {"name": "city_id", "type": "Uint16"},
+        {"name": "fare", "type": "Float32"},
+    ],
+    "primaryKeyColumns": [1],
+    "archivingSortColumns": [2],
+    "isFactTable": True,
+    "config": {"batchSize": 16, "recordRetentionInDays": 0},
+}
+
+DIM = {
+    "name": "cities",
+    "columns": [
+        {"name": "id", "type": "Uint16"},
+        {"name": "population", "type": "Uint32"},
+    ],
+    "primaryKeyColumns": [0],
+    "isFactTable": False,
+    "config": {"batchSize": 8},
+}
+
+
+def make_memstore(tmp_root):
+    ms = MemStore(DiskMetaStore(tmp_root), LocalDiskStore(tmp_root))
+    ms.create_table(Table.from_json(FACT))
+    ms.create_table(Table.from_json(DIM))
+    ms.init_shards()
+    return ms
+
+
+def fact_batch(rows):
+    b = UpsertBatchBuilder()
+    b.add_column(0, dt.Uint32)
+    b.add_column(1, dt.Uint32)
+    b.add_column(2, dt.Uint16)
+    b.add_column(3, dt.Float32)
+    for i, row in enumerate(rows):
+        b.add_row()
+        for c, v in enumerate(row):
+            if v is not None:
+                b.set_value(i, c, v)
+    return UpsertBatch(b.to_bytes())
+
+
+BASE_T = 1_600_000_000 - (1_600_000_000 % DAY)  # day-aligned
+
+
+def test_archive_moves_rows_and_queries_stay_correct(tmp_root):
+    ms = make_memstore(tmp_root)
+    shard = ms.get_table_shard("trips")
+    rows = [
+        (BASE_T + 100, 1, 7, 1.0),
+        (BASE_T + 200, 2, 5, 2.0),
+        (BASE_T + DAY + 100, 3, 7, 4.0),
+        (BASE_T + DAY + 200, 4, 5, 8.0),
+        (BASE_T + 2 * DAY + 100, 5, 7, 16.0),
+    ]
+    shard.save_upsert_batch(fact_batch(rows))
+
+    svc = QueryService(ms)
+    q = {"table": "trips",
+         "measures": [{"sqlExpression": "sum(fare)"}],
+         "dimensions": [{"sqlExpression": "city_id"}],
+         "now": BASE_T + 3 * DAY}
+    before = svc.handle_aql({"queries": [q]})["results"][0]
+    assert before == {"7": 21.0, "5": 10.0}
+
+    # archive the first two days
+    arch = Archiver(shard, ms.metastore, ms.diskstore)
+    stats = arch.archive(BASE_T + 2 * DAY)
+    assert stats.rows_archived == 4
+    assert stats.days == 2
+    assert shard.live_store.archiving_cutoff_high_watermark == BASE_T + 2 * DAY
+
+    # queries must return identical results (live+archive, no double count)
+    after = svc.handle_aql({"queries": [q]})["results"][0]
+    assert after == before
+
+    # archived batches are sorted by city and mode-3 compressed
+    version = shard.archive_store.get_current_version()
+    day0 = version.batches[BASE_T // DAY]
+    city_vp = day0.request_column(2)
+    assert city_vp.is_compressed
+    assert list(city_vp.values) == [5, 7]
+    assert list(city_vp.counts) == [0, 1, 2]
+
+
+def test_archive_persists_and_recovers(tmp_root):
+    ms = make_memstore(tmp_root)
+    shard = ms.get_table_shard("trips")
+    shard.save_upsert_batch(fact_batch([
+        (BASE_T + 100, 1, 7, 1.0),
+        (BASE_T + DAY + 100, 2, 5, 2.0),
+    ]))
+    Archiver(shard, ms.metastore, ms.diskstore).archive(BASE_T + 2 * DAY)
+
+    # cold restart from disk
+    ms2 = MemStore(DiskMetaStore(tmp_root), LocalDiskStore(tmp_root))
+    ms2.fetch_schema()
+    ms2.init_shards()
+    shard2 = ms2.get_table_shard("trips")
+    assert shard2.live_store.archiving_cutoff_high_watermark == BASE_T + 2 * DAY
+    svc = QueryService(ms2)
+    r = svc.handle_aql({"queries": [{
+        "table": "trips",
+        "measures": [{"sqlExpression": "sum(fare)"}],
+        "dimensions": [{"sqlExpression": "city_id"}],
+        "now": BASE_T + 3 * DAY}]})["results"][0]
+    assert r == {"7": 1.0, "5": 2.0}
+
+
+def test_second_archive_merges_into_existing_batch(tmp_root):
+    ms = make_memstore(tmp_root)
+    shard = ms.get_table_shard("trips")
+    shard.save_upsert_batch(fact_batch([(BASE_T + 100, 1, 7, 1.0)]))
+    arch = Archiver(shard, ms.metastore, ms.diskstore)
+    arch.archive(BASE_T + DAY // 2)
+    # second wave, same day, later cutoff
+    shard.save_upsert_batch(fact_batch([(BASE_T + DAY // 2 + 10, 2, 5, 2.0)]))
+    arch.archive(BASE_T + DAY)
+    version = shard.archive_store.get_current_version()
+    day0 = version.batches[BASE_T // DAY]
+    assert day0.size == 2
+    city_vp = day0.request_column(2)
+    assert list(city_vp.values) == [5, 7]
+
+
+def test_backfill_updates_archived_day(tmp_root):
+    ms = make_memstore(tmp_root)
+    shard = ms.get_table_shard("trips")
+    shard.save_upsert_batch(fact_batch([
+        (BASE_T + 100, 1, 7, 1.0),
+        (BASE_T + 200, 2, 5, 2.0),
+    ]))
+    arch = Archiver(shard, ms.metastore, ms.diskstore)
+    arch.archive(BASE_T + DAY)
+
+    # late rows: one updates id=1 (fare 1.0 -> 10.0), one new id=9
+    stats = shard.save_upsert_batch(fact_batch([
+        (BASE_T + 150, 1, 7, 10.0),
+        (BASE_T + 160, 9, 9, 5.0),
+    ]))
+    assert stats.backfilled == 2
+    applied = arch.backfill()
+    assert applied == 2
+
+    svc = QueryService(ms)
+    r = svc.handle_aql({"queries": [{
+        "table": "trips",
+        "measures": [{"sqlExpression": "sum(fare)"}],
+        "dimensions": [{"sqlExpression": "city_id"}],
+        "now": BASE_T + 2 * DAY}]})["results"][0]
+    assert r == {"7": 10.0, "5": 2.0, "9": 5.0}
+
+
+def test_snapshot_and_recover_dimension_table(tmp_root):
+    ms = make_memstore(tmp_root)
+    shard = ms.get_table_shard("cities")
+    b = UpsertBatchBuilder()
+    b.add_column(0, dt.Uint16)
+    b.add_column(1, dt.Uint32)
+    for i, (cid, pop) in enumerate([(1, 100), (2, 200), (3, 300)]):
+        b.add_row()
+        b.set_value(i, 0, cid)
+        b.set_value(i, 1, pop)
+    shard.save_upsert_batch(UpsertBatch(b.to_bytes()))
+
+    arch = Archiver(shard, ms.metastore, ms.diskstore)
+    rows = arch.snapshot()
+    assert rows == 3
+
+    # wipe redologs to prove recovery comes from the snapshot
+    for f in ms.diskstore.list_logs("cities", 0):
+        ms.diskstore.delete_log("cities", 0, f)
+
+    ms2 = MemStore(DiskMetaStore(tmp_root), LocalDiskStore(tmp_root))
+    ms2.fetch_schema()
+    ms2.init_shards()
+    shard2 = ms2.get_table_shard("cities")
+    assert shard2.live_store.rows_visible() == 3
+    assert len(shard2.live_store.primary_key) == 3
+
+
+def test_purge_drops_out_of_retention_batches(tmp_root):
+    ms = make_memstore(tmp_root)
+    shard = ms.get_table_shard("trips")
+    now = BASE_T + 10 * DAY
+    clock.set_current_time(now)
+    try:
+        # ingest with retention off so the old row lands, then archive
+        shard.save_upsert_batch(fact_batch([
+            (BASE_T + 100, 1, 7, 1.0),          # day 0 — beyond retention
+            (now - DAY + 100, 2, 5, 2.0),       # recent
+        ]))
+        arch = Archiver(shard, ms.metastore, ms.diskstore)
+        arch.archive(now - DAY // 2)
+        shard.schema.table.config.record_retention_in_days = 2
+        purged = arch.purge(now)
+        assert purged >= 1
+        version = shard.archive_store.get_current_version()
+        assert BASE_T // DAY not in version.batches
+    finally:
+        clock.reset_clock()
+
+
+def test_scheduler_runs_jobs(tmp_root):
+    ms = make_memstore(tmp_root)
+    shard = ms.get_table_shard("trips")
+    now = BASE_T + 3 * DAY
+    shard.save_upsert_batch(fact_batch([(BASE_T + 100, 1, 7, 1.0)]))
+    sched = Scheduler(ms)
+    shard.schema.table.config.archiving_delay_minutes = DAY // 60
+    result = sched.run_job("trips", 0, "archiving", now=now)
+    assert result["rowsArchived"] == 1
+    statuses = sched.job_statuses()
+    assert statuses["trips/0/archiving"]["numRuns"] == 1
+    ran = sched.run_due_jobs(now=now + 10)
+    assert ("trips", 0, "backfill") in ran
