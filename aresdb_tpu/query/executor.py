@@ -23,6 +23,7 @@ from aresdb_tpu.utils import jax_env
 
 jax_env.ensure()
 
+import jax
 import jax.numpy as jnp
 
 from aresdb_tpu.common import data_types as mdt
@@ -80,6 +81,8 @@ class GroupTable:
                 entry[2] += agg[slot]
             elif agg_kind == "min":
                 entry[2] = min(entry[2], agg[slot])
+            elif agg_kind == "hll":
+                entry[2] = np.maximum(entry[2], agg[slot])
             else:
                 entry[2] = max(entry[2], agg[slot])
             entry[3] += int(cnt[slot])
@@ -294,20 +297,26 @@ class ShardExecutor:
             for (_, cid), arrs in fcols.items():
                 columns[(ti, cid)] = arrs
 
+        if plan.measure.agg == "hll":
+            self._run_hll_batch(plan, columns, foreign_idx, n_valid,
+                                n_padded, table, live_cutoff)
+            return
+
         # fast path: dense slot aggregation when every dim is bounded
         dense_plan = plan_dense(plan, batch_stats)
         if dense_plan is not None:
             kernel = self.kernel_cache.dense_agg_kernel(plan, n_padded,
                                                         dense_plan)
-            aggv, cnt, rows, overflow = kernel(columns, foreign_idx,
-                                               np.int32(n_valid),
-                                               np.int64(live_cutoff))
+            out = kernel(columns, foreign_idx, np.int32(n_valid),
+                         np.int64(live_cutoff))
+            # one host fetch for the whole tuple (each fetch pays a full
+            # round trip on remote-execution platforms)
+            aggv, cnt, rows, overflow = jax.device_get(out)
             if int(overflow) == 0:
-                rows = np.asarray(rows)
                 used = rows > 0
                 slots = np.arange(dense_plan.n_slots)
                 decoded = dense_plan.decode_slots(slots)
-                table.merge_batch(used, np.asarray(aggv), np.asarray(cnt),
+                table.merge_batch(used, aggv, cnt,
                                   [v for v, _ in decoded],
                                   [b for _, b in decoded])
                 return
@@ -316,9 +325,10 @@ class ShardExecutor:
         k = DEFAULT_GROUP_CAPACITY
         while True:
             kernel = self.kernel_cache.agg_kernel(plan, n_padded, k)
+            out = kernel(columns, foreign_idx, np.int32(n_valid),
+                         np.int64(live_cutoff))
             (gkeys, _, slot_used, agg, cnt, n_groups, dim_values,
-             dim_valids) = kernel(columns, foreign_idx, np.int32(n_valid),
-                                  np.int64(live_cutoff))
+             dim_valids) = jax.device_get(out)
             if int(n_groups) <= k:
                 break
             if k >= MAX_GROUP_CAPACITY:
@@ -326,10 +336,28 @@ class ShardExecutor:
                     f"group cardinality {int(n_groups)} exceeds maximum "
                     f"capacity {MAX_GROUP_CAPACITY}")
             k = min(round_up_pow2(int(n_groups)), MAX_GROUP_CAPACITY)
-        table.merge_batch(np.asarray(slot_used),
-                          np.asarray(agg), np.asarray(cnt),
-                          [np.asarray(d) for d in dim_values],
-                          [np.asarray(d) for d in dim_valids])
+        table.merge_batch(slot_used, agg, cnt,
+                          list(dim_values), list(dim_valids))
+
+    def _run_hll_batch(self, plan, columns, foreign_idx, n_valid, n_padded,
+                       table: GroupTable, live_cutoff=0):
+        """HLL register build; group capacity laddered (registers are 16KB
+        per group, so the cap is tighter than scalar aggregation)."""
+        k = 256
+        while True:
+            kernel = self.kernel_cache.hll_kernel(plan, n_padded, k)
+            out = kernel(columns, foreign_idx, np.int32(n_valid),
+                         np.int64(live_cutoff))
+            (gkeys, slot_used, registers, cnt, n_groups, dim_values,
+             dim_valids) = jax.device_get(out)
+            if int(n_groups) <= k:
+                break
+            if k >= 4096:
+                raise QueryError(
+                    f"hll group cardinality {int(n_groups)} exceeds 4096")
+            k = min(round_up_pow2(int(n_groups), 256), 4096)
+        table.merge_batch(slot_used, list(registers), cnt,
+                          list(dim_values), list(dim_valids))
 
     # -- non-agg execution --
 
@@ -348,14 +376,14 @@ class ShardExecutor:
                     for (_, cid), arrs in fcols.items():
                         columns[(ti, cid)] = arrs
                 kernel = self.kernel_cache.select_kernel(plan, n_padded)
-                mask, dim_values, dim_valids = kernel(
+                out = kernel(
                     columns, foreign_idx, np.int32(n_valid), np.int64(cutoff))
-                mask = np.asarray(mask)
+                mask, dim_values, dim_valids = jax.device_get(out)
                 sel = np.nonzero(mask)[0]
                 if limit and len(rows) + len(sel) > limit:
                     sel = sel[:limit - len(rows)]
-                dvs = [np.asarray(d) for d in dim_values]
-                dvds = [np.asarray(d) for d in dim_valids]
+                dvs = list(dim_values)
+                dvds = list(dim_valids)
                 for i in sel:
                     rows.append(tuple(
                         (dvs[d][i], bool(dvds[d][i]))

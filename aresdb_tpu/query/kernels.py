@@ -98,7 +98,7 @@ def _dtype_for_expr_type(t: int):
         return jnp.float32
     if t == E.BOOLEAN:
         return jnp.bool_
-    return jnp.int64
+    return jnp.int32
 
 
 def _to_numeric(v: _Val, dtype) -> _Val:
@@ -118,6 +118,11 @@ def _emit(node: E.Expr, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
     if isinstance(node, E.NumberLiteral):
         if node.type == E.FLOAT:
             v = jnp.float32(node.val)
+        elif -(2**31) <= node.int_val < 2**31:
+            # 32-bit compute lanes: TPU executes int32 natively while int64
+            # is emulated at ~5x cost (matches the reference's 32-bit
+            # per-type functors, query/functor.hpp)
+            v = jnp.int32(node.int_val)
         else:
             v = jnp.int64(node.int_val)
         return _Val(jnp.full((ctx.n_rows,), v), jnp.ones(ctx.n_rows, jnp.bool_))
@@ -127,7 +132,7 @@ def _emit(node: E.Expr, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
                     jnp.ones(ctx.n_rows, jnp.bool_))
 
     if isinstance(node, E.NullLiteral):
-        return _Val(jnp.zeros(ctx.n_rows, jnp.int64),
+        return _Val(jnp.zeros(ctx.n_rows, jnp.int32),
                     jnp.zeros(ctx.n_rows, jnp.bool_))
 
     if isinstance(node, E.StringLiteral):
@@ -170,7 +175,13 @@ def _emit_varref(node: E.VarRef, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
         return _Val(values.astype(jnp.bool_), validity)
     if node.data_type == mdt.Float32:
         return _Val(values.astype(jnp.float32), validity)
-    return _Val(values.astype(jnp.int64), validity)
+    if node.data_type == mdt.Int64:
+        return _Val(values.astype(jnp.int64), validity)
+    # 32-bit lanes for all narrower ints (native TPU width). Uint32 columns
+    # are reinterpreted as int32 (two's complement); comparisons against
+    # literals stay correct for values < 2^31 (e.g. unix timestamps), which
+    # mirrors the reference treating time as uint32 seconds.
+    return _Val(values.astype(jnp.int32), validity)
 
 
 def _emit_unary(node: E.UnaryExpr, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
@@ -180,7 +191,7 @@ def _emit_unary(node: E.UnaryExpr, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
         v = _to_numeric(c, _dtype_for_expr_type(node.type))
         return _Val(-v.value, v.valid)
     if op == "~":
-        v = _to_numeric(c, jnp.int64)
+        v = _to_numeric(c, jnp.int32)
         return _Val(~v.value, v.valid)
     if op == "NOT":
         t = _truthy(c)
@@ -225,8 +236,12 @@ def _emit_binary(node: E.BinaryExpr, ctx: _EvalCtx, plan: CompiledQuery) -> _Val
         hits = jnp.zeros(ctx.n_rows, jnp.bool_)
         for arg in node.rhs.args:
             r = _emit(arg, ctx, plan)
-            dt = jnp.float32 if (l.value.dtype == jnp.float32
-                                 or r.value.dtype == jnp.float32) else jnp.int64
+            if l.value.dtype == jnp.float32 or r.value.dtype == jnp.float32:
+                dt = jnp.float32
+            elif l.value.dtype == jnp.int64 or r.value.dtype == jnp.int64:
+                dt = jnp.int64
+            else:
+                dt = jnp.int32
             hits = hits | (_to_numeric(l, dt).value == _to_numeric(r, dt).value)
         if op == "NOT IN":
             hits = ~hits
@@ -241,8 +256,12 @@ def _emit_binary(node: E.BinaryExpr, ctx: _EvalCtx, plan: CompiledQuery) -> _Val
             eq = jnp.all(l.value == r.value, axis=-1)
             valid = l.valid & r.valid
             return _Val(eq if op == "=" else ~eq, valid)
-        dt = jnp.float32 if (l.value.dtype == jnp.float32
-                             or r.value.dtype == jnp.float32) else jnp.int64
+        if l.value.dtype == jnp.float32 or r.value.dtype == jnp.float32:
+            dt = jnp.float32
+        elif l.value.dtype == jnp.int64 or r.value.dtype == jnp.int64:
+            dt = jnp.int64
+        else:
+            dt = jnp.int32
         a, b = _to_numeric(l, dt).value, _to_numeric(r, dt).value
         if op == "=":
             v = a == b
@@ -267,6 +286,8 @@ def _emit_binary(node: E.BinaryExpr, ctx: _EvalCtx, plan: CompiledQuery) -> _Val
     if op in ("+", "-", "*", "%", "FLOOR"):
         dt = _dtype_for_expr_type(node.type)
         if dt == jnp.bool_:
+            dt = jnp.int32
+        if l.value.dtype == jnp.int64 or r.value.dtype == jnp.int64:
             dt = jnp.int64
         a = _to_numeric(l, dt).value
         b = _to_numeric(r, dt).value
@@ -283,8 +304,8 @@ def _emit_binary(node: E.BinaryExpr, ctx: _EvalCtx, plan: CompiledQuery) -> _Val
         safe = jnp.where(b != 0, b, 1)
         return _Val(jnp.where(b != 0, (a // safe) * b, 0), valid & (b != 0))
     if op in ("&", "|", "^", "<<", ">>"):
-        a = _to_numeric(l, jnp.int64).value
-        b = _to_numeric(r, jnp.int64).value
+        a = _to_numeric(l, jnp.int32).value
+        b = _to_numeric(r, jnp.int32).value
         if op == "&":
             return _Val(a & b, valid)
         if op == "|":
@@ -305,11 +326,11 @@ def _emit_call(node: E.Call, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
         # collapses it the same way, aql_compiler.go:560)
         return _emit(node.args[0], ctx, plan)
     if name == E.HOUR:
-        c = _to_numeric(_emit(node.args[0], ctx, plan), jnp.int64)
+        c = _to_numeric(_emit(node.args[0], ctx, plan), jnp.int32)
         return _Val((c.value % 86400) // 3600, c.valid)
     if name == E.DAY_OF_WEEK:
         # reference functor: weekday 1..7 with Monday=1 (GetDayOfWeekFunctor)
-        c = _to_numeric(_emit(node.args[0], ctx, plan), jnp.int64)
+        c = _to_numeric(_emit(node.args[0], ctx, plan), jnp.int32)
         days = c.value // 86400
         return _Val((days + 3) % 7 + 1, c.valid)
     if name == E.CONVERT_TZ:
@@ -317,8 +338,8 @@ def _emit_call(node: E.Call, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
         off = _emit(node.args[1], ctx, plan) if len(node.args) > 1 else None
         if off is None:
             return base
-        return _Val(_to_numeric(base, jnp.int64).value
-                    + _to_numeric(off, jnp.int64).value,
+        return _Val(_to_numeric(base, jnp.int32).value
+                    + _to_numeric(off, jnp.int32).value,
                     base.valid & off.valid)
     if name == E.HEX:
         return _emit(node.args[0], ctx, plan)  # 2-lane uuid passthrough
@@ -539,12 +560,21 @@ def _eval_common(plan: CompiledQuery, ctx: _EvalCtx, n_valid, live_cutoff=None):
 
 
 def _measure_lane(plan: CompiledQuery, ctx: _EvalCtx):
+    """Measure accumulator lane.
+
+    64-bit is emulated on TPU (~5x), so: float sums/avg accumulate f32
+    per batch (the host merge is f64); count accumulates f32 (exact for
+    counts < 2^24; batches are capped well below); only integer sums keep
+    the reference's i64 accumulator (AGGR_SUM_SIGNED semantics).
+    """
     m = plan.measure
     mv = _emit(m.expr, ctx, plan)
-    if m.agg in ("sum", "count", "avg"):
-        dtype = jnp.float64 if m.out_float else jnp.int64
+    if m.agg == "count":
+        dtype = jnp.float32
+    elif m.agg in ("sum", "avg"):
+        dtype = jnp.float32 if m.out_float or m.agg == "avg" else jnp.int64
     else:
-        dtype = jnp.float32 if m.out_float else jnp.int64
+        dtype = jnp.float32 if m.out_float else jnp.int32
     return _Val(mv.value.astype(dtype), mv.valid)
 
 
@@ -569,30 +599,48 @@ def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
     mval = mval[order]
     mvalid = mvalid[order]
 
+    # segment ops are the hot reduction: counts ride as an f32 lane fused
+    # with f32 measures (one 2D segment_sum), i64 only for integer sums
     num = k_groups + 1
+    ones = jnp.where(mvalid, jnp.float32(1), jnp.float32(0))
     if agg in ("sum", "count", "avg"):
         contrib = jnp.where(mvalid, mval, jnp.zeros((), mval.dtype))
-        aggv = jax.ops.segment_sum(contrib, seg_c, num_segments=num)[:k_groups]
+        if contrib.dtype == jnp.float32:
+            stacked = jnp.stack([contrib, ones], axis=1)
+            both = jax.ops.segment_sum(stacked, seg_c, num_segments=num)
+            aggv = both[:k_groups, 0]
+            cnt = both[:k_groups, 1]
+        else:
+            aggv = jax.ops.segment_sum(contrib, seg_c,
+                                       num_segments=num)[:k_groups]
+            cnt = jax.ops.segment_sum(ones, seg_c,
+                                      num_segments=num)[:k_groups]
     elif agg == "min":
-        big = _F32_MAX if out_float else _I64_MAX
+        big = _F32_MAX if out_float else jnp.array(
+            np.iinfo(np.int32).max, mval.dtype)
         contrib = jnp.where(mvalid, mval, big)
         aggv = jax.ops.segment_min(contrib, seg_c, num_segments=num)[:k_groups]
+        cnt = jax.ops.segment_sum(ones, seg_c, num_segments=num)[:k_groups]
     elif agg == "max":
-        small = -_F32_MAX if out_float else np.int64(np.iinfo(np.int64).min)
+        small = -_F32_MAX if out_float else jnp.array(
+            np.iinfo(np.int32).min, mval.dtype)
         contrib = jnp.where(mvalid, mval, small)
         aggv = jax.ops.segment_max(contrib, seg_c, num_segments=num)[:k_groups]
+        cnt = jax.ops.segment_sum(ones, seg_c, num_segments=num)[:k_groups]
     else:
         raise QueryError(f"agg {agg} has no device kernel yet")
 
-    ones = jnp.where(mvalid, jnp.int64(1), jnp.int64(0))
-    cnt = jax.ops.segment_sum(ones, seg_c, num_segments=num)[:k_groups]
-
-    rep = jax.ops.segment_min(order.astype(jnp.int32), seg_c,
-                              num_segments=num)[:k_groups]
-    gkeys = jax.ops.segment_min(skeys, seg_c, num_segments=num)[:k_groups]
-    slot_used = gkeys != SENTINEL64
-    rep_safe = jnp.where(slot_used, rep, 0)
-    n_groups = jnp.sum(first & live).astype(jnp.int32)
+    rep = jax.ops.segment_min(
+        jnp.where(seg_c <= k_groups, order.astype(jnp.int32), 0), seg_c,
+        num_segments=num)[:k_groups]
+    rep_safe = jnp.clip(rep, 0, keys.shape[0] - 1)
+    # group key per slot: gather from the original key array at the
+    # representative row (cheaper than a u64 segment_min on TPU)
+    gkeys = keys[rep_safe]
+    n_live_groups = jnp.sum(first & live).astype(jnp.int32)
+    slot_used = (jnp.arange(k_groups, dtype=jnp.int32) < n_live_groups) & \
+        (gkeys != SENTINEL64)
+    n_groups = n_live_groups
 
     dim_values = []
     dim_valids = []
@@ -634,6 +682,96 @@ def make_agg_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
     return jax.jit(fn)
 
 
+def _hll_lane(plan: CompiledQuery, ctx: _EvalCtx) -> Tuple[_Val, object, object]:
+    """Per-row HLL value lane → (value u32, reg_id i32, rho i32).
+
+    Reference: GetHLLValueFunctor (query/functor.hpp:446) + the client-side
+    precomputed path for hllConfig.isHLLColumn columns
+    (client/connector.go:522).
+    """
+    from aresdb_tpu.query import hll as H
+
+    expr_ast = plan.measure.expr
+    is_hll_col = (isinstance(expr_ast, E.VarRef)
+                  and expr_ast.column_id >= 0
+                  and plan.main_schema.table.columns[expr_ast.column_id]
+                  .hll_config.is_hll_column
+                  and expr_ast.table_id == 0)
+    v = _emit(expr_ast, ctx, plan)
+    if is_hll_col:
+        hv = v.value.astype(jnp.uint32)
+    else:
+        if isinstance(expr_ast, E.VarRef) and expr_ast.data_type == mdt.UUID:
+            hashed = (v.value[:, 0].astype(jnp.uint64)
+                      ^ v.value[:, 1].astype(jnp.uint64))
+        else:
+            width = 4
+            if isinstance(expr_ast, E.VarRef):
+                width = mdt.data_type_bytes(expr_ast.data_type)
+            hashed = H.murmur3_64(v.value, width, xp=jnp)
+        hv = H.hll_value_from_hash(hashed, xp=jnp)
+    reg = (hv & jnp.uint32(H.HLL_M - 1)).astype(jnp.int32)
+    rho = (hv >> jnp.uint32(16)).astype(jnp.int32)
+    return _Val(hv, v.valid), reg, rho
+
+
+def make_hll_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
+    """HLL group-by: per-(group, register) max(rho) in one segment-max.
+
+    Reference: query/hll.cu HyperLogLog. Output registers[K, 16384] uint8
+    (0 = empty), plus the usual group table metadata.
+    """
+    from aresdb_tpu.query import hll as H
+
+    m = H.HLL_M
+
+    def fn(columns, foreign, n_valid, live_cutoff):
+        ctx = _EvalCtx(columns, foreign, n_rows)
+        mask, dim_vals = _eval_common(plan, ctx, n_valid, live_cutoff)
+        hv, reg, rho = _hll_lane(plan, ctx)
+
+        keys = pack_dim_keys(dim_vals, [d.data_type for d in plan.dimensions],
+                             mask)
+        order = jnp.argsort(keys)
+        skeys = keys[order]
+        first = jnp.concatenate(
+            [jnp.ones(1, jnp.bool_), skeys[1:] != skeys[:-1]])
+        seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+        live = skeys != SENTINEL64
+        seg_c = jnp.where(live & (seg < k_groups), seg, k_groups)
+
+        valid_m = hv.valid[order] & (seg_c < k_groups)
+        reg_key = jnp.where(valid_m, seg_c * m + reg[order], k_groups * m)
+        # registers carry rho+1 so presence survives rho=0 (see hll.py)
+        registers = jax.ops.segment_max(
+            jnp.where(valid_m, rho[order] + 1, 0), reg_key,
+            num_segments=k_groups * m + 1,
+            indices_are_sorted=False)[:k_groups * m]
+        registers = jnp.maximum(registers, 0).astype(jnp.uint8).reshape(
+            k_groups, m)
+
+        ones = jnp.where(hv.valid[order], jnp.float32(1), jnp.float32(0))
+        cnt = jax.ops.segment_sum(ones, seg_c,
+                                  num_segments=k_groups + 1)[:k_groups]
+        rep = jax.ops.segment_min(order.astype(jnp.int32), seg_c,
+                                  num_segments=k_groups + 1)[:k_groups]
+        rep_safe = jnp.clip(rep, 0, n_rows - 1)
+        gkeys = keys[rep_safe]
+        n_live_groups = jnp.sum(first & live).astype(jnp.int32)
+        slot_used = (jnp.arange(k_groups, dtype=jnp.int32) < n_live_groups)
+
+        dim_values = []
+        dim_valids = []
+        for dv in dim_vals:
+            dim_values.append(dv.value[rep_safe])
+            dim_valids.append(dv.valid[rep_safe] & slot_used)
+
+        return (gkeys, slot_used, registers, cnt, n_live_groups,
+                tuple(dim_values), tuple(dim_valids))
+
+    return jax.jit(fn)
+
+
 def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
     """Dense slot-indexed aggregation — no sort, no 64-bit keys.
 
@@ -660,11 +798,11 @@ def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
                                    dense_plan.strides):
             v = dv.value
             if v.dtype == jnp.bool_:
-                v = v.astype(jnp.int64)
+                v = v.astype(jnp.int32)
             elif v.dtype == jnp.float32 and dom.post_div == 0.0:
-                v = v.astype(jnp.int64)
+                v = v.astype(jnp.int32)
             if dom.kind == "lookup":
-                table = jnp.asarray(dom.values)
+                table = jnp.asarray(dom.values).astype(v.dtype)
                 idx = jnp.clip(jnp.searchsorted(table, v), 0, dom.size - 1)
                 in_range = table[idx] == v
                 idx = idx.astype(jnp.int32)
@@ -672,10 +810,12 @@ def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
                 if dom.post_div:
                     # value was divided by post_div on the float path; recover
                     # the integer index directly from the pre-division value
-                    v = jnp.round(v * jnp.float32(dom.post_div)).astype(jnp.int64)
-                idx64 = (v - jnp.int64(dom.base)) // jnp.int64(max(dom.step, 1))
-                in_range = (idx64 >= 0) & (idx64 < dom.size)
-                idx = jnp.clip(idx64, 0, dom.size - 1).astype(jnp.int32)
+                    v = jnp.round(v * jnp.float32(dom.post_div)).astype(jnp.int32)
+                base = jnp.array(dom.base, v.dtype)
+                step = jnp.array(max(dom.step, 1), v.dtype)
+                idxw = (v - base) // step
+                in_range = (idxw >= 0) & (idxw < dom.size)
+                idx = jnp.clip(idxw, 0, dom.size - 1).astype(jnp.int32)
             idxp1 = jnp.where(dv.valid & in_range, idx + 1, 0)
             bad = bad | (dv.valid & ~in_range)
             slot = slot + idxp1 * jnp.int32(stride)
@@ -686,25 +826,36 @@ def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
 
         mval, mvalid = mlane.value, mlane.valid & keep
         num = n_slots + 1
+        ones = jnp.where(mvalid, jnp.float32(1), jnp.float32(0))
+        present = jnp.where(keep, jnp.float32(1), jnp.float32(0))
         if agg in ("sum", "count", "avg"):
             contrib = jnp.where(mvalid, mval, jnp.zeros((), mval.dtype))
+            if contrib.dtype == jnp.float32:
+                # one fused (n, 3) f32 segment_sum: measure, count, presence
+                stacked = jnp.stack([contrib, ones, present], axis=1)
+                out = jax.ops.segment_sum(stacked, slot, num_segments=num)
+                aggv = out[:n_slots, 0]
+                cnt = out[:n_slots, 1]
+                rows = out[:n_slots, 2]
+                return aggv, cnt, rows, overflow
             aggv = jax.ops.segment_sum(contrib, slot, num_segments=num)[:n_slots]
         elif agg == "min":
-            big = _F32_MAX if out_float else _I64_MAX
+            big = _F32_MAX if out_float else jnp.array(
+                np.iinfo(np.int32).max, mval.dtype)
             contrib = jnp.where(mvalid, mval, big)
             aggv = jax.ops.segment_min(contrib, slot, num_segments=num)[:n_slots]
         elif agg == "max":
-            small = -_F32_MAX if out_float else np.int64(np.iinfo(np.int64).min)
+            small = -_F32_MAX if out_float else jnp.array(
+                np.iinfo(np.int32).min, mval.dtype)
             contrib = jnp.where(mvalid, mval, small)
             aggv = jax.ops.segment_max(contrib, slot, num_segments=num)[:n_slots]
         else:
             raise QueryError(f"agg {agg} has no dense kernel")
 
-        ones = jnp.where(mvalid, jnp.int64(1), jnp.int64(0))
-        cnt = jax.ops.segment_sum(ones, slot, num_segments=num)[:n_slots]
-        rows = jax.ops.segment_sum(
-            jnp.where(keep, jnp.int32(1), jnp.int32(0)), slot,
-            num_segments=num)[:n_slots]
+        stacked = jnp.stack([ones, present], axis=1)
+        out = jax.ops.segment_sum(stacked, slot, num_segments=num)
+        cnt = out[:n_slots, 0]
+        rows = out[:n_slots, 1]
         return aggv, cnt, rows, overflow
 
     return jax.jit(fn)
@@ -762,6 +913,14 @@ class KernelCache:
         fn = self._cache.get(key)
         if fn is None:
             fn = make_select_kernel(plan, n_rows)
+            self._cache[key] = fn
+        return fn
+
+    def hll_kernel(self, plan: CompiledQuery, n_rows: int, k_groups: int):
+        key = ("hll", plan_signature(plan), n_rows, k_groups)
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = make_hll_kernel(plan, n_rows, k_groups)
             self._cache[key] = fn
         return fn
 

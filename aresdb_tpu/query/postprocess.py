@@ -68,6 +68,9 @@ def format_dimension(value, valid: bool, dim: DimensionPlan) -> Optional[str]:
 
 def _measure_value(plan: CompiledQuery, agg_value, count: int) -> Optional[float]:
     m = plan.measure
+    if m.agg == "hll":
+        from aresdb_tpu.query import hll as H
+        return H.compute_estimate(np.asarray(agg_value))
     if m.agg == "avg":
         if count == 0:
             return None
