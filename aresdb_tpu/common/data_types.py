@@ -317,10 +317,69 @@ def parse_value(value: Any, dt: int) -> Optional[Any]:
         return parse_geopoint(value)
 
     if dt == GeoShape:
-        # shapes are parsed by the geo module (list of polygons of (lat,lng))
-        return value
+        return parse_geoshape(value)
 
     raise ValueError(f"cannot parse value for type {DATA_TYPE_NAME.get(dt, hex(dt))}")
+
+
+_POLY_SPLIT_RE = re.compile(r"\),\s*\(")
+
+
+def parse_geoshape(value: Any) -> List[List[Tuple[float, float]]]:
+    """Parse 'POLYGON ((lng lat, lng lat, ...), (...))' into rings of
+    (lat, lng) float pairs (reference: GeoShapeFromString,
+    memstore/common/data_type.go:482 — note the lng-lat input order).
+    Also accepts an already-parsed list of rings.
+    """
+    if isinstance(value, (list, tuple)):
+        return [[(float(p[0]), float(p[1])) for p in ring] for ring in value]
+    s = str(value).lower().strip().strip("polygon() ")
+    rings = []
+    for ring_str in _POLY_SPLIT_RE.split(s):
+        ring = []
+        for pair in ring_str.split(","):
+            parts = pair.split()
+            if len(parts) != 2:
+                raise ValueError(f"invalid point format {pair!r}")
+            lng, lat = float(parts[0]), float(parts[1])
+            if not (-180 <= lng <= 180):
+                raise ValueError(f"invalid longitude {lng}")
+            if not (-90 <= lat <= 90):
+                raise ValueError(f"invalid latitude {lat}")
+            ring.append((lat, lng))
+        rings.append(ring)
+    return rings
+
+
+def serialize_geoshape(shape: List[List[Tuple[float, float]]]) -> bytes:
+    """GoDataValue stream layout (reference GeoShapeGo.Write):
+    u32 numPolygons, then per polygon u32 numPoints + (f32 lat, f32 lng)*."""
+    import struct as _struct
+
+    parts = [_struct.pack("<I", len(shape))]
+    for ring in shape:
+        parts.append(_struct.pack("<I", len(ring)))
+        for lat, lng in ring:
+            parts.append(_struct.pack("<ff", lat, lng))
+    return b"".join(parts)
+
+
+def deserialize_geoshape(buf) -> List[List[Tuple[float, float]]]:
+    import struct as _struct
+
+    (n_poly,) = _struct.unpack_from("<I", buf, 0)
+    off = 4
+    shape = []
+    for _ in range(n_poly):
+        (n_pts,) = _struct.unpack_from("<I", buf, off)
+        off += 4
+        ring = []
+        for _ in range(n_pts):
+            lat, lng = _struct.unpack_from("<ff", buf, off)
+            off += 8
+            ring.append((lat, lng))
+        shape.append(ring)
+    return shape
 
 
 def default_value(dt: int) -> Any:

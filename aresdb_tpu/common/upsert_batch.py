@@ -214,8 +214,8 @@ class _ColumnBuilder:
                 if v is not None:
                     if dt.is_array_type(self.data_type):
                         offset += _array_ser_bytes(dt.item_type(self.data_type), len(v))
-                    else:
-                        raise NotImplementedError("GeoShape in upsert batch")
+                    else:  # GeoShape GoDataValue stream
+                        offset += len(dt.serialize_geoshape(v))
         else:
             offset = _align(offset, 8)
             offset += (dt.data_type_bits(self.data_type) * n + 7) // 8
@@ -239,10 +239,12 @@ class _ColumnBuilder:
             offset = _align(offset, 8)
             local = 0
             item_dt = dt.item_type(self.data_type)
+            is_geo = self.data_type == dt.GeoShape
             for i, v in enumerate(self.values):
                 struct.pack_into("<I", buf, offset_vec_pos + i * 4, local)
                 if v is not None:
-                    ser = _serialize_array_value(v, item_dt)
+                    ser = (dt.serialize_geoshape(v) if is_geo
+                           else _serialize_array_value(v, item_dt))
                     buf[offset + local:offset + local + len(ser)] = ser
                     local += len(ser)
             struct.pack_into("<I", buf, offset_vec_pos + n * 4, local)
@@ -435,24 +437,31 @@ class UpsertBatch:
         else:
             col.validity = np.ones(n, dtype=bool)
 
-        if is_array:
+        if is_array or dtype == dt.GeoShape:
             offset = _align(offset, 4)
             local_offsets = np.frombuffer(buf, dtype="<u4", count=n + 1, offset=offset)
             offset += (n + 1) * 4
             offset = _align(offset, 8)
-            item_dt = dt.item_type(dtype)
+            is_geo = dtype == dt.GeoShape
+            item_dt = dt.item_type(dtype) if not is_geo else 0
             vals: List[Optional[List[Any]]] = []
             for r in range(n):
                 if not col.validity[r] or local_offsets[r + 1] == local_offsets[r]:
-                    # null array value occupies no payload
-                    if not col.validity[r]:
+                    # null value occupies no payload
+                    if not col.validity[r] or is_geo:
                         vals.append(None)
                         continue
-                vals.append(
-                    _deserialize_array_value(buf[offset + int(local_offsets[r]):], item_dt)
-                    if col.validity[r] else None
-                )
+                if is_geo:
+                    vals.append(dt.deserialize_geoshape(
+                        buf[offset + int(local_offsets[r]):]))
+                else:
+                    vals.append(_deserialize_array_value(
+                        buf[offset + int(local_offsets[r]):], item_dt))
             col.array_values = vals
+            if is_geo:
+                # geoshape columns have no null vector on the wire; validity
+                # derives from payload presence
+                col.validity = np.asarray([v is not None for v in vals])
             return
 
         offset = _align(offset, 8)

@@ -46,7 +46,31 @@ class ForeignTablePlan:
     schema: TableSchema
     main_key_expr: E.Expr          # typed expr over main table columns
     foreign_key_column: int        # pk column id in the foreign table
+    table_id: int = 0              # position in the query's table list
     used_columns: List[int] = field(default_factory=list)
+
+
+@dataclass
+class GeoJoinPlan:
+    """Geo-intersection join (reference: matchGeoJoin, aql_compiler.go:259).
+
+    The joined dimension table provides GeoShape polygons; rows of the main
+    table match by point-in-polygon. At most one geo dim (the geo table's
+    primary key) may be selected; shape candidates come from an IN/=/NOT IN
+    filter on that key.
+    """
+
+    alias: str
+    schema: TableSchema
+    shape_column: int
+    pk_column: int
+    pk_data_type: int
+    point_expr: E.Expr
+    candidates: Optional[List] = None     # pk values selecting shapes
+    exclude: bool = False                 # NOT IN semantics
+    has_filter: bool = False
+    # populated at staging time (executor) for result formatting
+    shape_values: List = field(default_factory=list)
 
 
 @dataclass
@@ -58,6 +82,7 @@ class DimensionPlan:
     from_offset: int = 0
     to_offset: int = 0
     dst_switch_ts: int = 0
+    geo_dim: bool = False          # value = matched shape index
 
 
 @dataclass
@@ -82,6 +107,8 @@ class CompiledQuery:
     is_non_agg: bool = False
     limit: int = 0
     foreign_tables: List[ForeignTablePlan] = field(default_factory=list)
+    table_id_to_foreign: Dict[int, int] = field(default_factory=dict)
+    geo: Optional[GeoJoinPlan] = None
     used_columns: List[int] = field(default_factory=list)   # main table
     timezone: Optional[_dt.tzinfo] = None
     from_offset: int = 0
@@ -146,6 +173,7 @@ class Compiler:
         # table alias map: index 0 = main table
         self._aliases: Dict[str, int] = {q.table: 0}
         self._tables: List[TableSchema] = [main]
+        self._geo_table_id: Optional[int] = None
         self._process_joins(q, cq)
 
         # timezone (fixed only; timezone(column) requires the timezone join
@@ -177,6 +205,9 @@ class Compiler:
                 raise QueryError(
                     "exactly 1 equi-join condition supported per join")
             cond = E.parse(j.conditions[0])
+            if isinstance(cond, E.Call) and cond.name == E.GEOGRAPHY_INTERSECTS:
+                self._process_geo_join(j, alias, schema, cond, cq)
+                continue
             if not (isinstance(cond, E.BinaryExpr) and cond.op == "="):
                 raise QueryError(f"join condition must be equality: {j.conditions[0]}")
             table_id = len(self._tables)
@@ -204,7 +235,52 @@ class Compiler:
             main_side = self._resolve(main_side, allow_tables={0})
             cq.foreign_tables.append(ForeignTablePlan(
                 alias=alias, schema=schema, main_key_expr=main_side,
-                foreign_key_column=pk_cols[0]))
+                foreign_key_column=pk_cols[0], table_id=table_id))
+
+    def _process_geo_join(self, j, alias: str, schema: TableSchema,
+                          cond: E.Call, cq: CompiledQuery) -> None:
+        """geography_intersects(geo.shape, main.point) join."""
+        if cq.geo is not None:
+            raise QueryError("only one geo join supported per query")
+        if len(cond.args) != 2:
+            raise QueryError(
+                "geography_intersects requires 2 arguments (shape, point)")
+        pk_cols = schema.table.primary_key_columns
+        if len(pk_cols) != 1:
+            raise QueryError(
+                f"geo table {j.table!r} must have a single-column primary key")
+
+        shape_col = None
+        point_side = None
+        for arg in cond.args:
+            if isinstance(arg, E.VarRef) and "." in arg.val and \
+                    arg.val.split(".", 1)[0] == alias:
+                col = arg.val.split(".", 1)[1]
+                cid = schema.column_ids.get(col)
+                if cid is not None and \
+                        schema.table.columns[cid].data_type == mdt.GeoShape:
+                    shape_col = cid
+                    continue
+            point_side = arg
+        if shape_col is None or point_side is None:
+            raise QueryError(
+                "geography_intersects requires the geo table's GeoShape "
+                "column and a main-table GeoPoint")
+        point_expr = self._resolve(point_side, allow_tables={0})
+        if not (isinstance(point_expr, E.VarRef)
+                and point_expr.data_type == mdt.GeoPoint):
+            raise QueryError(
+                "only geo point columns are allowed in geography_intersects")
+        # register the alias so dims/filters can reference the geo pk
+        table_id = len(self._tables)
+        self._aliases[alias] = table_id
+        self._tables.append(schema)
+        self._geo_table_id = table_id
+        cq.geo = GeoJoinPlan(
+            alias=alias, schema=schema, shape_column=shape_col,
+            pk_column=pk_cols[0],
+            pk_data_type=schema.table.columns[pk_cols[0]].data_type,
+            point_expr=point_expr)
 
     # -- name resolution + typing + rewrites --
 
@@ -459,11 +535,60 @@ class Compiler:
     def _process_filters(self, q: AQLQuery, cq: CompiledQuery) -> None:
         all_filters = list(q.filters) + list(q.measures[0].filters)
         for f in all_filters:
-            ast = self._resolve(E.parse(f))
+            ast = E.parse(f)
+            if cq.geo is not None and self._try_geo_filter(ast, cq):
+                continue
+            ast = self._resolve(ast)
             if ast.type != E.BOOLEAN and not (
                     isinstance(ast, E.VarRef) and ast.data_type == mdt.Bool):
                 raise QueryError(f"filter must be boolean: {f!r}")
             cq.filters.append(ast)
+
+    def _try_geo_filter(self, ast: E.Expr, cq: CompiledQuery) -> bool:
+        """Classify `geo.pk IN (...)` / `=` / `NOT IN` shape filters.
+
+        Reference: processFilters geo handling (aql_compiler.go:799) — the
+        shape filter selects candidate shapes by the geo table's primary key.
+        """
+        geo = cq.geo
+        pk_name = f"{geo.alias}." + geo.schema.table.columns[geo.pk_column].name
+
+        def is_geo_pk(e: E.Expr) -> bool:
+            return isinstance(e, E.VarRef) and e.val == pk_name
+
+        if not isinstance(ast, E.BinaryExpr):
+            return False
+        if ast.op in ("IN", "NOT IN") and is_geo_pk(ast.lhs) and \
+                isinstance(ast.rhs, E.Call):
+            values = []
+            for a in ast.rhs.args:
+                if isinstance(a, E.StringLiteral):
+                    values.append(mdt.parse_value(a.val, geo.pk_data_type))
+                elif isinstance(a, E.NumberLiteral):
+                    values.append(a.int_val)
+                else:
+                    raise QueryError("geo shape filter values must be literals")
+            if geo.has_filter:
+                raise QueryError("only one geo filter allowed per query")
+            geo.candidates = values
+            geo.exclude = ast.op == "NOT IN"
+            geo.has_filter = True
+            return True
+        if ast.op == "=" and (is_geo_pk(ast.lhs) or is_geo_pk(ast.rhs)):
+            lit = ast.rhs if is_geo_pk(ast.lhs) else ast.lhs
+            if isinstance(lit, E.StringLiteral):
+                v = mdt.parse_value(lit.val, geo.pk_data_type)
+            elif isinstance(lit, E.NumberLiteral):
+                v = lit.int_val
+            else:
+                raise QueryError("geo shape filter values must be literals")
+            if geo.has_filter:
+                raise QueryError("only one geo filter allowed per query")
+            geo.candidates = [v]
+            geo.exclude = False
+            geo.has_filter = True
+            return True
+        return False
 
     # -- measure --
 
@@ -511,6 +636,20 @@ class Compiler:
 
     def _compile_dimension(self, d: Dimension, cq: CompiledQuery) -> DimensionPlan:
         main = cq.main_schema
+        # geo dimension: the geo table's primary key (or hex() of it)
+        if cq.geo is not None and d.expr:
+            geo = cq.geo
+            pk_name = (f"{geo.alias}."
+                       + geo.schema.table.columns[geo.pk_column].name)
+            expr_s = d.expr.strip()
+            if expr_s == pk_name or \
+                    expr_s.lower().replace(" ", "") == f"hex({pk_name})".lower():
+                return DimensionPlan(
+                    expr=E.VarRef(val=pk_name, type=E.UNSIGNED,
+                                  table_id=self._geo_table_id,
+                                  column_id=geo.pk_column,
+                                  data_type=mdt.SmallEnum),
+                    raw=d, data_type=geo.pk_data_type, geo_dim=True)
         if d.is_time_dimension:
             # expr defaults to the designated time column
             raw_expr = d.expr or (
@@ -643,13 +782,19 @@ class Compiler:
         for f in cq.filters + cq.time_filter_expr:
             E.walk(f, visit)
         for d in cq.dimensions:
-            E.walk(d.expr, visit)
+            if not d.geo_dim:
+                E.walk(d.expr, visit)
         if cq.measure is not None and cq.measure.expr is not None:
             E.walk(cq.measure.expr, visit)
         for ft in cq.foreign_tables:
             E.walk(ft.main_key_expr, visit)
+        if cq.geo is not None:
+            E.walk(cq.geo.point_expr, visit)
         if cq.time_column_id >= 0:
             used[0].add(cq.time_column_id)
         cq.used_columns = sorted(used[0])
+        cq.table_id_to_foreign = {
+            ft.table_id: i for i, ft in enumerate(cq.foreign_tables)}
         for i, ft in enumerate(cq.foreign_tables):
-            ft.used_columns = sorted(used[i + 1] | {ft.foreign_key_column})
+            ft.used_columns = sorted(
+                used[ft.table_id] | {ft.foreign_key_column})

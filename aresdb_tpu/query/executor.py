@@ -100,6 +100,7 @@ class ShardExecutor:
     def execute(self, plan: CompiledQuery):
         """Returns (GroupTable, None) for agg or (None, rows) for non-agg."""
         foreign = self._stage_foreign_tables(plan)
+        self._geo_cols = self._stage_geo(plan)
         shards = plan.shards or [0]
 
         if plan.is_non_agg:
@@ -285,6 +286,65 @@ class ShardExecutor:
                            columns))
         return staged
 
+    def _stage_geo(self, plan: CompiledQuery):
+        """Stage geo shapes: flattened edges + edge->shape one-hot arrays.
+
+        Reference: prepareForGeoIntersect (query/aql_processor.go:333) builds
+        the GeoShapeBatch from the geo table's candidate shapes.
+        """
+        if plan.geo is None:
+            return {}
+        from aresdb_tpu.query import geo as G
+
+        geo = plan.geo
+        shard = self.memstore.get_table_shard(geo.schema.table.name, 0)
+        live = shard.live_store
+        with live.lock:
+            snaps = live.snapshot_columns([geo.pk_column, geo.shape_column])
+        shapes, values = [], []
+        cand = None
+        if geo.candidates is not None and not geo.exclude:
+            cand = {tuple(c) if isinstance(c, (list, tuple)) else c
+                    for c in geo.candidates}
+        excl = None
+        if geo.candidates is not None and geo.exclude:
+            excl = {tuple(c) if isinstance(c, (list, tuple)) else c
+                    for c in geo.candidates}
+        for _, n, batch in snaps:
+            pk_vp = batch.column(geo.pk_column)
+            sh_vp = batch.column(geo.shape_column)
+            if pk_vp is None or sh_vp is None:
+                continue
+            for r in range(n):
+                pk = pk_vp.read_value(r)
+                shape = sh_vp.read_value(r)
+                if pk is None or shape is None:
+                    continue
+                key = tuple(pk) if isinstance(pk, (list, tuple)) else pk
+                if cand is not None and key not in cand:
+                    continue
+                if excl is not None and key not in excl:
+                    continue
+                shapes.append(shape)
+                values.append(pk)
+        batch_ = G.build_shape_batch(shapes, values)
+        geo.shape_values = values
+        if batch_ is None:
+            # no candidate shapes: zero-edge placeholder, nothing matches
+            e = np.full(1, np.finfo(np.float32).max, np.float32)
+            batch_ = G.GeoShapeBatch(
+                lat1=e, lat2=e, lng1=np.zeros(1, np.float32),
+                lng2=np.zeros(1, np.float32),
+                onehot=np.zeros((1, 8), np.float32), n_shapes=0,
+                shape_values=[])
+        return {
+            (-1, 0): (jnp.asarray(batch_.lat1), jnp.asarray(batch_.lat2)),
+            (-1, 1): (jnp.asarray(batch_.lng1), jnp.asarray(batch_.lng2)),
+            (-1, 2): (jnp.asarray(batch_.onehot), jnp.zeros(1, jnp.float32)),
+            (-1, 3): (jnp.asarray(np.int32(batch_.n_shapes)),
+                      jnp.zeros(1, jnp.float32)),
+        }
+
     # -- agg execution --
 
     def _run_agg_batch(self, plan, foreign, batch_cols, n_valid, n_padded,
@@ -293,9 +353,10 @@ class ShardExecutor:
         # foreign columns are referenced through table_id > 0 VarRefs: install
         # them under their (table_id, column_id) keys
         columns = dict(batch_cols)
-        for ti, (_, fcols) in enumerate(foreign, start=1):
+        columns.update(self._geo_cols)
+        for ft, (_, fcols) in zip(plan.foreign_tables, foreign):
             for (_, cid), arrs in fcols.items():
-                columns[(ti, cid)] = arrs
+                columns[(ft.table_id, cid)] = arrs
 
         if plan.measure.agg == "hll":
             self._run_hll_batch(plan, columns, foreign_idx, n_valid,
@@ -372,9 +433,10 @@ class ShardExecutor:
             for batch_cols, n_valid, n_padded, _, cutoff in \
                     self._iter_batches(plan, shard):
                 columns = dict(batch_cols)
-                for ti, (_, fcols) in enumerate(foreign, start=1):
+                columns.update(self._geo_cols)
+                for ft, (_, fcols) in zip(plan.foreign_tables, foreign):
                     for (_, cid), arrs in fcols.items():
-                        columns[(ti, cid)] = arrs
+                        columns[(ft.table_id, cid)] = arrs
                 kernel = self.kernel_cache.select_kernel(plan, n_padded)
                 out = kernel(
                     columns, foreign_idx, np.int32(n_valid), np.int64(cutoff))

@@ -72,8 +72,9 @@ class _EvalCtx:
         self.foreign = foreign
         self.n_rows = n_rows
         self._foreign_rows: Dict[int, Tuple] = {}
+        self._geo_matched = None
 
-    def foreign_row(self, table_id: int, main_key: _Val):
+    def foreign_row(self, table_id: int, fidx: int, main_key: _Val):
         """Resolve main rows to foreign row indices via sorted binary search.
 
         TPU-native replacement for the reference's GPU cuckoo probe
@@ -83,7 +84,7 @@ class _EvalCtx:
         cached = self._foreign_rows.get(table_id)
         if cached is not None:
             return cached
-        sorted_keys, perm = self.foreign[table_id - 1]
+        sorted_keys, perm = self.foreign[fidx]
         key = main_key.value.astype(sorted_keys.dtype)
         pos = jnp.searchsorted(sorted_keys, key)
         pos = jnp.clip(pos, 0, sorted_keys.shape[0] - 1)
@@ -164,9 +165,10 @@ def _emit_varref(node: E.VarRef, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
         raise QueryError(f"column {node.val!r} not staged")
     values, validity = entry
     if node.table_id > 0:
-        ft = plan.foreign_tables[node.table_id - 1]
+        fidx = plan.table_id_to_foreign[node.table_id]
+        ft = plan.foreign_tables[fidx]
         main_key = _emit(ft.main_key_expr, ctx, plan)
-        rows, hit = ctx.foreign_row(node.table_id, main_key)
+        rows, hit = ctx.foreign_row(node.table_id, fidx, main_key)
         values = values[rows]
         validity = validity[rows] & hit
     if node.data_type in (mdt.UUID, mdt.GeoPoint):
@@ -502,6 +504,12 @@ def _value_bits_u64(dim_val: _Val, data_type: int):
                                               else 0xFFFFFFFFFFFFFFFF)]
 
 
+def _packing_type(d) -> int:
+    """Group-key packing width type: geo dims pack as their 8-bit shape
+    index, not their (UUID) formatting type."""
+    return mdt.SmallEnum if d.geo_dim else d.data_type
+
+
 def pack_dim_keys(dim_vals: List[_Val], dim_types: List[int], mask):
     """Per-row uint64 group key; filtered rows get the sentinel."""
     total_bits = sum(min(_dim_bits(t), 64) + 1 for t in dim_types)
@@ -555,8 +563,36 @@ def _eval_common(plan: CompiledQuery, ctx: _EvalCtx, n_valid, live_cutoff=None):
     for f in plan.filters + plan.time_filter_expr:
         v = _truthy(_emit(f, ctx, plan))
         mask = mask & v.value & v.valid
-    dim_vals = [_emit(d.expr, ctx, plan) for d in plan.dimensions]
+    if plan.geo is not None and plan.geo.has_filter:
+        matched = _geo_matched(plan, ctx)
+        inside = matched >= 0
+        mask = mask & (~inside if plan.geo.exclude else inside)
+    dim_vals = []
+    for d in plan.dimensions:
+        if d.geo_dim:
+            matched = _geo_matched(plan, ctx)
+            dim_vals.append(_Val(matched, matched >= 0))
+        else:
+            dim_vals.append(_emit(d.expr, ctx, plan))
     return mask, dim_vals
+
+
+def _geo_matched(plan: CompiledQuery, ctx: _EvalCtx):
+    """Per-row matched shape index (cached across filter + dim uses)."""
+    cached = getattr(ctx, "_geo_matched", None)
+    if cached is not None:
+        return cached
+    from aresdb_tpu.query import geo as G
+
+    lat1, lat2 = ctx.columns[(-1, 0)]
+    lng1, lng2 = ctx.columns[(-1, 1)]
+    onehot, _ = ctx.columns[(-1, 2)]
+    n_shapes, _ = ctx.columns[(-1, 3)]
+    pv = _emit(plan.geo.point_expr, ctx, plan)
+    matched = G.matched_shape(pv.value[:, 0], pv.value[:, 1], pv.valid,
+                              lat1, lat2, lng1, lng2, onehot, n_shapes)
+    ctx._geo_matched = matched
+    return matched
 
 
 def _measure_lane(plan: CompiledQuery, ctx: _EvalCtx):
@@ -657,7 +693,7 @@ def agg_batch_body(plan: CompiledQuery, n_rows: int, k_groups: int,
     ctx = _EvalCtx(columns, foreign, n_rows)
     mask, dim_vals = _eval_common(plan, ctx, n_valid, live_cutoff)
     mlane = _measure_lane(plan, ctx)
-    keys = pack_dim_keys(dim_vals, [d.data_type for d in plan.dimensions], mask)
+    keys = pack_dim_keys(dim_vals, [_packing_type(d) for d in plan.dimensions], mask)
     gkeys, slot_used, aggv, cnt, n_groups, dim_values, dim_valids = \
         reduce_by_key(keys, mlane.value, mlane.valid, plan.measure.agg,
                       plan.measure.out_float, k_groups, dim_vals)
@@ -730,7 +766,7 @@ def make_hll_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
         mask, dim_vals = _eval_common(plan, ctx, n_valid, live_cutoff)
         hv, reg, rho = _hll_lane(plan, ctx)
 
-        keys = pack_dim_keys(dim_vals, [d.data_type for d in plan.dimensions],
+        keys = pack_dim_keys(dim_vals, [_packing_type(d) for d in plan.dimensions],
                              mask)
         order = jnp.argsort(keys)
         skeys = keys[order]

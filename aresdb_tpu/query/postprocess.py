@@ -39,11 +39,21 @@ def format_float32(v: float) -> str:
     return s
 
 
-def format_dimension(value, valid: bool, dim: DimensionPlan) -> Optional[str]:
+def format_dimension(value, valid: bool, dim: DimensionPlan,
+                     plan: Optional[CompiledQuery] = None) -> Optional[str]:
     """One dimension value → string (None = NULL), ReadDimension parity."""
     if not valid:
         return None
     dt = dim.data_type
+    if dim.geo_dim and plan is not None and plan.geo is not None:
+        idx = int(value)
+        if not (0 <= idx < len(plan.geo.shape_values)):
+            return None
+        value = plan.geo.shape_values[idx]
+        dt = plan.geo.pk_data_type
+        if dt == mdt.UUID:
+            return mdt.uuid_to_string(int(value[0]), int(value[1]))
+        return str(value)
     is_time = dim.raw is not None and dim.raw.is_time_dimension
 
     if dt == mdt.UUID:
@@ -90,7 +100,7 @@ def build_agg_result(plan: CompiledQuery, table) -> Dict[str, Any]:
     n_dims = len(plan.dimensions)
     for key, (dims, dim_valids, agg, cnt) in table.groups.items():
         dim_strs = [
-            format_dimension(dims[i], dim_valids[i], plan.dimensions[i])
+            format_dimension(dims[i], dim_valids[i], plan.dimensions[i], plan)
             for i in range(n_dims)
         ]
         measure = _measure_value(plan, agg, cnt)
@@ -116,7 +126,7 @@ def build_non_agg_result(plan: CompiledQuery, rows) -> Dict[str, Any]:
     for row in rows:
         out = []
         for i, (value, valid) in enumerate(row):
-            s = format_dimension(value, valid, plan.dimensions[i])
+            s = format_dimension(value, valid, plan.dimensions[i], plan)
             out.append(NULL_STRING if s is None else s)
         matrix.append(out)
     return {"headers": headers, "matrixData": matrix}
