@@ -1,0 +1,344 @@
+"""REST API server: query, data, schema, enum, health, debug endpoints.
+
+Reference: api/ (query_handler.go /query/aql + /query/sql with a bounded
+worker pool :95, data_handler.go /data/{table}/{shard}, schema_handler.go,
+enum_handler.go, health, debug_handler.go's inspection + manual-job
+endpoints) wired by cmd/aresd/cmd/cmd.go:270-283.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Optional
+
+import tornado.ioloop
+import tornado.web
+
+from aresdb_tpu.common.schema import Table
+from aresdb_tpu.common.upsert_batch import UpsertBatch
+from aresdb_tpu.query.service import QueryService
+from aresdb_tpu.utils import metrics as M
+
+QUERY_WORKERS = 8
+
+
+class _Base(tornado.web.RequestHandler):
+    def initialize(self, ctx):
+        self.ctx = ctx
+
+    def write_json(self, obj, status: int = 200):
+        self.set_status(status)
+        self.set_header("Content-Type", "application/json")
+        self.finish(json.dumps(obj, default=str))
+
+    def write_error_json(self, status: int, message: str):
+        self.write_json({"message": message}, status=status)
+
+    def json_body(self) -> Dict[str, Any]:
+        try:
+            return json.loads(self.request.body or b"{}")
+        except json.JSONDecodeError as e:
+            raise tornado.web.HTTPError(400, reason=f"invalid json: {e}")
+
+
+class ServerContext:
+    def __init__(self, memstore, scheduler=None):
+        self.memstore = memstore
+        self.scheduler = scheduler
+        self.query_service = QueryService(memstore)
+        self.query_pool = ThreadPoolExecutor(max_workers=QUERY_WORKERS)
+        self.metrics = M.root()
+
+
+class HealthHandler(_Base):
+    def get(self):
+        self.finish("OK")
+
+    def head(self):
+        self.finish()
+
+
+class AQLHandler(_Base):
+    async def post(self):
+        self.ctx.metrics.count(M.QUERY_RECEIVED)
+        body = self.json_body()
+        loop = tornado.ioloop.IOLoop.current()
+        with self.ctx.metrics.timer(M.QUERY_LATENCY):
+            resp = await loop.run_in_executor(
+                self.ctx.query_pool,
+                self.ctx.query_service.handle_aql, body)
+        if resp.get("errors"):
+            self.ctx.metrics.count(M.QUERY_FAILED)
+        else:
+            self.ctx.metrics.count(M.QUERY_SUCCEEDED)
+        self.write_json(resp)
+
+
+class SQLHandler(_Base):
+    async def post(self):
+        self.ctx.metrics.count(M.QUERY_RECEIVED)
+        body = self.json_body()
+        loop = tornado.ioloop.IOLoop.current()
+        with self.ctx.metrics.timer(M.QUERY_LATENCY):
+            resp = await loop.run_in_executor(
+                self.ctx.query_pool,
+                self.ctx.query_service.handle_sql, body)
+        self.write_json(resp)
+
+
+class DataHandler(_Base):
+    def post(self, table: str, shard: str):
+        """Binary upsert batch ingestion (reference api/data_handler.go:47)."""
+        try:
+            batch = UpsertBatch(self.request.body)
+        except Exception as e:
+            return self.write_error_json(400, f"bad upsert batch: {e}")
+        try:
+            stats = self.ctx.memstore.handle_ingestion(
+                table, int(shard), batch)
+        except KeyError as e:
+            return self.write_error_json(404, str(e))
+        except ValueError as e:
+            return self.write_error_json(400, str(e))
+        self.ctx.metrics.count(M.INGESTED_UPSERT_BATCHES,
+                               tags={"table": table, "shard": shard})
+        self.ctx.metrics.count(M.INGESTED_RECORDS, batch.num_rows,
+                               tags={"table": table, "shard": shard})
+        self.write_json({
+            "inserted": stats.inserted,
+            "updated": stats.updated,
+            "backfilled": stats.backfilled,
+        })
+
+
+class TablesHandler(_Base):
+    def get(self):
+        self.write_json(sorted(self.ctx.memstore.get_schemas()))
+
+    def post(self):
+        body = self.json_body()
+        try:
+            table = Table.from_json(body)
+            self.ctx.memstore.create_table(table)
+            self.ctx.memstore.add_table_shard(table.name, 0)
+        except ValueError as e:
+            return self.write_error_json(400, str(e))
+        self.write_json({"message": "table created"}, status=200)
+
+
+class TableHandler(_Base):
+    def get(self, name: str):
+        try:
+            schema = self.ctx.memstore.get_schema(name)
+        except KeyError as e:
+            return self.write_error_json(404, str(e))
+        self.write_json(schema.table.to_json())
+
+    def put(self, name: str):
+        body = self.json_body()
+        try:
+            table = Table.from_json(body)
+            if table.name != name:
+                return self.write_error_json(400, "table name mismatch")
+            self.ctx.memstore.metastore.update_table(table)
+            self.ctx.memstore.get_schema(name).set_table(table)
+        except (KeyError, ValueError) as e:
+            return self.write_error_json(400, str(e))
+        self.write_json({"message": "table updated"})
+
+    def delete(self, name: str):
+        try:
+            self.ctx.memstore.get_schema(name)
+        except KeyError as e:
+            return self.write_error_json(404, str(e))
+        self.ctx.memstore.remove_table_shard(name, 0)
+        self.ctx.memstore.metastore.delete_table(name)
+        self.ctx.memstore.schemas.pop(name, None)
+        self.write_json({"message": "table deleted"})
+
+
+class EnumHandler(_Base):
+    def get(self, table: str, column: str):
+        try:
+            schema = self.ctx.memstore.get_schema(table)
+        except KeyError as e:
+            return self.write_error_json(404, str(e))
+        self.write_json(schema.enum_reverse_dict(column))
+
+    def post(self, table: str, column: str):
+        body = self.json_body()
+        cases = body.get("enumCases", [])
+        try:
+            schema = self.ctx.memstore.get_schema(table)
+            ranks = schema.extend_enum(column, cases)
+            if self.ctx.memstore.metastore is not None:
+                self.ctx.memstore.metastore.extend_enum_cases(
+                    table, column, cases)
+        except KeyError as e:
+            return self.write_error_json(404, str(e))
+        self.write_json(ranks)
+
+
+class ShardsDebugHandler(_Base):
+    def get(self):
+        out = []
+        for table, shard_id in self.ctx.memstore.list_shards():
+            shard = self.ctx.memstore.get_table_shard(table, shard_id)
+            ls = shard.live_store
+            out.append({
+                "table": table,
+                "shard": shard_id,
+                "rowsVisible": ls.rows_visible(),
+                "liveBatches": len(ls.batches),
+                "primaryKeys": len(ls.primary_key),
+                "archivingCutoff": ls.archiving_cutoff_high_watermark,
+                "archiveBatches": len(
+                    shard.archive_store.get_current_version().batches),
+                "bytesEstimate": ls.bytes_estimate(),
+            })
+        self.write_json(out)
+
+
+class ShardDebugHandler(_Base):
+    def get(self, table: str, shard: str):
+        try:
+            s = self.ctx.memstore.get_table_shard(table, int(shard))
+        except KeyError as e:
+            return self.write_error_json(404, str(e))
+        ls = s.live_store
+        version = s.archive_store.get_current_version()
+        self.write_json({
+            "liveStore": {
+                "batchSize": ls.batch_size,
+                "batches": {str(b): ls.visible_rows_in_batch(b)
+                            for b in ls.get_batch_ids()},
+                "lastReadRecord": [ls.last_read_record.batch_id,
+                                   ls.last_read_record.index],
+                "primaryKeys": len(ls.primary_key),
+                "archivingCutoff": ls.archiving_cutoff_high_watermark,
+            },
+            "archiveStore": {
+                "cutoff": version.archiving_cutoff,
+                "batches": {str(b): {"size": ab.size, "version": ab.version,
+                                     "seq": ab.seq}
+                            for b, ab in version.batches.items()},
+            },
+        })
+
+
+class JobsDebugHandler(_Base):
+    def get(self):
+        if self.ctx.scheduler is None:
+            return self.write_json({})
+        self.write_json(self.ctx.scheduler.job_statuses())
+
+
+class JobTriggerHandler(_Base):
+    def post(self, table: str, shard: str, job: str):
+        if self.ctx.scheduler is None:
+            return self.write_error_json(400, "scheduler not running")
+        try:
+            result = self.ctx.scheduler.run_job(table, int(shard), job)
+        except (KeyError, ValueError) as e:
+            return self.write_error_json(400, str(e))
+        self.write_json({"job": job, "result": result})
+
+
+class DevicesDebugHandler(_Base):
+    def get(self):
+        from aresdb_tpu.utils import jax_env
+        try:
+            devices = [
+                {"id": d.id, "platform": d.platform, "kind": d.device_kind}
+                for d in jax_env.devices()
+            ]
+        except Exception as e:
+            devices = [{"error": str(e)}]
+        self.write_json(devices)
+
+
+class HostMemoryDebugHandler(_Base):
+    def get(self):
+        hmm = self.ctx.memstore.host_memory_manager
+        self.write_json({
+            "reserved": hmm.get_reserved_memory(),
+        })
+
+
+class MetricsHandler(_Base):
+    def get(self):
+        self.write_json(self.ctx.metrics.snapshot())
+
+
+def make_app(ctx: ServerContext) -> tornado.web.Application:
+    a = {"ctx": ctx}
+    return tornado.web.Application([
+        (r"/health", HealthHandler, a),
+        (r"/query/aql", AQLHandler, a),
+        (r"/query/sql", SQLHandler, a),
+        (r"/data/([^/]+)/(\d+)", DataHandler, a),
+        (r"/schema/tables", TablesHandler, a),
+        (r"/schema/tables/([^/]+)", TableHandler, a),
+        (r"/schema/tables/([^/]+)/columns/([^/]+)/enum-cases", EnumHandler, a),
+        (r"/dbg/shards", ShardsDebugHandler, a),
+        (r"/dbg/jobs", JobsDebugHandler, a),
+        (r"/dbg/devices", DevicesDebugHandler, a),
+        (r"/dbg/host-memory", HostMemoryDebugHandler, a),
+        (r"/dbg/([^/]+)/(\d+)/(archiving|backfill|snapshot|purge)",
+         JobTriggerHandler, a),
+        (r"/dbg/([^/]+)/(\d+)", ShardDebugHandler, a),
+        (r"/metrics", MetricsHandler, a),
+    ])
+
+
+class ApiServer:
+    """Embeddable server: used by cmd/aresd and by in-process tests."""
+
+    def __init__(self, memstore, scheduler=None, port: int = 0):
+        self.ctx = ServerContext(memstore, scheduler)
+        self.app = make_app(self.ctx)
+        self.port = port
+        self._loop: Optional[tornado.ioloop.IOLoop] = None
+        self._thread: Optional[threading.Thread] = None
+        self._started = threading.Event()
+
+    def start_background(self) -> int:
+        """Start serving on a background thread; returns the bound port."""
+        def run():
+            import asyncio
+
+            asyncio.set_event_loop(asyncio.new_event_loop())
+            self._loop = tornado.ioloop.IOLoop.current()
+            sockets = tornado.netutil.bind_sockets(self.port)
+            self.port = sockets[0].getsockname()[1]
+            server = tornado.httpserver.HTTPServer(self.app)
+            server.add_sockets(sockets)
+            self._started.set()
+            self._loop.start()
+
+        import tornado.httpserver
+        import tornado.netutil
+
+        self._thread = threading.Thread(target=run, daemon=True,
+                                        name="ares-http")
+        self._thread.start()
+        self._started.wait(timeout=10)
+        return self.port
+
+    def stop(self):
+        if self._loop is not None:
+            self._loop.add_callback(self._loop.stop)
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def serve_forever(self):
+        import tornado.httpserver
+        import tornado.netutil
+
+        sockets = tornado.netutil.bind_sockets(self.port)
+        self.port = sockets[0].getsockname()[1]
+        server = tornado.httpserver.HTTPServer(self.app)
+        server.add_sockets(sockets)
+        tornado.ioloop.IOLoop.current().start()

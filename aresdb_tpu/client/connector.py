@@ -1,0 +1,211 @@
+"""Connector: Insert(table, columnNames, rows) → UpsertBatch → POST /data.
+
+Reference: client/connector.go (Connector.Insert :149 — validates primary
+keys and the time column, auto-extends enums with case-insensitivity and
+disableAutoExpand handling, computes HLL values client-side :200, builds the
+UpsertBatch and POSTs per shard) and client/schema.go (cached schema
+handler).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+import requests
+
+from aresdb_tpu.common import data_types as dt
+from aresdb_tpu.common.schema import Table
+from aresdb_tpu.common.upsert_batch import (
+    UPDATE_OVERWRITE_NOT_NULL,
+    UpsertBatchBuilder,
+)
+from aresdb_tpu.query import hll as H
+
+
+class ConnectorError(Exception):
+    pass
+
+
+class _SchemaCache:
+    """Cached table schemas + enum dictionaries fetched over HTTP."""
+
+    def __init__(self, host: str, port: int, session, ttl_seconds: int = 300):
+        self.base = f"http://{host}:{port}"
+        self.session = session
+        self.ttl = ttl_seconds
+        self.lock = threading.RLock()
+        self._tables: Dict[str, tuple] = {}   # name -> (Table, fetched_at)
+        self._enums: Dict[tuple, Dict[str, int]] = {}
+
+    def table(self, name: str) -> Table:
+        with self.lock:
+            hit = self._tables.get(name)
+            if hit and time.time() - hit[1] < self.ttl:
+                return hit[0]
+        r = self.session.get(f"{self.base}/schema/tables/{name}")
+        if r.status_code == 404:
+            raise ConnectorError(f"unknown table {name!r}")
+        r.raise_for_status()
+        table = Table.from_json(r.json())
+        with self.lock:
+            self._tables[name] = (table, time.time())
+        return table
+
+    def enum_dict(self, table: str, column: str) -> Dict[str, int]:
+        key = (table, column)
+        with self.lock:
+            if key in self._enums:
+                return self._enums[key]
+        r = self.session.get(
+            f"{self.base}/schema/tables/{table}/columns/{column}/enum-cases")
+        r.raise_for_status()
+        cases = r.json()
+        with self.lock:
+            self._enums[key] = {c: i for i, c in enumerate(cases)}
+            return self._enums[key]
+
+    def extend_enum(self, table: str, column: str,
+                    cases: List[str]) -> List[int]:
+        r = self.session.post(
+            f"{self.base}/schema/tables/{table}/columns/{column}/enum-cases",
+            json={"enumCases": cases})
+        r.raise_for_status()
+        ranks = r.json()
+        with self.lock:
+            d = self._enums.setdefault((table, column), {})
+            for c, rank in zip(cases, ranks):
+                d[c] = rank
+        return ranks
+
+
+class Connector:
+    def __init__(self, host: str = "localhost", port: int = 9374,
+                 session=None):
+        self.host = host
+        self.port = port
+        self.session = session or requests.Session()
+        self.schema = _SchemaCache(host, port, self.session)
+
+    # ------------------------------------------------------------------
+
+    def insert(self, table_name: str, column_names: Sequence[str],
+               rows: Sequence[Sequence[Any]],
+               update_modes: Optional[Sequence[int]] = None,
+               shard_id: int = 0) -> Dict[str, int]:
+        """Insert rows; returns ingestion stats from the server."""
+        if not column_names:
+            raise ConnectorError("no columns")
+        table = self.schema.table(table_name)
+        col_ids = {c.name: i for i, c in enumerate(table.columns)}
+        for name in column_names:
+            if name not in col_ids:
+                raise ConnectorError(
+                    f"unknown column {name!r} in table {table_name!r}")
+        # primary key / time column presence (reference checkPrimaryKeys /
+        # checkTimeColumnExistence)
+        provided = {col_ids[n] for n in column_names}
+        for pk in table.primary_key_columns:
+            if pk not in provided:
+                raise ConnectorError(
+                    f"primary key column {table.columns[pk].name!r} missing")
+        if table.is_fact_table and 0 not in provided:
+            raise ConnectorError("fact table time column missing")
+
+        b = UpsertBatchBuilder()
+        modes = list(update_modes or [UPDATE_OVERWRITE_NOT_NULL] *
+                     len(column_names))
+        for name, mode in zip(column_names, modes):
+            cid = col_ids[name]
+            b.add_column(cid, table.columns[cid].data_type, mode)
+
+        # pre-translate enum columns (batch the dictionary extensions)
+        enum_cols = {}
+        for ci, name in enumerate(column_names):
+            col = table.columns[col_ids[name]]
+            if col.type in ("SmallEnum", "BigEnum"):
+                enum_cols[ci] = col
+
+        for ci, col in enum_cols.items():
+            values = {str(r[ci]) for r in rows if r[ci] is not None}
+            if col.case_insensitive:
+                values = {v.lower() for v in values}
+            known = self.schema.enum_dict(table_name, col.name)
+            new = sorted(v for v in values if v not in known)
+            if new and not col.disable_auto_expand:
+                self.schema.extend_enum(table_name, col.name, new)
+
+        for r_i, row in enumerate(rows):
+            if len(row) != len(column_names):
+                raise ConnectorError(
+                    f"row {r_i} has {len(row)} values, expected "
+                    f"{len(column_names)}")
+            b.add_row()
+            for ci, value in enumerate(row):
+                if value is None:
+                    continue
+                col = table.columns[col_ids[column_names[ci]]]
+                b.set_value(r_i, ci, self._convert(table_name, col, value))
+
+        resp = self.session.post(
+            f"http://{self.host}:{self.port}/data/{table_name}/{shard_id}",
+            data=b.to_bytes(),
+            headers={"Content-Type": "application/octet-stream"})
+        if resp.status_code != 200:
+            raise ConnectorError(f"ingestion failed: {resp.text}")
+        return resp.json()
+
+    # ------------------------------------------------------------------
+
+    def _convert(self, table_name: str, col, value: Any):
+        if col.hll_config.is_hll_column:
+            return _compute_hll_value(col.data_type, value)
+        if col.type in ("SmallEnum", "BigEnum"):
+            s = str(value)
+            if col.case_insensitive:
+                s = s.lower()
+            d = self.schema.enum_dict(table_name, col.name)
+            rank = d.get(s)
+            if rank is None:
+                # unseen + disableAutoExpand → default rank 0
+                return 0
+            return rank
+        return dt.parse_value(value, col.data_type)
+
+    # ------------------------------------------------------------------
+
+    def query_aql(self, query: Dict[str, Any]) -> Dict[str, Any]:
+        r = self.session.post(
+            f"http://{self.host}:{self.port}/query/aql",
+            json={"queries": [query]})
+        r.raise_for_status()
+        return r.json()
+
+    def query_sql(self, sql: str) -> Dict[str, Any]:
+        r = self.session.post(
+            f"http://{self.host}:{self.port}/query/sql",
+            json={"queries": [sql]})
+        r.raise_for_status()
+        return r.json()
+
+    def create_table(self, schema_json: Dict[str, Any]) -> None:
+        r = self.session.post(
+            f"http://{self.host}:{self.port}/schema/tables", json=schema_json)
+        if r.status_code != 200:
+            raise ConnectorError(f"create table failed: {r.text}")
+
+
+def _compute_hll_value(data_type: int, value: Any) -> int:
+    """Client-side HLL value (reference client/connector.go:200)."""
+    if data_type == dt.UUID:
+        hi, lo = dt.parse_uuid(value)
+        hashed = np.uint64(hi) ^ np.uint64(lo)
+    elif data_type in (dt.Uint32, dt.Int32, dt.Int64):
+        width = dt.data_type_bytes(data_type)
+        hashed = H.murmur3_64(np.asarray([int(value)], np.int64), width)[0]
+    else:
+        raise ConnectorError(
+            f"invalid type 0x{data_type:x} for fast hll value")
+    return int(H.hll_value_from_hash(np.asarray([hashed], np.uint64))[0])

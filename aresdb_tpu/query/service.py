@@ -38,6 +38,26 @@ class QueryService:
             resp["errors"] = errors
         return resp
 
+    def handle_sql(self, request: Dict[str, Any]) -> Dict[str, Any]:
+        """Process {"queries": ["SELECT ..."]} (reference: /query/sql)."""
+        from aresdb_tpu.query.sql import SQLParseError, parse_sql
+
+        results: List[Dict[str, Any]] = []
+        errors: List[Any] = []
+        had_error = False
+        for stmt in request.get("queries", []):
+            try:
+                results.append(self.handle_query(parse_sql(stmt)))
+                errors.append(None)
+            except (QueryError, SQLParseError, KeyError, ValueError) as e:
+                results.append({})
+                errors.append(str(e))
+                had_error = True
+        resp: Dict[str, Any] = {"results": results}
+        if had_error:
+            resp["errors"] = errors
+        return resp
+
     def handle_query(self, q: AQLQuery) -> Dict[str, Any]:
         compiler = Compiler(self.memstore.get_schemas())
         plan = compiler.compile(q)

@@ -1,0 +1,329 @@
+"""SQL frontend: SQL text → AQLQuery.
+
+Reference: query/sql/ (ANTLR-generated parser + ASTBuilder visitor,
+sql_parser.go) and query/sql/util/udfRegister.go (the aql_* udf registry:
+aql_time_filter, aql_now, aql_time_bucket_*, aql_numeric_bucket_*).
+
+This is a hand-rolled clause parser rather than a generated one: the SQL
+subset AresDB accepts maps 1:1 onto AQLQuery, and expression text passes
+through verbatim (the AQL compiler re-parses it), so only the clause
+structure and the aql_* udfs need handling here.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+from aresdb_tpu.query.aql import AQLQuery
+
+# aql_time_bucket_X → bucketizer string (reference udfRegister.go:62-79)
+TIME_BUCKET_UDFS = {
+    "aql_time_bucket_minute": "minute",
+    "aql_time_bucket_minutes": "minutes",
+    "aql_time_bucket_hour": "hour",
+    "aql_time_bucket_hours": "hours",
+    "aql_time_bucket_day": "day",
+    "aql_time_bucket_week": "week",
+    "aql_time_bucket_month": "month",
+    "aql_time_bucket_quarter": "quarter",
+    "aql_time_bucket_year": "year",
+    "aql_time_bucket_time_of_day": "time of day",
+    "aql_time_bucket_minutes_of_day": "minutes of day",
+    "aql_time_bucket_hour_of_day": "hour of day",
+    "aql_time_bucket_hour_of_week": "hour of week",
+    "aql_time_bucket_day_of_week": "day of week",
+    "aql_time_bucket_day_of_month": "day of month",
+    "aql_time_bucket_day_of_year": "day of year",
+    "aql_time_bucket_month_of_year": "month of year",
+    "aql_time_bucket_quarter_of_year": "quarter of year",
+}
+
+NUMERIC_BUCKET_UDFS = {
+    "aql_numeric_bucket_bucket_width": "bucketWidth",
+    "aql_numeric_bucket_logbase": "logBase",
+    "aql_numeric_bucket_mannual_partitions": "manualPartitions",
+}
+
+AGG_FUNCS = ("count", "sum", "avg", "min", "max", "hll", "countdistincthll")
+
+_CLAUSES = ("select", "from", "where", "group by", "order by", "limit",
+            "having")
+
+
+class SQLParseError(ValueError):
+    pass
+
+
+def _strip_quote(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "\"'`":
+        return s[1:-1]
+    return s
+
+
+def _split_top_level(s: str, sep_pattern: str) -> List[str]:
+    """Split on a regex at paren/quote depth 0 (case-insensitive)."""
+    parts = []
+    depth = 0
+    quote = None
+    last = 0
+    i = 0
+    rx = re.compile(sep_pattern, re.IGNORECASE)
+    while i < len(s):
+        c = s[i]
+        if quote:
+            if c == quote:
+                quote = None
+            i += 1
+            continue
+        if c in "\"'`":
+            quote = c
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            depth -= 1
+            i += 1
+            continue
+        if depth == 0:
+            m = rx.match(s, i)
+            if m:
+                parts.append(s[last:i])
+                i = m.end()
+                last = i
+                continue
+        i += 1
+    parts.append(s[last:])
+    return parts
+
+
+def _find_clauses(sql: str) -> Dict[str, str]:
+    """Locate top-level clause bodies."""
+    s = sql.strip().rstrip(";")
+    # find clause keyword positions at depth 0
+    positions: List[Tuple[int, int, str]] = []
+    depth = 0
+    quote = None
+    i = 0
+    low = s.lower()
+    while i < len(s):
+        c = s[i]
+        if quote:
+            if c == quote:
+                quote = None
+            i += 1
+            continue
+        if c in "\"'`":
+            quote = c
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            depth -= 1
+            i += 1
+            continue
+        if depth == 0 and (i == 0 or not s[i - 1].isalnum()):
+            for kw in _CLAUSES:
+                if low.startswith(kw, i) and (
+                        i + len(kw) == len(s)
+                        or not s[i + len(kw)].isalnum()):
+                    positions.append((i, i + len(kw), kw))
+                    i += len(kw)
+                    break
+            else:
+                i += 1
+            continue
+        i += 1
+    clauses: Dict[str, str] = {}
+    for n, (start, body_start, kw) in enumerate(positions):
+        end = positions[n + 1][0] if n + 1 < len(positions) else len(s)
+        if kw in clauses:
+            raise SQLParseError(f"duplicate {kw.upper()} clause")
+        clauses[kw] = s[body_start:end].strip()
+    if "select" not in clauses or "from" not in clauses:
+        raise SQLParseError("query must have SELECT ... FROM ...")
+    return clauses
+
+
+def _parse_call(text: str) -> Optional[Tuple[str, List[str]]]:
+    """'fn(a, b, c)' → ('fn', ['a','b','c']) textually, else None."""
+    m = re.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*$", text, re.S)
+    if not m:
+        return None
+    name = m.group(1).lower()
+    inner = m.group(2).strip()
+    args = [a.strip() for a in _split_top_level(inner, r",")] if inner else []
+    return name, args
+
+
+def _split_as_alias(item: str) -> Tuple[str, str]:
+    parts = _split_top_level(item, r"\bas\b")
+    if len(parts) == 2:
+        return parts[0].strip(), _strip_quote(parts[1])
+    return item.strip(), ""
+
+
+def parse_sql(sql: str) -> AQLQuery:
+    """Parse one SQL statement into an AQLQuery JSON-equivalent object."""
+    clauses = _find_clauses(sql)
+    q: Dict = {"measures": [], "dimensions": [], "rowFilters": [], "joins": []}
+
+    # FROM: main table + joins
+    from_body = clauses["from"]
+    join_parts = _split_top_level(
+        from_body, r"(?:left\s+|inner\s+|cross\s+)?join\b")
+    main = join_parts[0].strip()
+    mparts = _split_top_level(main, r"\bas\b")
+    main_name = _strip_quote(mparts[0])
+    if len(mparts) == 2:
+        pass  # alias of the main table equals the table name in AQL
+    else:
+        toks = main.split()
+        if len(toks) == 2:
+            main_name = _strip_quote(toks[0])
+    q["table"] = main_name
+
+    for jp in join_parts[1:]:
+        on_split = _split_top_level(jp, r"\bon\b")
+        if len(on_split) != 2:
+            raise SQLParseError(f"JOIN missing ON condition: {jp!r}")
+        tbl_part, cond = on_split[0].strip(), on_split[1].strip()
+        tp = _split_top_level(tbl_part, r"\bas\b")
+        if len(tp) == 2:
+            tname, talias = _strip_quote(tp[0]), _strip_quote(tp[1])
+        else:
+            toks = tbl_part.split()
+            tname = _strip_quote(toks[0])
+            talias = _strip_quote(toks[1]) if len(toks) == 2 else ""
+        conditions = [c.strip()
+                      for c in _split_top_level(cond, r"\band\b") if c.strip()]
+        q["joins"].append({"table": tname, "alias": talias,
+                           "conditions": conditions})
+
+    # WHERE: split conjuncts; extract aql_time_filter / aql_now
+    timezone = ""
+    for conj in _split_top_level(clauses.get("where", ""), r"\band\b"):
+        conj = conj.strip()
+        if not conj:
+            continue
+        call = _parse_call(conj)
+        if call and call[0] == "aql_time_filter":
+            if len(call[1]) != 4:
+                raise SQLParseError("aql_time_filter requires 4 arguments")
+            col, frm, to, tz = call[1]
+            q["timeFilter"] = {"column": _strip_quote(col),
+                               "from": _strip_quote(frm),
+                               "to": _strip_quote(to)}
+            tz = _strip_quote(tz)
+            if tz and tz.lower() != "null":
+                timezone = tz
+            continue
+        if call and call[0] == "aql_now":
+            if len(call[1]) != 2:
+                raise SQLParseError("aql_now requires 2 arguments")
+            q["now"] = int(_strip_quote(call[1][1]))
+            continue
+        q["rowFilters"].append(conj)
+
+    # GROUP BY: dimensions
+    for item in _split_top_level(clauses.get("group by", ""), r","):
+        item = item.strip()
+        if not item:
+            continue
+        call = _parse_call(item)
+        if call and call[0] in TIME_BUCKET_UDFS:
+            if len(call[1]) != 3:
+                raise SQLParseError(f"{call[0]} requires 3 arguments")
+            col, unit, tz = (_strip_quote(a) for a in call[1])
+            q["dimensions"].append({
+                "sqlExpression": col,
+                "timeBucketizer": TIME_BUCKET_UDFS[call[0]],
+                "timeUnit": unit,
+            })
+            if tz and tz.lower() != "null":
+                if timezone and timezone != tz:
+                    raise SQLParseError(
+                        f"conflicting timezones {timezone!r} vs {tz!r}")
+                timezone = tz
+            continue
+        if call and call[0] in NUMERIC_BUCKET_UDFS:
+            if len(call[1]) != 2:
+                raise SQLParseError(f"{call[0]} requires 2 arguments")
+            col, expr_arg = call[1]
+            kind = NUMERIC_BUCKET_UDFS[call[0]]
+            nb: Dict = {}
+            if kind == "manualPartitions":
+                nb[kind] = [float(x) for x in
+                            _strip_quote(expr_arg).strip("[]{}()").split(",")]
+            else:
+                nb[kind] = float(_strip_quote(expr_arg))
+            q["dimensions"].append({"sqlExpression": _strip_quote(col),
+                                    "numericBucketizer": nb})
+            continue
+        q["dimensions"].append({"sqlExpression": item})
+
+    # SELECT: aggregate call → measure; non-agg items → dims (non-agg query)
+    group_dim_exprs = {d["sqlExpression"] for d in q["dimensions"]}
+    select_dims: List[Dict] = []
+    for item in _split_top_level(clauses["select"], r","):
+        item = item.strip()
+        if not item or item == "*":
+            continue
+        expr_text, alias = _split_as_alias(item)
+        call = _parse_call(expr_text)
+        if call and call[0] in AGG_FUNCS:
+            q["measures"].append({"sqlExpression": expr_text, "alias": alias})
+            continue
+        # select of a grouped dim (or its alias): attach alias
+        matched = False
+        for d in q["dimensions"]:
+            if d["sqlExpression"] == expr_text and alias and \
+                    not d.get("alias"):
+                d["alias"] = alias
+                matched = True
+                break
+        if expr_text in group_dim_exprs:
+            matched = True
+        if not matched:
+            select_dims.append({"sqlExpression": expr_text, "alias": alias})
+
+    if not q["measures"]:
+        # non-aggregate: selected columns become dims, measure literal 1
+        q["measures"] = [{"sqlExpression": "1"}]
+        q["dimensions"] = q["dimensions"] + select_dims
+    elif select_dims:
+        # selected non-grouped expressions are additional dimensions
+        q["dimensions"] = q["dimensions"] + select_dims
+    if len(q["measures"]) > 1:
+        raise SQLParseError("exactly one aggregate measure supported")
+
+    # ORDER BY / LIMIT
+    sorts = []
+    for item in _split_top_level(clauses.get("order by", ""), r","):
+        item = item.strip()
+        if not item:
+            continue
+        toks = item.split()
+        order = "asc"
+        if toks[-1].lower() in ("asc", "desc"):
+            order = toks[-1].lower()
+            item = " ".join(toks[:-1])
+        sorts.append({"name": _strip_quote(item), "order": order})
+    if sorts:
+        q["sorts"] = sorts
+    if "limit" in clauses:
+        try:
+            q["limit"] = int(clauses["limit"].strip())
+        except ValueError:
+            raise SQLParseError(f"invalid LIMIT {clauses['limit']!r}")
+    if timezone:
+        q["timezone"] = timezone
+    q["sql"] = sql
+    return AQLQuery.from_json(q)

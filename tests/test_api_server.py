@@ -1,0 +1,144 @@
+"""HTTP API + client SDK integration tests.
+
+Parity targets: api/query_handler_test.go, data_handler_test.go,
+schema_handler_test.go, enum_handler_test.go behaviors — run against a real
+in-process server like the reference integration test boots a full AresD
+(integration/integration_test.go).
+"""
+
+import json
+
+import pytest
+import requests
+
+from aresdb_tpu.api.server import ApiServer
+from aresdb_tpu.client import Connector
+from aresdb_tpu.diskstore.local_diskstore import LocalDiskStore
+from aresdb_tpu.memstore.memstore import MemStore
+from aresdb_tpu.memstore.scheduler import Scheduler
+from aresdb_tpu.metastore.disk_metastore import DiskMetaStore
+
+NOW = 1_600_000_000
+
+TRIPS = {
+    "name": "trips",
+    "columns": [
+        {"name": "request_at", "type": "Uint32"},
+        {"name": "id", "type": "Uint32"},
+        {"name": "status", "type": "SmallEnum"},
+        {"name": "fare", "type": "Float32"},
+    ],
+    "primaryKeyColumns": [1],
+    "isFactTable": True,
+    "config": {"batchSize": 64, "recordRetentionInDays": 0},
+}
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ares"))
+    ms = MemStore(DiskMetaStore(root), LocalDiskStore(root))
+    ms.fetch_schema()
+    sched = Scheduler(ms)
+    srv = ApiServer(ms, sched, port=0)
+    port = srv.start_background()
+    yield srv, port
+    srv.stop()
+
+
+@pytest.fixture(scope="module")
+def base(server):
+    return f"http://localhost:{server[1]}"
+
+
+def test_health(base):
+    r = requests.get(f"{base}/health")
+    assert r.status_code == 200 and r.text == "OK"
+
+
+def test_create_table_and_ingest_and_query(base, server):
+    _, port = server
+    conn = Connector("localhost", port)
+    conn.create_table(TRIPS)
+
+    r = requests.get(f"{base}/schema/tables")
+    assert "trips" in r.json()
+    r = requests.get(f"{base}/schema/tables/trips")
+    assert r.json()["name"] == "trips"
+
+    stats = conn.insert(
+        "trips", ["request_at", "id", "status", "fare"],
+        [
+            (NOW - 100, 1, "completed", 10.0),
+            (NOW - 200, 2, "completed", 5.0),
+            (NOW - 300, 3, "canceled", 2.0),
+            (NOW - 400, 4, None, None),
+        ])
+    assert stats["inserted"] == 4
+
+    resp = conn.query_aql({
+        "table": "trips",
+        "measures": [{"sqlExpression": "sum(fare)",
+                      "rowFilters": ["status='completed'"]}],
+        "now": NOW,
+    })
+    assert resp["results"][0][""] == pytest.approx(15.0)
+
+    resp = conn.query_sql(
+        f"SELECT count(*) FROM trips WHERE aql_now(request_at, {NOW})")
+    assert resp["results"][0][""] == 4.0
+
+
+def test_enum_endpoints(base):
+    r = requests.get(f"{base}/schema/tables/trips/columns/status/enum-cases")
+    cases = r.json()
+    assert "completed" in cases and "canceled" in cases
+
+    r = requests.post(
+        f"{base}/schema/tables/trips/columns/status/enum-cases",
+        json={"enumCases": ["rejected"]})
+    assert r.status_code == 200
+    r = requests.get(f"{base}/schema/tables/trips/columns/status/enum-cases")
+    assert "rejected" in r.json()
+
+
+def test_debug_endpoints(base):
+    r = requests.get(f"{base}/dbg/shards")
+    shards = r.json()
+    assert shards and shards[0]["table"] == "trips"
+    assert shards[0]["rowsVisible"] == 4
+
+    r = requests.get(f"{base}/dbg/trips/0")
+    info = r.json()
+    assert info["liveStore"]["primaryKeys"] == 4
+
+    r = requests.post(f"{base}/dbg/trips/0/backfill")
+    assert r.status_code == 200
+
+    r = requests.get(f"{base}/dbg/jobs")
+    assert "trips/0/backfill" in r.json()
+
+    r = requests.get(f"{base}/metrics")
+    snap = r.json()
+    assert any(k.startswith("query.received") for k in snap["counters"])
+
+
+def test_bad_requests(base):
+    r = requests.post(f"{base}/data/nope/0", data=b"garbage")
+    assert r.status_code == 400
+    r = requests.post(f"{base}/query/aql", data=b"{not json")
+    assert r.status_code == 400
+    r = requests.get(f"{base}/schema/tables/missing")
+    assert r.status_code == 404
+
+
+def test_ingestion_error_unknown_table(base):
+    from aresdb_tpu.common.upsert_batch import UpsertBatchBuilder
+    from aresdb_tpu.common import data_types as dt
+
+    b = UpsertBatchBuilder()
+    b.add_column(0, dt.Uint32)
+    b.add_row()
+    b.set_value(0, 0, 1)
+    r = requests.post(f"{base}/data/missing/0", data=b.to_bytes())
+    assert r.status_code == 404
