@@ -928,6 +928,12 @@ def plan_signature(plan: CompiledQuery) -> str:
         parts.append(f"{plan.measure.agg}:{plan.measure.expr}:{plan.measure.out_float}")
     for ft in plan.foreign_tables:
         parts.append(f"join:{ft.alias}:{ft.main_key_expr}:{ft.foreign_key_column}")
+    if plan.geo is not None:
+        g = plan.geo
+        parts.append(f"geo:{g.alias}:{g.shape_column}:{g.point_expr}:"
+                     f"{g.has_filter}:{g.exclude}")
+    parts.append("geodims:" + ",".join(
+        "1" if d.geo_dim else "0" for d in plan.dimensions))
     parts.append(f"nonagg:{plan.is_non_agg}")
     return "\x01".join(parts)
 
