@@ -272,6 +272,80 @@ class MetricsHandler(_Base):
         self.write_json(self.ctx.metrics.snapshot())
 
 
+# -- peer data copy (reference: datanode/bootstrap/bootstrap_server.go
+# FetchTableShardMetaData + FetchVectorPartyRawData gRPC streaming; here the
+# same roles over HTTP chunked transfer) --
+
+class PeerMetadataHandler(_Base):
+    def get(self, table: str, shard: str):
+        ms = self.ctx.memstore
+        sid = int(shard)
+        try:
+            ms.get_table_shard(table, sid)
+        except KeyError as e:
+            return self.write_error_json(404, str(e))
+        meta = ms.metastore
+        ds = ms.diskstore
+        cutoff = meta.get_archiving_cutoff(table, sid)
+        batches = meta.get_archive_batches(table, sid, cutoff)
+        rf, off = meta.get_backfill_progress(table, sid)
+        srf, soff, sbid, sidx = meta.get_snapshot_progress(table, sid)
+        self.write_json({
+            "archivingCutoff": cutoff,
+            "batches": {str(b): list(v) for b, v in batches.items()},
+            "backfillProgress": [rf, off],
+            "snapshotProgress": [srf, soff, sbid, sidx],
+            "redologs": ds.list_logs(table, sid),
+            "archiveColumns": {
+                f"{b}_{v[0]}_{v[1]}": ds.list_archive_batch_columns(
+                    table, sid, b, v[0], v[1])
+                for b, v in batches.items()
+            },
+            "snapshotBatches": {
+                str(b): ds.list_snapshot_batch_columns(
+                    table, sid, srf, soff, b)
+                for b in ds.list_snapshot_batches(table, sid, srf, soff)
+            },
+        })
+
+
+class PeerArchiveFileHandler(_Base):
+    def get(self, table, shard, batch, version, seq, col):
+        data = self.ctx.memstore.diskstore.read_archive_column(
+            table, int(shard), int(batch), int(version), int(seq), int(col))
+        if data is None:
+            return self.write_error_json(404, "no such archive column")
+        self.set_header("Content-Type", "application/octet-stream")
+        self.finish(data)
+
+
+class PeerSnapshotFileHandler(_Base):
+    def get(self, table, shard, rf, off, batch, col):
+        data = self.ctx.memstore.diskstore.read_snapshot_column(
+            table, int(shard), int(rf), int(off), int(batch), int(col))
+        if data is None:
+            return self.write_error_json(404, "no such snapshot column")
+        self.set_header("Content-Type", "application/octet-stream")
+        self.finish(data)
+
+
+class PeerRedologHandler(_Base):
+    def get(self, table, shard, creation_time):
+        import os
+        p = self.ctx.memstore.diskstore.redolog_path(
+            table, int(shard), int(creation_time))
+        if not os.path.exists(p):
+            return self.write_error_json(404, "no such redolog")
+        self.set_header("Content-Type", "application/octet-stream")
+        with open(p, "rb") as f:
+            while True:
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    break
+                self.write(chunk)
+        self.finish()
+
+
 def make_app(ctx: ServerContext) -> tornado.web.Application:
     a = {"ctx": ctx}
     return tornado.web.Application([
@@ -290,6 +364,12 @@ def make_app(ctx: ServerContext) -> tornado.web.Application:
          JobTriggerHandler, a),
         (r"/dbg/([^/]+)/(\d+)", ShardDebugHandler, a),
         (r"/metrics", MetricsHandler, a),
+        (r"/peer/([^/]+)/(\d+)/metadata", PeerMetadataHandler, a),
+        (r"/peer/([^/]+)/(\d+)/archive/(-?\d+)/(\d+)/(\d+)/(\d+)",
+         PeerArchiveFileHandler, a),
+        (r"/peer/([^/]+)/(\d+)/snapshot/(\d+)/(\d+)/(-?\d+)/(\d+)",
+         PeerSnapshotFileHandler, a),
+        (r"/peer/([^/]+)/(\d+)/redolog/(\d+)", PeerRedologHandler, a),
     ])
 
 

@@ -1,0 +1,176 @@
+"""Broker HTTP service: /query/aql and /query/sql fan-out endpoints.
+
+Reference: broker/handler.go:36 + cmd/broker/cmd/cmd.go:43.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import tornado.ioloop
+import tornado.web
+
+from aresdb_tpu.broker.executor import BrokerError, BrokerExecutor
+
+
+class _Base(tornado.web.RequestHandler):
+    def initialize(self, executor: BrokerExecutor, pool):
+        self.executor = executor
+        self.pool = pool
+
+    def write_json(self, obj, status=200):
+        self.set_status(status)
+        self.set_header("Content-Type", "application/json")
+        self.finish(json.dumps(obj, default=str))
+
+    def body(self):
+        try:
+            return json.loads(self.request.body or b"{}")
+        except json.JSONDecodeError as e:
+            raise tornado.web.HTTPError(400, reason=str(e))
+
+    async def _run_queries(self, queries):
+        loop = tornado.ioloop.IOLoop.current()
+        results, errors, had_error = [], [], False
+        for q in queries:
+            try:
+                r = await loop.run_in_executor(
+                    self.pool, self.executor.execute, q)
+                results.append(r)
+                errors.append(None)
+            except (BrokerError, ValueError, KeyError) as e:
+                results.append({})
+                errors.append(str(e))
+                had_error = True
+        resp = {"results": results}
+        if had_error:
+            resp["errors"] = errors
+        return resp
+
+
+class BrokerAQLHandler(_Base):
+    async def post(self):
+        resp = await self._run_queries(self.body().get("queries", []))
+        self.write_json(resp)
+
+
+class BrokerSQLHandler(_Base):
+    async def post(self):
+        from aresdb_tpu.query.aql import AQLQuery  # noqa: F401
+        from aresdb_tpu.query.sql import SQLParseError, parse_sql
+
+        queries = []
+        errors = []
+        for stmt in self.body().get("queries", []):
+            try:
+                q = parse_sql(stmt)
+                # round-trip via the json form the executor consumes
+                queries.append(_aql_to_json(q))
+                errors.append(None)
+            except SQLParseError as e:
+                queries.append(None)
+                errors.append(str(e))
+        results = []
+        final_errors = []
+        had_error = False
+        loop = tornado.ioloop.IOLoop.current()
+        for q, err in zip(queries, errors):
+            if err is not None:
+                results.append({})
+                final_errors.append(err)
+                had_error = True
+                continue
+            try:
+                r = await loop.run_in_executor(
+                    self.pool, self.executor.execute, q)
+                results.append(r)
+                final_errors.append(None)
+            except (BrokerError, ValueError, KeyError) as e:
+                results.append({})
+                final_errors.append(str(e))
+                had_error = True
+        resp = {"results": results}
+        if had_error:
+            resp["errors"] = final_errors
+        self.write_json(resp)
+
+
+class HealthHandler(tornado.web.RequestHandler):
+    def get(self):
+        self.finish("OK")
+
+
+def _aql_to_json(q) -> dict:
+    """AQLQuery dataclass → executor-consumable json dict."""
+    out = {
+        "table": q.table,
+        "measures": [
+            {"sqlExpression": m.expr, "alias": m.alias,
+             "rowFilters": m.filters} for m in q.measures
+        ],
+        "dimensions": [
+            {"sqlExpression": d.expr, "alias": d.alias,
+             "timeBucketizer": d.time_bucketizer, "timeUnit": d.time_unit}
+            for d in q.dimensions
+        ],
+        "rowFilters": q.filters,
+        "joins": [{"table": j.table, "alias": j.alias,
+                   "conditions": j.conditions} for j in q.joins],
+    }
+    if not q.time_filter.empty:
+        out["timeFilter"] = {"column": q.time_filter.column,
+                             "from": q.time_filter.from_,
+                             "to": q.time_filter.to}
+    if q.timezone:
+        out["timezone"] = q.timezone
+    if q.now:
+        out["now"] = q.now
+    if q.limit:
+        out["limit"] = q.limit
+    return out
+
+
+class BrokerServer:
+    def __init__(self, topology, port: int = 0):
+        self.executor = BrokerExecutor(topology)
+        self.pool = ThreadPoolExecutor(max_workers=16)
+        a = {"executor": self.executor, "pool": self.pool}
+        self.app = tornado.web.Application([
+            (r"/query/aql", BrokerAQLHandler, a),
+            (r"/query/sql", BrokerSQLHandler, a),
+            (r"/health", HealthHandler),
+        ])
+        self.port = port
+        self._loop = None
+        self._thread = None
+        self._started = threading.Event()
+
+    def start_background(self) -> int:
+        import asyncio
+
+        import tornado.httpserver
+        import tornado.netutil
+
+        def run():
+            asyncio.set_event_loop(asyncio.new_event_loop())
+            self._loop = tornado.ioloop.IOLoop.current()
+            sockets = tornado.netutil.bind_sockets(self.port)
+            self.port = sockets[0].getsockname()[1]
+            server = tornado.httpserver.HTTPServer(self.app)
+            server.add_sockets(sockets)
+            self._started.set()
+            self._loop.start()
+
+        self._thread = threading.Thread(target=run, daemon=True,
+                                        name="ares-broker")
+        self._thread.start()
+        self._started.wait(timeout=10)
+        return self.port
+
+    def stop(self):
+        if self._loop is not None:
+            self._loop.add_callback(self._loop.stop)
+        if self._thread is not None:
+            self._thread.join(timeout=5)

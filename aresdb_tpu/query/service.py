@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List
 
-from aresdb_tpu.query.aql import AQLQuery, AQLRequest
+from aresdb_tpu.query.aql import AQLQuery
 from aresdb_tpu.query.compiler import Compiler, QueryError
 from aresdb_tpu.query.executor import ShardExecutor
 from aresdb_tpu.query.postprocess import build_agg_result, build_non_agg_result
@@ -21,13 +21,15 @@ class QueryService:
 
     def handle_aql(self, request: Dict[str, Any]) -> Dict[str, Any]:
         """Process an AQLRequest JSON dict; returns AQLResponse-shaped dict."""
-        req = AQLRequest.from_json(request)
         results: List[Dict[str, Any]] = []
         errors: List[Any] = []
         had_error = False
-        for q in req.queries:
+        for qd in request.get("queries", []):
+            hll_data = bool(qd.pop("_hllData", False)) if isinstance(qd, dict) \
+                else False
             try:
-                results.append(self.handle_query(q))
+                q = AQLQuery.from_json(qd)
+                results.append(self.handle_query(q, hll_data=hll_data))
                 errors.append(None)
             except (QueryError, KeyError, ValueError) as e:
                 results.append({})
@@ -58,10 +60,11 @@ class QueryService:
             resp["errors"] = errors
         return resp
 
-    def handle_query(self, q: AQLQuery) -> Dict[str, Any]:
+    def handle_query(self, q: AQLQuery, hll_data: bool = False
+                     ) -> Dict[str, Any]:
         compiler = Compiler(self.memstore.get_schemas())
         plan = compiler.compile(q)
         table, rows = self.executor.execute(plan)
         if plan.is_non_agg:
             return build_non_agg_result(plan, rows)
-        return build_agg_result(plan, table)
+        return build_agg_result(plan, table, hll_data=hll_data)
