@@ -14,7 +14,7 @@ import numpy as np
 from aresdb_tpu.common import data_types as dt
 from aresdb_tpu.common.schema import TableSchema
 from aresdb_tpu.memstore.common import BASE_BATCH_ID, RecordID
-from aresdb_tpu.memstore.primary_key import PrimaryKey
+from aresdb_tpu.memstore.primary_key import make_primary_key
 from aresdb_tpu.memstore.vector_party import LiveVectorParty
 
 
@@ -62,7 +62,7 @@ class LiveStore:
         self.archiving_cutoff_high_watermark = 0
         self.backfill_cutoff = 0
         has_event_time = schema.table.is_fact_table
-        self.primary_key = PrimaryKey(schema.primary_key_bytes, has_event_time)
+        self.primary_key = make_primary_key(schema.primary_key_bytes, has_event_time)
         self.lock = threading.RLock()
 
     # ------------------------------------------------------------------
@@ -113,6 +113,14 @@ class LiveStore:
             index += 1
         self.next_write_record = RecordID(batch_id, index)
         return out
+
+    def set_next_write_record(self, batch_id: int, index: int) -> None:
+        """Install an externally-allocated write position (native classify),
+        creating any batches the allocation spilled into."""
+        cur = self.next_write_record.batch_id
+        for bid in range(cur, batch_id + 1):
+            self._get_or_create_batch(bid)
+        self.next_write_record = RecordID(batch_id, index)
 
     def advance_last_read_record(self) -> None:
         """Publish all written rows to queries."""

@@ -43,8 +43,25 @@ def build_keys(columns: List[np.ndarray], n: int) -> List[bytes]:
     return [raw[i * width:(i + 1) * width] for i in range(n)]
 
 
+def make_primary_key(key_bytes: int, has_event_time: bool = False):
+    """Native C++ cuckoo index when available, python dict fallback.
+
+    Disable the native backend with ARES_NATIVE=0.
+    """
+    import os
+
+    if os.environ.get("ARES_NATIVE", "1") != "0":
+        try:
+            from aresdb_tpu.memstore.native_primary_key import NativePrimaryKey
+
+            return NativePrimaryKey(key_bytes, has_event_time)
+        except (RuntimeError, OSError):
+            pass
+    return PrimaryKey(key_bytes, has_event_time)
+
+
 class PrimaryKey:
-    """Exact-map primary key index with event-time TTL."""
+    """Exact-map primary key index with event-time TTL (python fallback)."""
 
     def __init__(self, key_bytes: int, has_event_time: bool = False):
         self.key_bytes = key_bytes

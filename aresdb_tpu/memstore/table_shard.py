@@ -215,7 +215,6 @@ class TableShard:
 
         key_ids = schema.table.primary_key_columns
         key_cols, key_valid = key_columns_from_batch_columns(key_ids, cols_by_id, n)
-        keys = build_keys(key_cols, n)
 
         cutoff = self.live_store.archiving_cutoff_high_watermark
         retention_days = schema.table.config.record_retention_in_days
@@ -224,6 +223,17 @@ class TableShard:
             retention_ts = clock.now_unix() - retention_days * 86400
 
         pk = self.live_store.primary_key
+
+        # native fast path: the entire row classification runs in one C++
+        # call against the cuckoo index (reference: Go insertPrimaryKeys over
+        # the C-memory index); python only does vectorized column writes
+        from aresdb_tpu.memstore.native_primary_key import NativePrimaryKey
+        if isinstance(pk, NativePrimaryKey):
+            return self._apply_native(
+                batch, cols_by_id, key_cols, key_valid, event_times, fact,
+                cutoff, retention_ts, stats, recovery, redo_file, batch_offset)
+
+        keys = build_keys(key_cols, n)
         insert_rows: List[int] = []
         pending: Dict[bytes, int] = {}  # key -> ordinal in insert_rows
         update_rows: List[int] = []
@@ -280,6 +290,76 @@ class TableShard:
                 batch, np.asarray(backfill_rows, dtype=np.int64),
                 redo_file, batch_offset)
         return stats
+
+    def _apply_native(self, batch: UpsertBatch, cols_by_id, key_cols,
+                      key_valid, event_times, fact: bool, cutoff: int,
+                      retention_ts: int, stats: IngestionStats,
+                      recovery: bool, redo_file: int, batch_offset: int
+                      ) -> IngestionStats:
+        """Batch-classified ingestion via the C++ cuckoo index."""
+        from aresdb_tpu.memstore.native_primary_key import build_key_matrix
+
+        n = batch.num_rows
+        ls = self.live_store
+        pk = ls.primary_key
+        km = build_key_matrix(key_cols, n)
+        nb, ni = ls.next_write_record
+        actions, dest_b, dest_i, counts = pk.classify_batch(
+            km, key_valid, event_times if fact else None,
+            cutoff if fact else 0, retention_ts, nb, ni, ls.batch_size)
+        ls.set_next_write_record(int(counts[5]), int(counts[6]))
+
+        stats.inserted = int(counts[0])
+        stats.updated = int(counts[1])
+        stats.backfilled = int(counts[2])
+        stats.skipped_retention = int(counts[3])
+        stats.skipped_null_pk = int(counts[4])
+
+        insert_rows = np.nonzero(actions == 1)[0]
+        update_rows = np.nonzero(actions == 2)[0]
+        self._write_rows_arrays(batch, insert_rows, dest_b[insert_rows],
+                                dest_i[insert_rows], inserts=True)
+        self._write_rows_arrays(batch, update_rows, dest_b[update_rows],
+                                dest_i[update_rows], inserts=False)
+
+        backfill_rows = np.nonzero(actions == 3)[0]
+        if len(backfill_rows) and self.backfill_manager is not None \
+                and not recovery:
+            self.backfill_manager.append(
+                batch, backfill_rows.astype(np.int64), redo_file,
+                batch_offset)
+        return stats
+
+    def _write_rows_arrays(self, batch: UpsertBatch, rows: np.ndarray,
+                           dest_batches: np.ndarray, dest_idx: np.ndarray,
+                           inserts: bool) -> None:
+        """Columnar writes grouped by destination live batch (array form)."""
+        if len(rows) == 0:
+            return
+        for bid in np.unique(dest_batches):
+            live_batch = self.live_store.get_batch(int(bid))
+            m = dest_batches == bid
+            src = rows[m]
+            dst = dest_idx[m]
+            if inserts:
+                for col in batch.columns:
+                    vp = live_batch.get_or_create_column(col.column_id)
+                    if col.is_array:
+                        vp.write_rows(dst, None, col.validity[src],
+                                      [col.array_values[int(r)] for r in src])
+                    else:
+                        vp.write_rows(dst, col.values[src], col.validity[src])
+            else:
+                flat = dest_batches[m].astype(np.int64) * (1 << 32) + dst
+                has_dups = len(np.unique(flat)) != len(flat)
+                for col in batch.columns:
+                    if col.column_id in self.schema.table.primary_key_columns:
+                        continue
+                    vp = live_batch.get_or_create_column(col.column_id)
+                    if has_dups or col.is_array:
+                        self._apply_update_sequential(vp, col, src, dst)
+                    else:
+                        self._apply_update_vectorized(vp, col, src, dst)
 
     def _validate_batch_schema(self, batch: UpsertBatch) -> None:
         columns = self.schema.table.columns

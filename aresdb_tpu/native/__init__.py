@@ -1,0 +1,83 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The shared library is built on first import with g++ (the environment's
+native toolchain); Python fallbacks exist for every component so the
+framework degrades gracefully where no compiler is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "cuckoo_index.cpp")
+_LIB = os.path.join(_DIR, "libaresnative.so")
+
+_lock = threading.Lock()
+_lib = None
+_load_error: str = ""
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _LIB,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+
+
+def load():
+    """Returns the ctypes library handle, building if needed; None on failure."""
+    global _lib, _load_error
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _load_error:
+            return None
+        try:
+            src_mtime = os.path.getmtime(_SRC)
+            if not os.path.exists(_LIB) or \
+                    os.path.getmtime(_LIB) < src_mtime:
+                _build()
+            lib = ctypes.CDLL(_LIB)
+        except (OSError, subprocess.SubprocessError) as e:
+            _load_error = str(e)
+            return None
+        c = ctypes.c_void_p
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+
+        lib.cuckoo_new.restype = c
+        lib.cuckoo_new.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.cuckoo_free.argtypes = [c]
+        lib.cuckoo_size.restype = ctypes.c_int64
+        lib.cuckoo_size.argtypes = [c]
+        lib.cuckoo_bytes.restype = ctypes.c_int64
+        lib.cuckoo_bytes.argtypes = [c]
+        lib.cuckoo_set_cutoff.argtypes = [c, ctypes.c_uint32]
+        lib.cuckoo_find.restype = ctypes.c_int
+        lib.cuckoo_find.argtypes = [c, u8p, i32p, u32p]
+        lib.cuckoo_find_or_insert.restype = ctypes.c_int
+        lib.cuckoo_find_or_insert.argtypes = [
+            c, u8p, ctypes.c_int32, ctypes.c_uint32, ctypes.c_uint32,
+            i32p, u32p]
+        lib.cuckoo_update.restype = ctypes.c_int
+        lib.cuckoo_update.argtypes = [c, u8p, ctypes.c_int32, ctypes.c_uint32]
+        lib.cuckoo_delete.argtypes = [c, u8p]
+        lib.cuckoo_classify.argtypes = [
+            c, u8p, ctypes.c_int, u8p, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_uint32, ctypes.c_uint32,
+            u8p, i32p, u32p, i32p]
+        lib.cuckoo_dump.restype = ctypes.c_int64
+        lib.cuckoo_dump.argtypes = [c, u8p, i32p, u32p, ctypes.c_int64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None

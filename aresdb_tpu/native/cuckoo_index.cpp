@@ -1,0 +1,456 @@
+// Cuckoo primary-key index with batch upsert classification.
+//
+// Native equivalent of the reference's C-memory CuckooIndex
+// (memstore/cuckoo_index.go:66: 8-slot buckets, per-slot signature byte,
+// 4 hash seeds, stash, random-walk eviction, optional eventTime lanes with
+// lazy TTL expiry) plus the per-row classification loop of
+// memstore/ingestion.go insertPrimaryKeys lifted to one native call per
+// upsert batch — the Python layer only does vectorized column writes.
+//
+// Divergence from the reference layout: the GPU probe sharing this memory
+// (query/hash_lookup.cu) has no TPU equivalent — joins probe a per-snapshot
+// sorted key table instead — so the bucket memory layout here is free to be
+// cache-friendly rather than device-sharable. Resize grows 2x (reference:
+// 1.2x) since no device mirror constrains the allocation.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <new>
+
+namespace {
+
+constexpr int kBucketSize = 8;     // slots per bucket (reference HASH_BUCKET_SIZE)
+constexpr int kNumHashes = 4;      // hash seeds (reference NumHashes)
+constexpr int kStashSize = 4;      // overflow stash slots
+constexpr int kMaxEvictions = 32;  // random-walk bound before resize
+
+// murmur3 x86 32-bit (matching utils/hash.go Murmur3Sum32 semantics)
+uint32_t murmur3_32(const uint8_t* key, int len, uint32_t seed) {
+  const uint32_t c1 = 0xcc9e2d51u, c2 = 0x1b873593u;
+  uint32_t h = seed;
+  const int nblocks = len / 4;
+  for (int i = 0; i < nblocks; i++) {
+    uint32_t k;
+    std::memcpy(&k, key + i * 4, 4);
+    k *= c1;
+    k = (k << 15) | (k >> 17);
+    k *= c2;
+    h ^= k;
+    h = (h << 13) | (h >> 19);
+    h = h * 5 + 0xe6546b64u;
+  }
+  uint32_t k = 0;
+  const uint8_t* tail = key + nblocks * 4;
+  switch (len & 3) {
+    case 3: k ^= static_cast<uint32_t>(tail[2]) << 16; [[fallthrough]];
+    case 2: k ^= static_cast<uint32_t>(tail[1]) << 8; [[fallthrough]];
+    case 1:
+      k ^= tail[0];
+      k *= c1;
+      k = (k << 15) | (k >> 17);
+      k *= c2;
+      h ^= k;
+  }
+  h ^= static_cast<uint32_t>(len);
+  h ^= h >> 16;
+  h *= 0x85ebca6bu;
+  h ^= h >> 13;
+  h *= 0xc2b2ae35u;
+  h ^= h >> 16;
+  return h;
+}
+
+struct RecordID {
+  int32_t batch_id;
+  uint32_t index;
+};
+
+struct Slot {
+  uint8_t signature;  // 0 = empty (reference: signature forced >= 1)
+  RecordID record;
+  uint32_t event_time;
+};
+
+struct Bucket {
+  Slot slots[kBucketSize];
+};
+
+class CuckooIndex {
+ public:
+  CuckooIndex(int key_bytes, bool has_event_time, int init_buckets)
+      : key_bytes_(key_bytes), has_event_time_(has_event_time) {
+    num_buckets_ = 16;
+    while (num_buckets_ < init_buckets) num_buckets_ <<= 1;
+    alloc_tables();
+    seed_base_ = 0x9e3779b9u;
+  }
+
+  ~CuckooIndex() {
+    std::free(buckets_);
+    std::free(keys_);
+    std::free(stash_keys_);
+  }
+
+  int64_t size() const { return size_; }
+
+  int64_t allocated_bytes() const {
+    return static_cast<int64_t>(num_buckets_) *
+               (sizeof(Bucket) + kBucketSize * key_bytes_) +
+           kStashSize * (sizeof(Slot) + key_bytes_);
+  }
+
+  void set_cutoff(uint32_t cutoff) { cutoff_ = cutoff; }
+
+  bool find(const uint8_t* key, RecordID* out) {
+    Slot* s = lookup(key);
+    if (s == nullptr) return false;
+    if (expired(*s)) {
+      s->signature = 0;
+      size_--;
+      return false;
+    }
+    *out = s->record;
+    return true;
+  }
+
+  // returns 1 if existing (out = stored record), 0 if inserted (out = rec)
+  int find_or_insert(const uint8_t* key, RecordID rec, uint32_t event_time,
+                     RecordID* out) {
+    Slot* s = lookup(key);
+    if (s != nullptr) {
+      if (!expired(*s)) {
+        *out = s->record;
+        return 1;
+      }
+      // expired: reuse the slot in place
+      s->record = rec;
+      s->event_time = event_time;
+      *out = rec;
+      return 0;
+    }
+    insert(key, rec, event_time);
+    *out = rec;
+    return 0;
+  }
+
+  bool update(const uint8_t* key, RecordID rec) {
+    Slot* s = lookup(key);
+    if (s == nullptr || expired(*s)) return false;
+    s->record = rec;
+    return true;
+  }
+
+  void erase(const uint8_t* key) {
+    Slot* s = lookup(key);
+    if (s != nullptr) {
+      s->signature = 0;
+      size_--;
+    }
+  }
+
+  // Batch classification: the whole insertPrimaryKeys row loop in one call.
+  // actions: 0 skip-null-pk, 1 insert, 2 update, 3 backfill, 4 retention.
+  // For insert rows, destination records are allocated sequentially from
+  // (next_batch, next_index) spilling at batch_capacity. Duplicate keys in
+  // the same batch become updates of the pending insert's record.
+  void classify(const uint8_t* keys, int n, const uint8_t* key_valid,
+                const int64_t* event_times, int64_t cutoff,
+                int64_t retention_ts, int32_t next_batch, uint32_t next_index,
+                uint32_t batch_capacity, uint8_t* actions, int32_t* out_batch,
+                uint32_t* out_index, int32_t* out_counts) {
+    int32_t inserted = 0, updated = 0, backfilled = 0, retention = 0,
+            nullpk = 0;
+    for (int i = 0; i < n; i++) {
+      const uint8_t* key = keys + static_cast<int64_t>(i) * key_bytes_;
+      if (!key_valid[i]) {
+        actions[i] = 0;
+        nullpk++;
+        continue;
+      }
+      int64_t et = event_times ? event_times[i] : 0;
+      if (retention_ts > 0 && et < retention_ts) {
+        actions[i] = 4;
+        retention++;
+        continue;
+      }
+      RecordID found;
+      if (find(key, &found)) {
+        actions[i] = 2;
+        out_batch[i] = found.batch_id;
+        out_index[i] = found.index;
+        updated++;
+        continue;
+      }
+      if (cutoff > 0 && et < cutoff) {
+        actions[i] = 3;
+        backfilled++;
+        continue;
+      }
+      if (next_index >= batch_capacity) {
+        next_batch++;
+        next_index = 0;
+      }
+      RecordID rec{next_batch, next_index};
+      next_index++;
+      RecordID out;
+      find_or_insert(key, rec, static_cast<uint32_t>(et), &out);
+      actions[i] = 1;
+      out_batch[i] = rec.batch_id;
+      out_index[i] = rec.index;
+      inserted++;
+    }
+    out_counts[0] = inserted;
+    out_counts[1] = updated;
+    out_counts[2] = backfilled;
+    out_counts[3] = retention;
+    out_counts[4] = nullpk;
+    out_counts[5] = next_batch;
+    out_counts[6] = static_cast<int32_t>(next_index);
+  }
+
+  // iterate all live entries: fills keys/records up to cap, returns count
+  int64_t dump(uint8_t* keys_out, int32_t* batch_out, uint32_t* index_out,
+               int64_t cap) {
+    int64_t k = 0;
+    for (uint64_t b = 0; b < num_buckets_ && k < cap; b++) {
+      for (int s = 0; s < kBucketSize && k < cap; s++) {
+        Slot& slot = buckets_[b].slots[s];
+        if (slot.signature != 0 && !expired(slot)) {
+          std::memcpy(keys_out + k * key_bytes_, bucket_key(b, s), key_bytes_);
+          batch_out[k] = slot.record.batch_id;
+          index_out[k] = slot.record.index;
+          k++;
+        }
+      }
+    }
+    for (int s = 0; s < kStashSize && k < cap; s++) {
+      if (stash_[s].signature != 0 && !expired(stash_[s])) {
+        std::memcpy(keys_out + k * key_bytes_, stash_keys_ + s * key_bytes_,
+                    key_bytes_);
+        batch_out[k] = stash_[s].record.batch_id;
+        index_out[k] = stash_[s].record.index;
+        k++;
+      }
+    }
+    return k;
+  }
+
+ private:
+  void alloc_tables() {
+    buckets_ = static_cast<Bucket*>(
+        std::calloc(num_buckets_, sizeof(Bucket)));
+    keys_ = static_cast<uint8_t*>(
+        std::calloc(num_buckets_ * kBucketSize, key_bytes_));
+    stash_keys_ = static_cast<uint8_t*>(std::calloc(kStashSize, key_bytes_));
+    std::memset(stash_, 0, sizeof(stash_));
+    if (!buckets_ || !keys_ || !stash_keys_) throw std::bad_alloc();
+  }
+
+  uint8_t* bucket_key(uint64_t bucket, int slot) {
+    return keys_ + (bucket * kBucketSize + slot) * key_bytes_;
+  }
+
+  bool expired(const Slot& s) const {
+    return has_event_time_ && cutoff_ != 0 && s.event_time != 0 &&
+           s.event_time < cutoff_;
+  }
+
+  uint8_t signature_of(uint32_t hash) const {
+    uint8_t sig = static_cast<uint8_t>(hash >> 24);
+    return sig < 1 ? 1 : sig;  // reference: signature forced >= 1
+  }
+
+  Slot* lookup(const uint8_t* key) {
+    for (int h = 0; h < kNumHashes; h++) {
+      uint32_t hash = murmur3_32(key, key_bytes_, seed_base_ + h);
+      uint64_t b = hash & (num_buckets_ - 1);
+      uint8_t sig = signature_of(hash);
+      for (int s = 0; s < kBucketSize; s++) {
+        Slot& slot = buckets_[b].slots[s];
+        if (slot.signature == sig &&
+            std::memcmp(bucket_key(b, s), key, key_bytes_) == 0) {
+          return &slot;
+        }
+      }
+    }
+    for (int s = 0; s < kStashSize; s++) {
+      if (stash_[s].signature != 0 &&
+          std::memcmp(stash_keys_ + s * key_bytes_, key, key_bytes_) == 0) {
+        return &stash_[s];
+      }
+    }
+    return nullptr;
+  }
+
+  void insert(const uint8_t* key, RecordID rec, uint32_t event_time) {
+    uint8_t cur_key[256];
+    std::memcpy(cur_key, key, key_bytes_);
+    Slot cur{0, rec, event_time};
+    uint32_t h0 = murmur3_32(cur_key, key_bytes_, seed_base_);
+    cur.signature = signature_of(h0);
+
+    for (int evict = 0; evict < kMaxEvictions; evict++) {
+      // try all hash positions for an empty (or expired) slot
+      for (int h = 0; h < kNumHashes; h++) {
+        uint32_t hash = murmur3_32(cur_key, key_bytes_, seed_base_ + h);
+        uint64_t b = hash & (num_buckets_ - 1);
+        uint8_t sig = signature_of(hash);
+        for (int s = 0; s < kBucketSize; s++) {
+          Slot& slot = buckets_[b].slots[s];
+          if (slot.signature == 0 || expired(slot)) {
+            if (slot.signature != 0) size_--;  // replacing expired
+            slot = cur;
+            slot.signature = sig;
+            std::memcpy(bucket_key(b, s), cur_key, key_bytes_);
+            size_++;
+            return;
+          }
+        }
+      }
+      // random-walk eviction: displace a pseudo-random slot of hash-0 bucket
+      uint32_t hash = murmur3_32(cur_key, key_bytes_, seed_base_);
+      uint64_t b = hash & (num_buckets_ - 1);
+      int victim = (rng_state_ = rng_state_ * 1103515245u + 12345u) %
+                   kBucketSize;
+      Slot tmp = buckets_[b].slots[victim];
+      uint8_t tmp_key[256];
+      std::memcpy(tmp_key, bucket_key(b, victim), key_bytes_);
+      buckets_[b].slots[victim] = cur;
+      buckets_[b].slots[victim].signature = signature_of(hash);
+      std::memcpy(bucket_key(b, victim), cur_key, key_bytes_);
+      cur = tmp;
+      std::memcpy(cur_key, tmp_key, key_bytes_);
+    }
+    // stash, else resize
+    for (int s = 0; s < kStashSize; s++) {
+      if (stash_[s].signature == 0 || expired(stash_[s])) {
+        if (stash_[s].signature != 0) size_--;
+        stash_[s] = cur;
+        if (stash_[s].signature == 0) stash_[s].signature = 1;
+        std::memcpy(stash_keys_ + s * key_bytes_, cur_key, key_bytes_);
+        size_++;
+        return;
+      }
+    }
+    resize();
+    insert(cur_key, cur.record, cur.event_time);
+  }
+
+  void resize() {
+    uint64_t old_buckets = num_buckets_;
+    Bucket* ob = buckets_;
+    uint8_t* ok = keys_;
+    Slot old_stash[kStashSize];
+    std::memcpy(old_stash, stash_, sizeof(stash_));
+    uint8_t* osk = stash_keys_;
+
+    num_buckets_ <<= 1;
+    size_ = 0;
+    alloc_tables();
+
+    for (uint64_t b = 0; b < old_buckets; b++) {
+      for (int s = 0; s < kBucketSize; s++) {
+        Slot& slot = ob[b].slots[s];
+        if (slot.signature != 0 && !expired(slot)) {
+          insert(ok + (b * kBucketSize + s) * key_bytes_, slot.record,
+                 slot.event_time);
+        }
+      }
+    }
+    for (int s = 0; s < kStashSize; s++) {
+      if (old_stash[s].signature != 0 && !expired(old_stash[s])) {
+        insert(osk + s * key_bytes_, old_stash[s].record,
+               old_stash[s].event_time);
+      }
+    }
+    std::free(ob);
+    std::free(ok);
+    std::free(osk);
+  }
+
+  int key_bytes_;
+  bool has_event_time_;
+  uint64_t num_buckets_ = 0;
+  Bucket* buckets_ = nullptr;
+  uint8_t* keys_ = nullptr;
+  Slot stash_[kStashSize];
+  uint8_t* stash_keys_ = nullptr;
+  int64_t size_ = 0;
+  uint32_t cutoff_ = 0;
+  uint32_t seed_base_;
+  uint32_t rng_state_ = 0x12345678u;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* cuckoo_new(int key_bytes, int has_event_time, int init_buckets) {
+  if (key_bytes <= 0 || key_bytes > 256) return nullptr;
+  try {
+    return new CuckooIndex(key_bytes, has_event_time != 0, init_buckets);
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+void cuckoo_free(void* h) { delete static_cast<CuckooIndex*>(h); }
+
+int64_t cuckoo_size(void* h) { return static_cast<CuckooIndex*>(h)->size(); }
+
+int64_t cuckoo_bytes(void* h) {
+  return static_cast<CuckooIndex*>(h)->allocated_bytes();
+}
+
+void cuckoo_set_cutoff(void* h, uint32_t cutoff) {
+  static_cast<CuckooIndex*>(h)->set_cutoff(cutoff);
+}
+
+int cuckoo_find(void* h, const uint8_t* key, int32_t* batch, uint32_t* index) {
+  RecordID rec;
+  if (!static_cast<CuckooIndex*>(h)->find(key, &rec)) return 0;
+  *batch = rec.batch_id;
+  *index = rec.index;
+  return 1;
+}
+
+int cuckoo_find_or_insert(void* h, const uint8_t* key, int32_t batch,
+                          uint32_t index, uint32_t event_time,
+                          int32_t* out_batch, uint32_t* out_index) {
+  RecordID out;
+  int existing = static_cast<CuckooIndex*>(h)->find_or_insert(
+      key, RecordID{batch, index}, event_time, &out);
+  *out_batch = out.batch_id;
+  *out_index = out.index;
+  return existing;
+}
+
+int cuckoo_update(void* h, const uint8_t* key, int32_t batch, uint32_t index) {
+  return static_cast<CuckooIndex*>(h)->update(key, RecordID{batch, index})
+             ? 1
+             : 0;
+}
+
+void cuckoo_delete(void* h, const uint8_t* key) {
+  static_cast<CuckooIndex*>(h)->erase(key);
+}
+
+void cuckoo_classify(void* h, const uint8_t* keys, int n,
+                     const uint8_t* key_valid, const int64_t* event_times,
+                     int64_t cutoff, int64_t retention_ts, int32_t next_batch,
+                     uint32_t next_index, uint32_t batch_capacity,
+                     uint8_t* actions, int32_t* out_batch, uint32_t* out_index,
+                     int32_t* out_counts) {
+  static_cast<CuckooIndex*>(h)->classify(
+      keys, n, key_valid, event_times, cutoff, retention_ts, next_batch,
+      next_index, batch_capacity, actions, out_batch, out_index, out_counts);
+}
+
+int64_t cuckoo_dump(void* h, uint8_t* keys_out, int32_t* batch_out,
+                    uint32_t* index_out, int64_t cap) {
+  return static_cast<CuckooIndex*>(h)->dump(keys_out, batch_out, index_out,
+                                            cap);
+}
+
+}  // extern "C"
