@@ -192,8 +192,10 @@ class ShardExecutor:
                 cols[(0, cid)] = _default_column(col_schema, n_padded)
                 continue
             if vp.is_list:
-                raise QueryError(
-                    f"array column {col_schema.name!r} not yet supported in queries")
+                cols[(0, cid)] = _pad_array_column(
+                    vp.list_values[:n], vp.validity[:n], n_padded,
+                    col_schema.data_type)
+                continue
             self._column_stat(stats, stat_keys, cid, vp.values[:n],
                               vp.validity[:n])
             cols[(0, cid)] = _pad_column(vp.values[:n], vp.validity[:n],
@@ -222,8 +224,9 @@ class ShardExecutor:
             if vp is None:
                 cols[(0, cid)] = _default_column(col_schema, n_padded)
             elif vp.is_list:
-                raise QueryError(
-                    f"array column {col_schema.name!r} not yet supported in queries")
+                cols[(0, cid)] = _pad_array_column(
+                    vp.list_values, vp.validity, n_padded,
+                    col_schema.data_type)
             else:
                 self._column_stat(stats, stat_keys, cid, vp.values, vp.validity)
                 cols[(0, cid)] = _pad_column(vp.values, vp.validity, n_padded,
@@ -467,6 +470,40 @@ def _pad_column(values: np.ndarray, validity: np.ndarray, n_padded: int,
         values = np.concatenate([values, np.zeros(pad_shape, values.dtype)])
         validity = np.concatenate([validity, np.zeros(n_padded - n, bool)])
     return jnp.asarray(values), jnp.asarray(validity)
+
+
+def _pad_array_column(list_values, validity, n_padded: int, data_type: int):
+    """Ragged array column → (items[n,L], item_valid[n,L], lengths[n], valid).
+
+    L is the power-of-two bucket of the longest row (SURVEY.md §7
+    'Variable-length arrays ... padded ragged representations').
+    """
+    item_dt = mdt.item_type(data_type)
+    if mdt.lanes(item_dt) == 2:
+        raise QueryError(
+            "UUID/GeoPoint array columns not yet supported in queries")
+    npdt = mdt.numpy_dtype(item_dt)
+    n = len(validity)
+    max_len = max((len(v) for v in list_values if v is not None), default=0)
+    L = 1
+    while L < max_len:
+        L <<= 1
+    items = np.zeros((n_padded, L), npdt)
+    item_valid = np.zeros((n_padded, L), bool)
+    lengths = np.zeros(n_padded, np.int32)
+    row_valid = np.zeros(n_padded, bool)
+    row_valid[:n] = np.asarray(validity, bool)
+    for i, v in enumerate(list_values):
+        if v is None:
+            row_valid[i] = False
+            continue
+        lengths[i] = len(v)
+        for j, item in enumerate(v):
+            if item is not None:
+                items[i, j] = item
+                item_valid[i, j] = True
+    return (jnp.asarray(items), jnp.asarray(item_valid),
+            jnp.asarray(lengths), jnp.asarray(row_valid))
 
 
 def _default_column(col_schema, n_padded: int):

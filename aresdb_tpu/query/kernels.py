@@ -163,6 +163,10 @@ def _emit_varref(node: E.VarRef, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
     entry = ctx.columns.get(key)
     if entry is None:
         raise QueryError(f"column {node.val!r} not staged")
+    if len(entry) == 4:
+        raise QueryError(
+            f"array column {node.val!r} can only be used via "
+            f"length()/contains()/element_at()")
     values, validity = entry
     if node.table_id > 0:
         fidx = plan.table_id_to_foreign[node.table_id]
@@ -347,7 +351,58 @@ def _emit_call(node: E.Call, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
         return _emit(node.args[0], ctx, plan)  # 2-lane uuid passthrough
     if name == "__numeric_bucket":
         return _emit_numeric_bucket(node, ctx, plan)
+    if name in (E.LENGTH, E.CONTAINS, E.ELEMENT_AT):
+        return _emit_array_op(node, ctx, plan)
     raise QueryError(f"unsupported function {name!r} in kernel emitter")
+
+
+def _array_entry(node: E.Call, ctx: _EvalCtx, plan: CompiledQuery):
+    arg = node.args[0]
+    if not (isinstance(arg, E.VarRef) and mdt.is_array_type(arg.data_type)):
+        raise QueryError(
+            f"{node.name} requires an array column, got {arg}")
+    entry = ctx.columns.get((arg.table_id, arg.column_id))
+    if entry is None or len(entry) != 4:
+        raise QueryError(f"array column {arg.val!r} not staged")
+    return entry  # (items[n,L], item_valid[n,L], lengths[n], row_valid[n])
+
+
+def _emit_array_op(node: E.Call, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
+    """Array ops over padded ragged staging.
+
+    Semantics parity with the reference functors (query/functor.hpp:470-640):
+    length(null array) is null; element_at supports negative (from-end)
+    indices and yields null out of range or when the element is null;
+    contains matches only valid elements.
+    """
+    items, item_valid, lengths, row_valid = _array_entry(node, ctx, plan)
+    name = node.name
+    if name == E.LENGTH:
+        return _Val(lengths.astype(jnp.int32), row_valid)
+    if name == E.CONTAINS:
+        needle = _emit(node.args[1], ctx, plan)
+        nv = needle.value
+        if items.dtype == jnp.float32 or nv.dtype == jnp.float32:
+            a = items.astype(jnp.float32)
+            b = nv.astype(jnp.float32)
+        else:
+            a = items.astype(jnp.int32)
+            b = nv.astype(jnp.int32)
+        hit = jnp.any(item_valid & (a == b[:, None]), axis=1)
+        return _Val(hit, row_valid & needle.valid)
+    # element_at
+    idx = _to_numeric(_emit(node.args[1], ctx, plan), jnp.int32)
+    L = items.shape[1]
+    lengths32 = lengths.astype(jnp.int32)
+    eff = jnp.where(idx.value < 0, lengths32 + idx.value, idx.value)
+    in_range = (eff >= 0) & (eff < lengths32)
+    safe = jnp.clip(eff, 0, L - 1)
+    value = jnp.take_along_axis(items, safe[:, None], axis=1)[:, 0]
+    evalid = jnp.take_along_axis(item_valid, safe[:, None], axis=1)[:, 0]
+    valid = row_valid & idx.valid & in_range & evalid
+    if value.dtype not in (jnp.float32, jnp.bool_):
+        value = value.astype(jnp.int32)
+    return _Val(value, valid)
 
 
 def _emit_numeric_bucket(node: E.Call, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
