@@ -430,6 +430,7 @@ class TableShard:
 
     @staticmethod
     def _apply_update_vectorized(vp, col, src: np.ndarray, dst: np.ndarray) -> None:
+        vp.version += 1
         mode = col.update_mode
         new_valid = col.validity[src]
         if col.is_array:
@@ -465,6 +466,7 @@ class TableShard:
 
     @staticmethod
     def _apply_update_sequential(vp, col, src: np.ndarray, dst: np.ndarray) -> None:
+        vp.version += 1
         mode = col.update_mode
         for s, d in zip(src.tolist(), dst.tolist()):
             valid = bool(col.validity[s])

@@ -29,6 +29,14 @@ from aresdb_tpu.common import data_types as dt
 VP_MAGIC = 0xFADEFACE
 VP_VERSION = 1
 
+_UID_COUNTER = [0]
+
+
+def _next_uid() -> int:
+    _UID_COUNTER[0] += 1
+    return _UID_COUNTER[0]
+
+
 MODE_ALL_DEFAULT = 0
 MODE_ALL_PRESENT = 1
 MODE_HAS_NULLS = 2
@@ -50,6 +58,10 @@ class LiveVectorParty:
         self.data_type = data_type
         self.capacity = capacity
         self.default_value = default_value
+        # uid + version key device staging caches (uid is never reused,
+        # unlike id() after garbage collection)
+        self.uid = _next_uid()
+        self.version = 0
         if dt.is_array_type(data_type) or data_type == dt.GeoShape:
             # variable-length columns are python-object backed in live store
             self.list_values: Optional[List[Any]] = [None] * capacity
@@ -68,6 +80,7 @@ class LiveVectorParty:
                    validity: np.ndarray, list_values: Optional[List[Any]] = None
                    ) -> None:
         """Vectorized scatter of decoded upsert-batch rows into this column."""
+        self.version += 1
         if self.is_list:
             for i, idx in enumerate(indexes):
                 self.list_values[int(idx)] = (
@@ -122,6 +135,7 @@ class ArchiveVectorParty:
             self.num_rows = int(counts[-1])
         else:
             self.num_rows = len(validity)
+        self.uid = _next_uid()
         self._expanded_cache: Optional["ArchiveVectorParty"] = None
 
     @property

@@ -39,6 +39,63 @@ from aresdb_tpu.query.kernels import (
 
 DEFAULT_GROUP_CAPACITY = 4096
 MAX_GROUP_CAPACITY = 1 << 22
+DEVICE_CACHE_BYTES = 4 << 30  # HBM residency budget for staged columns
+
+
+class DeviceColumnCache:
+    """LRU cache of staged device column arrays (HBM residency).
+
+    The TPU analogue of the reference's device-memory management
+    (query/device_allocator.go + HostMemoryManager eviction): archive batch
+    columns are immutable and live batch columns carry mutation versions, so
+    staged jnp arrays stay resident in HBM across queries and only changed
+    data pays the host→device transfer again.
+    """
+
+    def __init__(self, max_bytes: int = DEVICE_CACHE_BYTES):
+        from collections import OrderedDict
+        import threading
+
+        self.max_bytes = max_bytes
+        self._entries = OrderedDict()
+        self._bytes = 0
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def _entry_bytes(entry) -> int:
+        total = 0
+        for a in entry if isinstance(entry, tuple) else (entry,):
+            total += getattr(a, "nbytes", 0)
+        return total
+
+    def get_or_stage(self, key, stage_fn):
+        with self._lock:
+            hit = self._entries.get(key)
+            if hit is not None:
+                self._entries.move_to_end(key)
+                self.hits += 1
+                return hit
+        entry = stage_fn()
+        nbytes = self._entry_bytes(entry)
+        with self._lock:
+            self.misses += 1
+            if key not in self._entries:
+                self._entries[key] = entry
+                self._bytes += nbytes
+                while self._bytes > self.max_bytes and len(self._entries) > 1:
+                    _, old = self._entries.popitem(last=False)
+                    self._bytes -= self._entry_bytes(old)
+        return entry
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {"entries": len(self._entries), "bytes": self._bytes,
+                    "hits": self.hits, "misses": self.misses}
+
+
+GLOBAL_DEVICE_CACHE = DeviceColumnCache()
 
 
 def _hashable(v) -> object:
@@ -91,9 +148,11 @@ class GroupTable:
 class ShardExecutor:
     """Executes one compiled query against local table shards."""
 
-    def __init__(self, memstore, kernel_cache=GLOBAL_KERNEL_CACHE):
+    def __init__(self, memstore, kernel_cache=GLOBAL_KERNEL_CACHE,
+                 device_cache=GLOBAL_DEVICE_CACHE):
         self.memstore = memstore
         self.kernel_cache = kernel_cache
+        self.device_cache = device_cache
 
     # -- public --
 
@@ -183,23 +242,33 @@ class ShardExecutor:
     def _stage_live_batch(self, schema, batch, n: int, used: List[int],
                           stat_keys=frozenset()):
         n_padded = round_up_pow2(max(n, 1))
+        table = schema.table.name
         cols = {}
         stats = {}
         for cid in used:
             vp = batch.column(cid)
             col_schema = schema.table.columns[cid]
             if vp is None or vp.values is None and not vp.is_list:
-                cols[(0, cid)] = _default_column(col_schema, n_padded)
+                cols[(0, cid)] = self.device_cache.get_or_stage(
+                    ("default", col_schema.data_type,
+                     col_schema.default_value, n_padded),
+                    lambda: _default_column(col_schema, n_padded))
                 continue
             if vp.is_list:
-                cols[(0, cid)] = _pad_array_column(
-                    vp.list_values[:n], vp.validity[:n], n_padded,
-                    col_schema.data_type)
+                cols[(0, cid)] = self.device_cache.get_or_stage(
+                    ("live-arr", vp.uid, vp.version, n, n_padded),
+                    lambda: _pad_array_column(
+                        vp.list_values[:n], vp.validity[:n], n_padded,
+                        col_schema.data_type))
                 continue
             self._column_stat(stats, stat_keys, cid, vp.values[:n],
                               vp.validity[:n])
-            cols[(0, cid)] = _pad_column(vp.values[:n], vp.validity[:n],
-                                         n_padded, col_schema.data_type)
+            # keyed on VP object identity + mutation version: collision-safe
+            # across stores/tables and invalidated by any write
+            cols[(0, cid)] = self.device_cache.get_or_stage(
+                ("live", vp.uid, vp.version, n, n_padded),
+                lambda: _pad_column(vp.values[:n], vp.validity[:n],
+                                    n_padded, col_schema.data_type))
         return cols, n, n_padded, stats
 
     def _stage_archive_batch(self, schema, ab, used: List[int],
@@ -216,21 +285,28 @@ class ShardExecutor:
         if n == 0:
             return None
         n_padded = round_up_pow2(max(n, 1))
+        table = schema.table.name
         cols = {}
         stats = {}
         for cid in used:
             vp = vps[cid]
             col_schema = schema.table.columns[cid]
+            akey = ("arch", getattr(vp, "uid", None), n_padded)
             if vp is None:
-                cols[(0, cid)] = _default_column(col_schema, n_padded)
+                cols[(0, cid)] = self.device_cache.get_or_stage(
+                    ("default", col_schema.data_type,
+                     col_schema.default_value, n_padded),
+                    lambda: _default_column(col_schema, n_padded))
             elif vp.is_list:
-                cols[(0, cid)] = _pad_array_column(
-                    vp.list_values, vp.validity, n_padded,
-                    col_schema.data_type)
+                cols[(0, cid)] = self.device_cache.get_or_stage(
+                    akey, lambda: _pad_array_column(
+                        vp.list_values, vp.validity, n_padded,
+                        col_schema.data_type))
             else:
                 self._column_stat(stats, stat_keys, cid, vp.values, vp.validity)
-                cols[(0, cid)] = _pad_column(vp.values, vp.validity, n_padded,
-                                             col_schema.data_type)
+                cols[(0, cid)] = self.device_cache.get_or_stage(
+                    akey, lambda: _pad_column(vp.values, vp.validity, n_padded,
+                                              col_schema.data_type))
         return cols, n, n_padded, stats
 
     def _stage_foreign_tables(self, plan: CompiledQuery):
