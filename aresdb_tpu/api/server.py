@@ -272,6 +272,56 @@ class MetricsHandler(_Base):
         self.write_json(self.ctx.metrics.snapshot())
 
 
+class RedologBrowserHandler(_Base):
+    """Debug browsing of redolog files / upsert batches.
+
+    Reference: memstore/redo_log_browser.go:28 exposed through
+    api/debug_handler.go (ListRedoLogs / ListUpsertBatches / ReadUpsertBatch).
+    """
+
+    def get(self, table: str, shard: str, rest: str = ""):
+        from aresdb_tpu.common.upsert_batch import UpsertBatch
+
+        ms = self.ctx.memstore
+        sid = int(shard)
+        try:
+            sh = ms.get_table_shard(table, sid)
+        except KeyError as e:
+            return self.write_error_json(404, str(e))
+        rm = sh.redolog_manager
+        if rm is None:
+            return self.write_json([])
+        parts = [p for p in rest.split("/") if p]
+        if not parts:
+            # list redolog files
+            return self.write_json(ms.diskstore.list_logs(table, sid))
+        creation = int(parts[0])
+        batches = []
+        for rf, off, payload in rm.iterate(creation, 0):
+            if rf != creation:
+                continue
+            if len(parts) >= 2 and off == int(parts[1]):
+                b = UpsertBatch(payload)
+                rows = []
+                for r in range(min(b.num_rows, 100)):
+                    rows.append([c.read_value(r) for c in b.columns])
+                return self.write_json({
+                    "numRows": b.num_rows,
+                    "columns": [c.column_id for c in b.columns],
+                    "rows": rows,
+                })
+            batches.append({"offset": off, "bytes": len(payload)})
+        if len(parts) >= 2:
+            return self.write_error_json(404, "no such batch offset")
+        self.write_json(batches)
+
+
+class DeviceCacheDebugHandler(_Base):
+    def get(self):
+        from aresdb_tpu.query.executor import GLOBAL_DEVICE_CACHE
+        self.write_json(GLOBAL_DEVICE_CACHE.stats())
+
+
 # -- peer data copy (reference: datanode/bootstrap/bootstrap_server.go
 # FetchTableShardMetaData + FetchVectorPartyRawData gRPC streaming; here the
 # same roles over HTTP chunked transfer) --
@@ -362,6 +412,8 @@ def make_app(ctx: ServerContext) -> tornado.web.Application:
         (r"/dbg/host-memory", HostMemoryDebugHandler, a),
         (r"/dbg/([^/]+)/(\d+)/(archiving|backfill|snapshot|purge)",
          JobTriggerHandler, a),
+        (r"/dbg/([^/]+)/(\d+)/redologs/?(.*)", RedologBrowserHandler, a),
+        (r"/dbg/device-cache", DeviceCacheDebugHandler, a),
         (r"/dbg/([^/]+)/(\d+)", ShardDebugHandler, a),
         (r"/metrics", MetricsHandler, a),
         (r"/peer/([^/]+)/(\d+)/metadata", PeerMetadataHandler, a),

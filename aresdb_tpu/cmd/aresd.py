@@ -32,6 +32,11 @@ def build_server(cfg):
         scheduler.start()
         scheduler.enable()
 
+    from aresdb_tpu.memstore.batchstats import BatchStatsReporter
+
+    stats_reporter = BatchStatsReporter(memstore)
+    stats_reporter.start()
+
     server = ApiServer(memstore, scheduler, port=cfg.port)
     return server, memstore, scheduler
 

@@ -115,6 +115,7 @@ class CompiledQuery:
     to_offset: int = 0
     dst_switch_ts: int = 0
     now_ts: int = 0
+    stats: Dict = field(default_factory=dict)  # per-stage timings (executor)
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,8 @@ jax_env.ensure()
 import jax
 import jax.numpy as jnp
 
+from aresdb_tpu.utils import metrics as M
+
 from aresdb_tpu.common import data_types as mdt
 from aresdb_tpu.memstore.common import SECONDS_PER_DAY
 from aresdb_tpu.query import expr as E
@@ -157,9 +159,28 @@ class ShardExecutor:
     # -- public --
 
     def execute(self, plan: CompiledQuery):
-        """Returns (GroupTable, None) for agg or (None, rows) for non-agg."""
-        foreign = self._stage_foreign_tables(plan)
-        self._geo_cols = self._stage_geo(plan)
+        """Returns (GroupTable, None) for agg or (None, rows) for non-agg.
+
+        Per-stage timings accumulate into plan.stats (reference: the CUDA-
+        event stage timers of query/stats.go:33-54, logged in debug mode).
+        """
+        import time as _time
+
+        plan.stats = {"batches": 0, "rows_scanned": 0}
+
+        def stage(name):
+            class _T:
+                def __enter__(me):
+                    me.t0 = _time.perf_counter()
+
+                def __exit__(me, *a):
+                    plan.stats[name] = plan.stats.get(name, 0.0) + (
+                        _time.perf_counter() - me.t0)
+            return _T()
+
+        with stage("foreignTransfer"):
+            foreign = self._stage_foreign_tables(plan)
+            self._geo_cols = self._stage_geo(plan)
         shards = plan.shards or [0]
 
         if plan.is_non_agg:
@@ -171,10 +192,19 @@ class ShardExecutor:
         for shard_id in shards:
             shard = self.memstore.get_table_shard(
                 plan.main_schema.table.name, shard_id)
-            for batch_cols, n_valid, n_padded, stats, cutoff in \
-                    self._iter_batches(plan, shard, stat_keys):
-                self._run_agg_batch(plan, foreign, batch_cols, n_valid,
-                                    n_padded, table, stats, cutoff)
+            it = self._iter_batches(plan, shard, stat_keys)
+            while True:
+                with stage("transfer"):
+                    try:
+                        batch_cols, n_valid, n_padded, stats, cutoff = next(it)
+                    except StopIteration:
+                        break
+                with stage("batchExec"):
+                    self._run_agg_batch(plan, foreign, batch_cols, n_valid,
+                                        n_padded, table, stats, cutoff)
+                plan.stats["batches"] += 1
+                plan.stats["rows_scanned"] += n_valid
+        M.root().count(M.QUERY_ROWS_RETURNED, len(table.groups))
         return table, None
 
     @staticmethod

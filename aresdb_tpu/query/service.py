@@ -24,20 +24,27 @@ class QueryService:
         results: List[Dict[str, Any]] = []
         errors: List[Any] = []
         had_error = False
+        contexts: List[Any] = []
+        verbose = bool(request.get("verbose") or request.get("debug"))
         for qd in request.get("queries", []):
             hll_data = bool(qd.pop("_hllData", False)) if isinstance(qd, dict) \
                 else False
             try:
                 q = AQLQuery.from_json(qd)
-                results.append(self.handle_query(q, hll_data=hll_data))
+                result, plan = self._run(q, hll_data=hll_data)
+                results.append(result)
                 errors.append(None)
+                contexts.append(plan.stats)
             except (QueryError, KeyError, ValueError) as e:
                 results.append({})
                 errors.append(str(e))
+                contexts.append(None)
                 had_error = True
         resp: Dict[str, Any] = {"results": results}
         if had_error:
             resp["errors"] = errors
+        if verbose:
+            resp["context"] = contexts
         return resp
 
     def handle_sql(self, request: Dict[str, Any]) -> Dict[str, Any]:
@@ -62,9 +69,21 @@ class QueryService:
 
     def handle_query(self, q: AQLQuery, hll_data: bool = False
                      ) -> Dict[str, Any]:
+        return self._run(q, hll_data=hll_data)[0]
+
+    def _run(self, q: AQLQuery, hll_data: bool = False):
+        import time as _time
+
         compiler = Compiler(self.memstore.get_schemas())
+        t0 = _time.perf_counter()
         plan = compiler.compile(q)
+        compile_s = _time.perf_counter() - t0
         table, rows = self.executor.execute(plan)
+        plan.stats["compile"] = compile_s
+        t0 = _time.perf_counter()
         if plan.is_non_agg:
-            return build_non_agg_result(plan, rows)
-        return build_agg_result(plan, table, hll_data=hll_data)
+            result = build_non_agg_result(plan, rows)
+        else:
+            result = build_agg_result(plan, table, hll_data=hll_data)
+        plan.stats["postprocess"] = _time.perf_counter() - t0
+        return result, plan
