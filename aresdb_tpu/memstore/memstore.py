@@ -18,14 +18,16 @@ from aresdb_tpu.memstore.host_memory import HostMemoryManager
 from aresdb_tpu.memstore.table_shard import IngestionStats, TableShard
 from aresdb_tpu.memstore.vector_party import ArchiveVectorParty
 from aresdb_tpu.metastore.disk_metastore import DiskMetaStore
-from aresdb_tpu.redolog.file_redolog import FileRedoLogManager
+from aresdb_tpu.redolog.manager import RedoLogManagerMaster
 
 
 class MemStore:
     def __init__(self, metastore: DiskMetaStore, diskstore: LocalDiskStore,
-                 total_memory_bytes: int = 0):
+                 total_memory_bytes: int = 0, redo_log_config=None):
         self.metastore = metastore
         self.diskstore = diskstore
+        self.redolog_master = RedoLogManagerMaster(
+            diskstore, metastore, redo_log_config)
         self.schemas: Dict[str, TableSchema] = {}
         self.shards: Dict[Tuple[str, int], TableShard] = {}
         self.host_memory_manager = HostMemoryManager(self, total_memory_bytes)
@@ -78,10 +80,8 @@ class MemStore:
                 return self.shards[key]
             schema = self.get_schema(table)
             cfg = schema.table.config
-            redolog = FileRedoLogManager(
-                table, shard_id, self.diskstore,
-                rotation_interval=cfg.redo_log_rotation_interval,
-                max_redolog_size=cfg.max_redo_log_file_size)
+            redolog = self.redolog_master.new_redolog_manager(
+                table, shard_id, cfg)
             shard = TableShard(schema, shard_id, diskstore=self.diskstore,
                                metastore=self.metastore,
                                redolog_manager=redolog,
@@ -98,8 +98,8 @@ class MemStore:
     def remove_table_shard(self, table: str, shard_id: int) -> None:
         with self.lock:
             shard = self.shards.pop((table, shard_id), None)
-            if shard is not None and shard.redolog_manager is not None:
-                shard.redolog_manager.close()
+            if shard is not None:
+                self.redolog_master.stop(table, shard_id)
 
     def list_shards(self) -> List[Tuple[str, int]]:
         return sorted(self.shards)

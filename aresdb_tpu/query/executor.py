@@ -531,10 +531,22 @@ class ShardExecutor:
 
     # -- non-agg execution --
 
+    NON_AGG_SORT_SCAN_CAP = 100_000
+
     def _execute_non_agg(self, plan, foreign, shards):
-        """Collect up to limit rows of dim values (reference non-agg path)."""
+        """Collect up to limit rows of dim values (reference non-agg path).
+
+        With ORDER BY, matching rows are collected up to
+        NON_AGG_SORT_SCAN_CAP, sorted, then limited (sorting requires seeing
+        past the limit; the cap bounds memory).
+        """
         rows: List[Tuple] = []
         limit = plan.limit
+        sorts = plan.query.sorts or []
+        if sorts:
+            limit_collect = self.NON_AGG_SORT_SCAN_CAP
+        else:
+            limit_collect = limit
         foreign_idx = tuple(f[0] for f in foreign)
         for shard_id in shards:
             shard = self.memstore.get_table_shard(
@@ -551,16 +563,46 @@ class ShardExecutor:
                     columns, foreign_idx, np.int32(n_valid), np.int64(cutoff))
                 mask, dim_values, dim_valids = jax.device_get(out)
                 sel = np.nonzero(mask)[0]
-                if limit and len(rows) + len(sel) > limit:
-                    sel = sel[:limit - len(rows)]
+                if limit_collect and len(rows) + len(sel) > limit_collect:
+                    sel = sel[:limit_collect - len(rows)]
                 dvs = list(dim_values)
                 dvds = list(dim_valids)
                 for i in sel:
                     rows.append(tuple(
                         (dvs[d][i], bool(dvds[d][i]))
                         for d in range(len(dvs))))
-                if limit and len(rows) >= limit:
-                    return rows
+                if limit_collect and len(rows) >= limit_collect:
+                    break
+            else:
+                continue
+            break
+        if sorts:
+            rows = self._sort_non_agg(plan, rows, sorts)
+        if limit:
+            rows = rows[:limit]
+        return rows
+
+    @staticmethod
+    def _sort_non_agg(plan, rows, sorts):
+        """Sort collected rows by dim name/alias (SortField order)."""
+        name_to_idx = {}
+        for i, d in enumerate(plan.dimensions):
+            if d.raw is not None:
+                if d.raw.alias:
+                    name_to_idx[d.raw.alias] = i
+                if d.raw.expr:
+                    name_to_idx[d.raw.expr] = i
+        for sf in reversed(sorts):
+            idx = name_to_idx.get(sf.name)
+            if idx is None:
+                from aresdb_tpu.query.compiler import QueryError
+                raise QueryError(f"unknown sort field {sf.name!r}")
+            rows = sorted(
+                rows,
+                key=lambda r: (not r[idx][1],
+                               r[idx][0].item()
+                               if hasattr(r[idx][0], "item") else r[idx][0]),
+                reverse=(sf.order == "desc"))
         return rows
 
 

@@ -347,3 +347,18 @@ def test_time_filter_excludes_old_rows(service):
     })
     # rows within the last hour: 0.5, 0.5, 0.6, 0.9, 0.1 → 5
     assert result[""] == 5.0
+
+
+def test_non_agg_order_by(service):
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "1"}],
+        "dimensions": [{"sqlExpression": "fare"}],
+        "rowFilters": ["fare IS NOT NULL", "status='completed'"],
+        "sorts": [{"name": "fare", "order": "desc"}],
+        "limit": 3,
+    })
+    fares = [float(x[0]) for x in result["matrixData"]]
+    assert fares == sorted(fares, reverse=True)
+    assert len(fares) == 3
+    assert fares[0] == 20.0
