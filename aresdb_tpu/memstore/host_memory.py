@@ -44,6 +44,34 @@ class HostMemoryManager:
     def get_reserved_memory(self) -> int:
         return self.unmanaged_bytes + self.managed_bytes
 
+    def preload_all(self) -> int:
+        """Load archive columns inside their configured preloading windows.
+
+        Reference: host_memory_manager.go preloading goroutines — columns
+        with preloadingDays stay resident for batches within that many days.
+        Returns the number of columns loaded.
+        """
+        today = int(clock.now_unix() // 86400)
+        loaded = 0
+        for table, shard_id in self.memstore.list_shards():
+            try:
+                shard = self.memstore.get_table_shard(table, shard_id)
+                schema = shard.schema
+            except KeyError:
+                continue
+            if not schema.table.is_fact_table:
+                continue
+            version = shard.archive_store.get_current_version()
+            for cid, col in enumerate(schema.table.columns):
+                days = col.config.preloading_days
+                if col.deleted or days <= 0:
+                    continue
+                for bid, batch in version.batches.items():
+                    if (today - bid) < days:
+                        if batch.request_column(cid) is not None:
+                            loaded += 1
+        return loaded
+
     def _try_evict(self) -> None:
         """Evict archive columns when over budget.
 

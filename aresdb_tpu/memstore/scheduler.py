@@ -127,6 +127,9 @@ class Scheduler:
                 st = archiver.archive(cutoff)
                 result = {"rowsArchived": st.rows_archived, "days": st.days,
                           "cutoff": cutoff}
+                if st.rows_archived and \
+                        self.memstore.host_memory_manager is not None:
+                    self.memstore.host_memory_manager.preload_all()
             elif jobtype == "backfill":
                 result = {"rowsBackfilled": archiver.backfill()}
             elif jobtype == "snapshot":
