@@ -44,10 +44,11 @@ class _Base(tornado.web.RequestHandler):
 
 
 class ServerContext:
-    def __init__(self, memstore, scheduler=None):
+    def __init__(self, memstore, scheduler=None, timezone_table: str = ""):
         self.memstore = memstore
         self.scheduler = scheduler
-        self.query_service = QueryService(memstore)
+        self.query_service = QueryService(memstore,
+                                          timezone_table=timezone_table)
         self.query_pool = ThreadPoolExecutor(max_workers=QUERY_WORKERS)
         self.metrics = M.root()
 
@@ -428,8 +429,9 @@ def make_app(ctx: ServerContext) -> tornado.web.Application:
 class ApiServer:
     """Embeddable server: used by cmd/aresd and by in-process tests."""
 
-    def __init__(self, memstore, scheduler=None, port: int = 0):
-        self.ctx = ServerContext(memstore, scheduler)
+    def __init__(self, memstore, scheduler=None, port: int = 0,
+                 timezone_table: str = ""):
+        self.ctx = ServerContext(memstore, scheduler, timezone_table)
         self.app = make_app(self.ctx)
         self.port = port
         self._loop: Optional[tornado.ioloop.IOLoop] = None

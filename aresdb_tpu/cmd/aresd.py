@@ -37,7 +37,8 @@ def build_server(cfg):
     stats_reporter = BatchStatsReporter(memstore)
     stats_reporter.start()
 
-    server = ApiServer(memstore, scheduler, port=cfg.port)
+    server = ApiServer(memstore, scheduler, port=cfg.port,
+                       timezone_table=cfg.query.timezone_table.table_name)
     return server, memstore, scheduler
 
 

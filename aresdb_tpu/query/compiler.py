@@ -116,6 +116,7 @@ class CompiledQuery:
     dst_switch_ts: int = 0
     now_ts: int = 0
     stats: Dict = field(default_factory=dict)  # per-stage timings (executor)
+    uses_tz_table: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -150,11 +151,17 @@ _ARITH_OPS = {"+", "-", "*", "/", "%", "FLOOR"}
 _BITWISE_OPS = {"&", "|", "^", "<<", ">>"}
 
 
+TIMEZONE_TABLE_ALIAS = "__timezone_table"
+_TZ_COLUMN_RE = None  # compiled lazily
+
+
 class Compiler:
     """Compiles one AQLQuery against a set of runtime table schemas."""
 
-    def __init__(self, schemas: Dict[str, TableSchema]):
+    def __init__(self, schemas: Dict[str, TableSchema],
+                 timezone_table: str = ""):
         self.schemas = schemas
+        self.timezone_table = timezone_table
 
     # -- public --
 
@@ -177,11 +184,16 @@ class Compiler:
         self._geo_table_id: Optional[int] = None
         self._process_joins(q, cq)
 
-        # timezone (fixed only; timezone(column) requires the timezone join
-        # machinery — gated until timezone tables are wired)
+        # timezone: fixed ('America/New_York', '-8:00') or per-row lookup
+        # ('timezone(city_id)' joining the configured timezone table —
+        # reference processTimezone, aql_compiler.go:439)
+        self._tz_offsets_expr: Optional[E.Expr] = None
         if q.timezone and "(" in q.timezone:
-            raise QueryError("timezone column lookups not yet supported")
-        cq.timezone = TU.parse_timezone(q.timezone) if q.timezone else _dt.timezone.utc
+            self._process_timezone_column(q, cq)
+            cq.timezone = _dt.timezone.utc
+        else:
+            cq.timezone = TU.parse_timezone(q.timezone) if q.timezone \
+                else _dt.timezone.utc
 
         self._process_time_filter(q, cq)
         self._process_filters(q, cq)
@@ -282,6 +294,81 @@ class Compiler:
             pk_column=pk_cols[0],
             pk_data_type=schema.table.columns[pk_cols[0]].data_type,
             point_expr=point_expr)
+
+    def _process_timezone_column(self, q: AQLQuery, cq: CompiledQuery) -> None:
+        """'timezone(join_key)' → join the timezone table; time dims shift by
+        the per-row offset of the joined row's timezone enum."""
+        import re as _re
+
+        m = _re.match(r"^\s*([a-z_]+)\s*\(\s*([A-Za-z0-9_.]+)\s*\)\s*$",
+                      q.timezone)
+        if not m:
+            raise QueryError(f"cannot parse timezone {q.timezone!r}")
+        tz_column, join_key = m.group(1), m.group(2)
+        if not self.timezone_table:
+            raise QueryError(
+                "timezone column lookup requires query.timezone_table "
+                "configuration")
+        schema = self.schemas.get(self.timezone_table)
+        if schema is None:
+            raise QueryError(
+                f"unknown timezone table {self.timezone_table!r}")
+        if tz_column not in schema.column_ids:
+            raise QueryError(
+                f"unknown timezone column {tz_column!r} in "
+                f"{self.timezone_table!r}")
+        # reuse an existing join of the table, else append one
+        alias = None
+        for j in q.joins:
+            if j.table == self.timezone_table:
+                alias = j.alias or j.table
+        if alias is None:
+            from aresdb_tpu.query.aql import Join as _Join
+
+            alias = TIMEZONE_TABLE_ALIAS
+            q.joins.append(_Join(
+                table=self.timezone_table, alias=alias,
+                conditions=[f"{join_key}={alias}.id"]))
+            # join was added after _process_joins ran: process it now
+            self._process_joins_single(q.joins[-1], cq)
+        # offsets per enum rank, resolved now (reference prepareTimezoneTable
+        # uses time.Now() offsets, aql_processor.go:487)
+        import numpy as _np
+
+        cases = schema.enum_reverse_dict(tz_column)
+        offsets = _np.zeros(max(len(cases), 1), _np.int32)
+        for i, name in enumerate(cases):
+            try:
+                tz = TU.parse_timezone(name)
+                offsets[i] = TU.tz_offset_at(tz, cq.now_ts)
+            except TU.TimeError:
+                offsets[i] = 0
+        ref = self._resolve(E.parse(f"{alias}.{tz_column}"))
+        call = E.Call(name="__tz_offset", args=[ref], type=E.SIGNED)
+        call.tz_offsets = offsets  # type: ignore[attr-defined]
+        self._tz_offsets_expr = call
+        cq.uses_tz_table = True
+
+    def _process_joins_single(self, j, cq: CompiledQuery) -> None:
+        """Process one late-added join (timezone table)."""
+        schema = self.schemas[j.table]
+        alias = j.alias or j.table
+        cond = E.parse(j.conditions[0])
+        pk_cols = schema.table.primary_key_columns
+        table_id = len(self._tables)
+        self._aliases[alias] = table_id
+        self._tables.append(schema)
+
+        def is_foreign_pk(e):
+            return (isinstance(e, E.VarRef) and "." in e.val
+                    and e.val.split(".", 1)[0] == alias
+                    and schema.column_ids.get(e.val.split(".", 1)[1]) == pk_cols[0])
+
+        main_side = cond.rhs if is_foreign_pk(cond.lhs) else cond.lhs
+        main_side = self._resolve(main_side, allow_tables={0})
+        cq.foreign_tables.append(ForeignTablePlan(
+            alias=alias, schema=schema, main_key_expr=main_side,
+            foreign_key_column=pk_cols[0], table_id=table_id))
 
     # -- name resolution + typing + rewrites --
 
@@ -691,7 +778,10 @@ class Compiler:
                                    cq: CompiledQuery) -> E.Expr:
         """Reference: buildTimeDimensionExpr (query/time_bucketizer.go:72)."""
         shifted = col
-        if cq.from_offset or cq.to_offset:
+        if self._tz_offsets_expr is not None:
+            shifted = E.BinaryExpr(op="+", lhs=col,
+                                   rhs=self._tz_offsets_expr, type=E.SIGNED)
+        elif cq.from_offset or cq.to_offset:
             if cq.from_offset != cq.to_offset and cq.dst_switch_ts:
                 # col + from_offset + (col >= switch_ts) * (to-from... note the
                 # reference uses offsetDiff = fromOffset - toOffset and the

@@ -62,6 +62,10 @@ def _pow2_at_least(n: int, cap: int = DENSE_MAX_SLOTS) -> int:
 def _time_bucket_domain(plan: CompiledQuery, width: int) -> Optional[DimDomain]:
     if plan.from_ts is None or plan.to_ts is None:
         return None
+    if plan.uses_tz_table:
+        # per-row offsets make the bucket range data-dependent; the sort
+        # path handles it (dense overflow guard would fire anyway)
+        return None
     lo_off = min(plan.from_offset, plan.to_offset, 0)
     hi_off = max(plan.from_offset, plan.to_offset, 0)
     vmin = ((plan.from_ts + lo_off) // width) * width

@@ -353,6 +353,13 @@ def _emit_call(node: E.Call, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
         return _emit_numeric_bucket(node, ctx, plan)
     if name in (E.LENGTH, E.CONTAINS, E.ELEMENT_AT):
         return _emit_array_op(node, ctx, plan)
+    if name == "__tz_offset":
+        # per-row UTC offset via the joined timezone enum rank (reference
+        # timezoneLookupD, aql_processor.go:487)
+        rank = _emit(node.args[0], ctx, plan)
+        table = jnp.asarray(node.tz_offsets)
+        idx = jnp.clip(rank.value.astype(jnp.int32), 0, table.shape[0] - 1)
+        return _Val(table[idx], rank.valid)
     raise QueryError(f"unsupported function {name!r} in kernel emitter")
 
 

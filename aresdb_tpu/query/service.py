@@ -15,8 +15,9 @@ from aresdb_tpu.query.postprocess import build_agg_result, build_non_agg_result
 
 
 class QueryService:
-    def __init__(self, memstore):
+    def __init__(self, memstore, timezone_table: str = ""):
         self.memstore = memstore
+        self.timezone_table = timezone_table
         self.executor = ShardExecutor(memstore)
 
     def handle_aql(self, request: Dict[str, Any]) -> Dict[str, Any]:
@@ -74,7 +75,8 @@ class QueryService:
     def _run(self, q: AQLQuery, hll_data: bool = False):
         import time as _time
 
-        compiler = Compiler(self.memstore.get_schemas())
+        compiler = Compiler(self.memstore.get_schemas(),
+                            timezone_table=self.timezone_table)
         t0 = _time.perf_counter()
         plan = compiler.compile(q)
         compile_s = _time.perf_counter() - t0
