@@ -931,6 +931,19 @@ def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
             if contrib.dtype == jnp.float32:
                 # one fused (n, 3) f32 segment_sum: measure, count, presence
                 stacked = jnp.stack([contrib, ones, present], axis=1)
+                from aresdb_tpu.query import pallas_ops as P
+
+                if P.use_pallas():
+                    # MXU one-hot matmul reduction (scatter-free)
+                    interp = jax.devices()[0].platform == "cpu"
+                    dropped = jnp.where(slot >= n_slots, jnp.int32(-1),
+                                        slot)
+                    out3 = P.dense_segment_sum(dropped, stacked, n_slots,
+                                               interpret=interp)
+                    aggv = out3[:, 0]
+                    cnt = out3[:, 1]
+                    rows = out3[:, 2]
+                    return aggv, cnt, rows, overflow
                 out = jax.ops.segment_sum(stacked, slot, num_segments=num)
                 aggv = out[:n_slots, 0]
                 cnt = out[:n_slots, 1]
