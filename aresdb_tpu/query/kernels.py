@@ -933,7 +933,7 @@ def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
                 stacked = jnp.stack([contrib, ones, present], axis=1)
                 from aresdb_tpu.query import pallas_ops as P
 
-                if P.use_pallas():
+                if P.use_pallas(n_slots):
                     # MXU one-hot matmul reduction (scatter-free)
                     interp = jax.devices()[0].platform == "cpu"
                     dropped = jnp.where(slot >= n_slots, jnp.int32(-1),

@@ -17,7 +17,12 @@ _initialized = False
 def ensure() -> None:
     global _initialized
     if not _initialized:
+        import sys
+
         jax.config.update("jax_enable_x64", True)
+        # deep pallas traces (jit → pallas_call → run_scoped → fori_loop)
+        # exceed CPython's default 1000-frame limit
+        sys.setrecursionlimit(max(sys.getrecursionlimit(), 10_000))
         _initialized = True
 
 
