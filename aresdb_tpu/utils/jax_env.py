@@ -23,6 +23,19 @@ def ensure() -> None:
         # deep pallas traces (jit → pallas_call → run_scoped → fori_loop)
         # exceed CPython's default 1000-frame limit
         sys.setrecursionlimit(max(sys.getrecursionlimit(), 10_000))
+        # persistent compilation cache: remote-TPU compiles cost tens of
+        # seconds per kernel; cache hits make repeated processes (bench,
+        # daemons) start fast
+        import os
+
+        cache_dir = os.environ.get("ARES_JAX_CACHE",
+                                   "/tmp/aresdb-jax-cache")
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        except Exception:
+            pass
         _initialized = True
 
 
