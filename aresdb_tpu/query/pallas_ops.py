@@ -38,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 ROW_TILE = 1024
 SLOT_TILE = 512
 LANE_PAD = 8              # value lanes padded for MXU-friendly shapes
-PALLAS_MAX_SLOTS = 16384  # [LANE_PAD, K] f32 accumulator stays in VMEM
+PALLAS_MAX_SLOTS = 8192   # above this the O(n*K) one-hot compares lose to
+                          # XLA's scatter path (measured on v5e)
 
 
 def _make_kernel(n_chunks: int, k_pad: int, c_pad: int):
