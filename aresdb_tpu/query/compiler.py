@@ -465,6 +465,12 @@ class Compiler:
                         for arg in b.args:
                             if isinstance(arg, E.StringLiteral):
                                 self._translate_enum_literal(a, arg)
+                # UUID literal: 'xxxx-...' against a UUID column becomes a
+                # two-lane comparison handled by the kernel emitter
+                if isinstance(a, E.VarRef) and a.data_type == mdt.UUID \
+                        and isinstance(b, E.StringLiteral):
+                    hi, lo = mdt.parse_uuid(b.val)
+                    b.uuid_lanes = (hi, lo)  # type: ignore[attr-defined]
 
         # geopoint literal: 'point(lat,lng)' compared against geo column
         # handled at kernel level
@@ -686,6 +692,16 @@ class Compiler:
         if isinstance(ast, E.NumberLiteral):
             cq.is_non_agg = True
             cq.limit = q.limit or NON_AGGREGATION_QUERY_LIMIT
+            if not q.dimensions:
+                # SELECT *: all non-geoshape, non-array columns
+                from aresdb_tpu.query.aql import Dimension as _Dim
+
+                for col in cq.main_schema.table.columns:
+                    dt_ = col.data_type
+                    if col.deleted or dt_ == mdt.GeoShape or \
+                            mdt.is_array_type(dt_):
+                        continue
+                    q.dimensions.append(_Dim(expr=col.name))
             return
         if not isinstance(ast, E.Call) or ast.name not in E.AGGREGATE_CALLS:
             raise QueryError(f"expect aggregate function, got {m.expr!r}")

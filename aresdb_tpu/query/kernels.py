@@ -137,6 +137,10 @@ def _emit(node: E.Expr, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
                     jnp.zeros(ctx.n_rows, jnp.bool_))
 
     if isinstance(node, E.StringLiteral):
+        if getattr(node, "uuid_lanes", None) is not None:
+            # placeholder lanes; the comparison branch reads uuid_lanes
+            return _Val(jnp.zeros((ctx.n_rows, 2), jnp.uint64),
+                        jnp.ones(ctx.n_rows, jnp.bool_))
         raise QueryError(
             f"string literal {node.val!r} not resolvable (non-enum context)")
 
@@ -257,6 +261,19 @@ def _emit_binary(node: E.BinaryExpr, ctx: _EvalCtx, plan: CompiledQuery) -> _Val
     r = _emit(node.rhs, ctx, plan)
 
     if op in ("=", "!=", "<>", "<", "<=", ">", ">="):
+        # UUID literal comparison (two uint64 lanes)
+        for a_node, b_node, a_val in ((node.lhs, node.rhs, l),
+                                      (node.rhs, node.lhs, r)):
+            lanes = getattr(b_node, "uuid_lanes", None)
+            if lanes is not None and a_val.value.ndim == 2:
+                hi, lo = lanes
+                eq = (a_val.value[:, 0] == jnp.uint64(hi)) & \
+                    (a_val.value[:, 1] == jnp.uint64(lo))
+                if op in ("!=", "<>"):
+                    eq = ~eq
+                elif op != "=":
+                    raise QueryError("UUIDs support only =/!= comparisons")
+                return _Val(eq, a_val.valid)
         # GeoPoint equality on 2-lane arrays
         if l.value.ndim == 2 or r.value.ndim == 2:
             eq = jnp.all(l.value == r.value, axis=-1)

@@ -429,3 +429,32 @@ def test_timezone_table_lookup():
     r2 = resp2["results"][0]
     assert "2020-09-13 08:00" in r2   # New York local hour
     assert "2020-09-13 21:00" in r2   # Tokyo local hour
+
+
+def test_uuid_literal_filter(service):
+    import aresdb_tpu.common.data_types as dtypes
+    uid = dtypes.uuid_to_string(6, 0)  # trip 6 (city 3, fare 20.0)
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "sum(fare)",
+                      "rowFilters": [f"uuid = '{uid}'"]}],
+    })
+    assert result[""] == pytest.approx(20.0)
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "count(*)",
+                      "rowFilters": [f"uuid != '{uid}'"]}],
+    })
+    assert result[""] == 11.0
+
+
+def test_select_star(service):
+    result = run(service, {
+        "table": "trips",
+        "measures": [{"sqlExpression": "1"}],
+        "limit": 2,
+    })
+    assert result["headers"] == ["request_at", "uuid", "city_id", "status",
+                                 "fare"]
+    assert len(result["matrixData"]) == 2
+    assert len(result["matrixData"][0]) == 5
