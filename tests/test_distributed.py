@@ -269,3 +269,39 @@ def test_shard_migration_peer_bootstrap(cluster, tmp_path):
         assert got == total_rows
     finally:
         dn2.close()
+
+
+def test_broker_hll_merge(cluster):
+    """countdistincthll across shards: registers merge at the broker."""
+    ctrl, cport, nodes = cluster
+    topo = DynamicTopology(f"localhost:{cport}", NS)
+    view = topo.refresh()
+    # the same driver ids appear on multiple shards: the merged distinct
+    # count must not double count across datanodes
+    driver_ids = list(range(40))
+    rid = 0
+    for sid in view.shard_ids():
+        hosts = view.available_hosts(sid)
+        rows = []
+        for d in driver_ids[sid % 2::2]:  # overlapping subsets per shard
+            rows.append((NOW - 10 - d, 10_000 + rid, d, 1.0))
+            rid += 1
+        r = requests.post(
+            f"http://{hosts[0].address}/data/trips/{sid}",
+            data=batch_for(rows).buffer)
+        assert r.status_code == 200, r.text
+
+    broker = BrokerServer(topo)
+    bport = broker.start_background()
+    try:
+        resp = requests.post(
+            f"http://localhost:{bport}/query/aql",
+            json={"queries": [{
+                "table": "trips",
+                "measures": [{"sqlExpression": "countdistincthll(city_id)"}],
+                "now": NOW}]}).json()
+        assert "errors" not in resp, resp.get("errors")
+        # 40 distinct city ids ingested across 4 shards (overlapping)
+        assert resp["results"][0][""] == pytest.approx(40, abs=2)
+    finally:
+        broker.stop()
