@@ -323,6 +323,63 @@ class DeviceCacheDebugHandler(_Base):
         self.write_json(GLOBAL_DEVICE_CACHE.stats())
 
 
+class ProfilerHandler(_Base):
+    """XLA profiler capture (parity: cudaProfilerStart/Stop via
+    /dbg/profiler, reference cgoutils/memory.go:160 + debug_handler)."""
+
+    def post(self, action: str):
+        import jax
+
+        if action == "start":
+            d = self.json_body().get("dir", "/tmp/ares-profile")
+            try:
+                jax.profiler.start_trace(d)
+            except Exception as e:
+                return self.write_error_json(400, str(e))
+            self.write_json({"message": f"tracing to {d}"})
+        else:
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:
+                return self.write_error_json(400, str(e))
+            self.write_json({"message": "trace stopped"})
+
+
+_DEBUG_HTML = """<!doctype html><html><head><title>aresdb_tpu debug</title>
+<style>body{font-family:monospace;margin:2em}table{border-collapse:collapse}
+td,th{border:1px solid #999;padding:4px 8px}h2{margin-top:1.2em}</style>
+</head><body><h1>aresdb_tpu debug</h1>
+<div id=out>loading...</div>
+<script>
+async function j(u){return await (await fetch(u)).json()}
+async function main(){
+  const shards = await j('/dbg/shards');
+  const jobs = await j('/dbg/jobs');
+  const cache = await j('/dbg/device-cache');
+  const devices = await j('/dbg/devices');
+  let h = '<h2>Shards</h2><table><tr><th>table</th><th>shard</th>'
+    + '<th>rows</th><th>batches</th><th>pks</th><th>cutoff</th>'
+    + '<th>archive batches</th></tr>';
+  for (const s of shards) h += `<tr><td>${s.table}</td><td>${s.shard}</td>`
+    + `<td>${s.rowsVisible}</td><td>${s.liveBatches}</td>`
+    + `<td>${s.primaryKeys}</td><td>${s.archivingCutoff}</td>`
+    + `<td>${s.archiveBatches}</td></tr>`;
+  h += '</table><h2>Jobs</h2><pre>' + JSON.stringify(jobs, null, 1)
+    + '</pre><h2>Device cache</h2><pre>' + JSON.stringify(cache, null, 1)
+    + '</pre><h2>Devices</h2><pre>' + JSON.stringify(devices, null, 1)
+    + '</pre>';
+  document.getElementById('out').innerHTML = h;
+}
+main(); setInterval(main, 5000);
+</script></body></html>"""
+
+
+class DebugUIHandler(_Base):
+    def get(self):
+        self.set_header("Content-Type", "text/html")
+        self.finish(_DEBUG_HTML)
+
+
 # -- peer data copy (reference: datanode/bootstrap/bootstrap_server.go
 # FetchTableShardMetaData + FetchVectorPartyRawData gRPC streaming; here the
 # same roles over HTTP chunked transfer) --
@@ -415,6 +472,8 @@ def make_app(ctx: ServerContext) -> tornado.web.Application:
          JobTriggerHandler, a),
         (r"/dbg/([^/]+)/(\d+)/redologs/?(.*)", RedologBrowserHandler, a),
         (r"/dbg/device-cache", DeviceCacheDebugHandler, a),
+        (r"/dbg/profiler/(start|stop)", ProfilerHandler, a),
+        (r"/dbg/?", DebugUIHandler, a),
         (r"/dbg/([^/]+)/(\d+)", ShardDebugHandler, a),
         (r"/metrics", MetricsHandler, a),
         (r"/peer/([^/]+)/(\d+)/metadata", PeerMetadataHandler, a),

@@ -495,3 +495,84 @@ class UpsertBatch:
         for r in range(self.num_rows):
             out.append({c.column_id: c.get_value(r) for c in self.columns})
         return out
+
+
+def build_columnar_upsert(columns, num_rows: int,
+                          arrival_time: Optional[int] = None) -> bytes:
+    """Vectorized upsert-batch serialization from numpy columns.
+
+    columns: list of (column_id, data_type, values, validity, update_mode)
+      - values: np array (n,) scalar / (n, 2) UUID-GeoPoint lanes; None for
+        an all-default column
+      - validity: bool np array (n,) or None (all valid)
+    Orders of magnitude faster than the row-wise builder for bulk loads
+    (ingestion client hot path); produces the identical wire format.
+    """
+    import time as _time
+
+    num_cols = len(columns)
+    header_size = 4 + 24 + _column_header_size(num_cols)
+
+    # precompute per-column payloads vectorized
+    payloads: List[bytes] = []
+    modes: List[int] = []
+    for (_cid, dtype, values, validity, _um) in columns:
+        if values is None:
+            payloads.append(b"")
+            modes.append(ALL_VALUES_DEFAULT)
+            continue
+        n = num_rows
+        v = np.ascontiguousarray(values)
+        if validity is None:
+            validity_arr = np.ones(n, bool)
+            all_valid = True
+        else:
+            validity_arr = np.ascontiguousarray(validity, dtype=bool)
+            all_valid = bool(validity_arr.all())
+        parts = []
+        mode = ALL_VALUES_PRESENT if all_valid else HAS_NULL_VECTOR
+        if mode == HAS_NULL_VECTOR:
+            parts.append(bytes(_pack_bits(validity_arr)))
+        pad = (-len(b"".join(parts))) % 8 if parts else 0
+        # value vector aligned to 8 within the column payload
+        prefix = b"".join(parts)
+        prefix += b"\x00" * ((-len(prefix)) % 8)
+        if dtype == dt.Bool:
+            body = bytes(_pack_bits(v.astype(bool)))
+        else:
+            npdt = dt.numpy_dtype(dtype).newbyteorder("<")
+            body = v.astype(npdt, copy=False).tobytes()
+        payloads.append(prefix + body)
+        modes.append(mode)
+
+    size = header_size
+    data_starts = []
+    for pl in payloads:
+        size = _align(size, 8) if pl else size
+        data_starts.append(size)
+        size += len(pl)
+    end_of_data = size
+    buf = bytearray(_align(size, 8))
+
+    struct.pack_into("<I", buf, 0, V1)
+    struct.pack_into("<i", buf, 4, num_rows)
+    struct.pack_into("<H", buf, 8, num_cols)
+    arrival = arrival_time if arrival_time is not None else int(_time.time())
+    struct.pack_into("<I", buf, 24, arrival & 0xFFFFFFFF)
+
+    h = 28
+    enum_off = h + (num_cols + 1) * 4
+    reserved_off = enum_off + num_cols * 4
+    type_off = reserved_off + num_cols * 4
+    id_off = type_off + num_cols * 4
+    mode_off = id_off + num_cols * 2
+
+    for i, ((cid, dtype, _v, _b, um), pl) in enumerate(zip(columns, payloads)):
+        struct.pack_into("<I", buf, h + i * 4, data_starts[i])
+        buf[data_starts[i]:data_starts[i] + len(pl)] = pl
+        struct.pack_into("<I", buf, type_off + i * 4, dtype)
+        struct.pack_into("<H", buf, id_off + i * 2, cid)
+        flag = (modes[i] & 0x7) | ((um & 0x7) << 3)
+        struct.pack_into("<B", buf, mode_off + i, flag)
+    struct.pack_into("<I", buf, h + num_cols * 4, end_of_data)
+    return bytes(buf)

@@ -142,3 +142,25 @@ def test_ingestion_error_unknown_table(base):
     b.set_value(0, 0, 1)
     r = requests.post(f"{base}/data/missing/0", data=b.to_bytes())
     assert r.status_code == 404
+
+
+def test_bulk_columnar_insert(base, server):
+    import numpy as np
+    from aresdb_tpu.client import Connector
+
+    _, port = server
+    conn = Connector("localhost", port)
+    n = 5000
+    rng = np.random.RandomState(3)
+    stats = conn.insert_columns("trips", {
+        "request_at": (NOW - rng.randint(0, 3600, n)).astype(np.uint32),
+        "id": np.arange(10_000, 10_000 + n).astype(np.uint32),
+        "fare": rng.rand(n).astype(np.float32),
+    }, validity={"fare": rng.rand(n) > 0.1})
+    assert stats["inserted"] == n
+    resp = conn.query_aql({
+        "table": "trips",
+        "measures": [{"sqlExpression": "count(*)",
+                      "rowFilters": ["id >= 10000"]}],
+        "now": NOW})
+    assert resp["results"][0][""] == float(n)
