@@ -472,6 +472,16 @@ class ShardExecutor:
                                 n_padded, table, live_cutoff)
             return
 
+        # multi-chip mesh execution (ARES_MESH=1): shard batch rows over
+        # every device, merge partial group tables over the interconnect
+        import os
+
+        if os.environ.get("ARES_MESH") == "1" and not self._geo_cols and \
+                not any(len(v) == 4 for v in batch_cols.values()):
+            if self._run_mesh_batch(plan, columns, foreign_idx, n_valid,
+                                    n_padded, table, live_cutoff):
+                return
+
         # fast path: dense slot aggregation when every dim is bounded
         dense_plan = plan_dense(plan, batch_stats)
         if dense_plan is not None:
@@ -508,6 +518,61 @@ class ShardExecutor:
             k = min(round_up_pow2(int(n_groups)), MAX_GROUP_CAPACITY)
         table.merge_batch(slot_used, agg, cnt,
                           list(dim_values), list(dim_valids))
+
+    def _run_mesh_batch(self, plan, columns, foreign_idx, n_valid, n_padded,
+                        table: GroupTable, live_cutoff=0) -> bool:
+        """Intra-query multi-chip execution over the device mesh.
+
+        Rows shard across devices; per-chip partial group tables merge with
+        all_gather + a replicated reduce (parallel/sharded.py). Returns
+        False when ineligible (single device, hll measure)."""
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from aresdb_tpu.parallel import sharded
+
+        devs = _jax.devices()
+        if len(devs) < 2 or plan.measure.agg == "hll":
+            return False
+        n_dev = len(devs)
+        if n_padded % n_dev != 0:
+            return False
+        rows_per_device = n_padded // n_dev
+        mesh = sharded.make_mesh()
+        row_sharding = NamedSharding(mesh, P(sharded.SHARD_AXIS))
+        repl = NamedSharding(mesh, P())
+        cols_sharded = {
+            k: (_jax.device_put(v, row_sharding),
+                _jax.device_put(b, row_sharding))
+            for k, (v, b) in columns.items() if k[0] == 0
+        }
+        for k, arrs in columns.items():
+            if k[0] != 0:
+                cols_sharded[k] = tuple(_jax.device_put(a, repl)
+                                        for a in arrs)
+        foreign_repl = tuple(
+            tuple(_jax.device_put(a, repl) for a in f) for f in foreign_idx)
+        n_valid_per = _jax.device_put(
+            jnp.asarray(sharded.per_shard_valid(int(n_valid), n_dev,
+                                                rows_per_device)),
+            row_sharding)
+        k_groups = DEFAULT_GROUP_CAPACITY
+        from aresdb_tpu.query.kernels import plan_signature
+        cache_key = ("mesh", plan_signature(plan), rows_per_device, k_groups,
+                     n_dev)
+        fn = self.kernel_cache._cache.get(cache_key)
+        if fn is None:
+            fn = sharded.make_sharded_agg_kernel(
+                plan, rows_per_device, k_groups, mesh)
+            self.kernel_cache._cache[cache_key] = fn
+        out = fn(cols_sharded, foreign_repl, n_valid_per)
+        (gkeys, slot_used, aggv, cnt, n_groups, dim_values, dim_valids) = \
+            jax.device_get(out)
+        if int(n_groups) > k_groups:
+            return False  # overflow: retry on the single-chip ladder
+        table.merge_batch(slot_used, aggv, cnt,
+                          list(dim_values), list(dim_valids))
+        return True
 
     def _run_hll_batch(self, plan, columns, foreign_idx, n_valid, n_padded,
                        table: GroupTable, live_cutoff=0):
