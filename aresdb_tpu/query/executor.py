@@ -121,6 +121,38 @@ class GroupTable:
     def __init__(self, plan: CompiledQuery):
         self.plan = plan
         self.groups: Dict[tuple, list] = {}  # key -> [dims, dim_valids, agg, cnt]
+        # vectorized accumulators for dense batches sharing a slot space:
+        # dense_sig -> [dense_plan, agg_array, cnt_array, rows_array]
+        self._dense_acc: Dict[tuple, list] = {}
+
+    def merge_dense(self, dense_sig: tuple, dense_plan, aggv, cnt, rows):
+        """Accumulate whole dense slot tables elementwise (no python loop);
+        decoded into groups lazily at finalize()."""
+        agg_kind = self.plan.measure.agg
+        acc = self._dense_acc.get(dense_sig)
+        if acc is None:
+            self._dense_acc[dense_sig] = [dense_plan, np.array(aggv),
+                                          np.array(cnt), np.array(rows)]
+            return
+        if agg_kind in ("sum", "count", "avg"):
+            acc[1] += aggv
+        elif agg_kind == "min":
+            acc[1] = np.minimum(acc[1], aggv)
+        else:
+            acc[1] = np.maximum(acc[1], aggv)
+        acc[2] += cnt
+        acc[3] += rows
+
+    def finalize(self) -> None:
+        """Fold dense accumulators into the generic groups dict."""
+        for dense_plan, aggv, cnt, rows in self._dense_acc.values():
+            used = rows > 0
+            slots = np.arange(dense_plan.n_slots)
+            decoded = dense_plan.decode_slots(slots)
+            self.merge_batch(used, aggv, cnt,
+                             [v for v, _ in decoded],
+                             [b for _, b in decoded])
+        self._dense_acc.clear()
 
     def merge_batch(self, slot_used, agg, cnt, dim_values, dim_valids):
         """dim_values/dim_valids: per-dim arrays aligned with slots."""
@@ -204,6 +236,7 @@ class ShardExecutor:
                                         n_padded, table, stats, cutoff)
                 plan.stats["batches"] += 1
                 plan.stats["rows_scanned"] += n_valid
+        table.finalize()
         M.root().count(M.QUERY_ROWS_RETURNED, len(table.groups))
         return table, None
 
@@ -493,12 +526,11 @@ class ShardExecutor:
             # round trip on remote-execution platforms)
             aggv, cnt, rows, overflow = jax.device_get(out)
             if int(overflow) == 0:
-                used = rows > 0
-                slots = np.arange(dense_plan.n_slots)
-                decoded = dense_plan.decode_slots(slots)
-                table.merge_batch(used, aggv, cnt,
-                                  [v for v, _ in decoded],
-                                  [b for _, b in decoded])
+                dense_sig = tuple(
+                    (d.kind, d.size, d.base, d.step, d.post_div,
+                     None if d.values is None else d.values.tobytes())
+                    for d in dense_plan.domains)
+                table.merge_dense(dense_sig, dense_plan, aggv, cnt, rows)
                 return
             # fall through to the general sort path
 
