@@ -212,7 +212,7 @@ class ShardExecutor:
 
         with stage("foreignTransfer"):
             foreign = self._stage_foreign_tables(plan)
-            self._geo_cols = self._stage_geo(plan)
+            plan._exec_geo_cols = self._stage_geo(plan)
         shards = plan.shards or [0]
 
         if plan.is_non_agg:
@@ -221,6 +221,7 @@ class ShardExecutor:
 
         table = GroupTable(plan)
         stat_keys = self._dense_stat_keys(plan)
+        plan._exec_pending = []
         for shard_id in shards:
             shard = self.memstore.get_table_shard(
                 plan.main_schema.table.name, shard_id)
@@ -236,6 +237,7 @@ class ShardExecutor:
                                         n_padded, table, stats, cutoff)
                 plan.stats["batches"] += 1
                 plan.stats["rows_scanned"] += n_valid
+        self._resolve_pending(plan, table)
         table.finalize()
         M.root().count(M.QUERY_ROWS_RETURNED, len(table.groups))
         return table, None
@@ -495,7 +497,7 @@ class ShardExecutor:
         # foreign columns are referenced through table_id > 0 VarRefs: install
         # them under their (table_id, column_id) keys
         columns = dict(batch_cols)
-        columns.update(self._geo_cols)
+        columns.update(plan._exec_geo_cols)
         for ft, (_, fcols) in zip(plan.foreign_tables, foreign):
             for (_, cid), arrs in fcols.items():
                 columns[(ft.table_id, cid)] = arrs
@@ -509,7 +511,7 @@ class ShardExecutor:
         # every device, merge partial group tables over the interconnect
         import os
 
-        if os.environ.get("ARES_MESH") == "1" and not self._geo_cols and \
+        if os.environ.get("ARES_MESH") == "1" and not plan._exec_geo_cols and \
                 not any(len(v) == 4 for v in batch_cols.values()):
             if self._run_mesh_batch(plan, columns, foreign_idx, n_valid,
                                     n_padded, table, live_cutoff):
@@ -522,18 +524,23 @@ class ShardExecutor:
                                                         dense_plan)
             out = kernel(columns, foreign_idx, np.int32(n_valid),
                          np.int64(live_cutoff))
-            # one host fetch for the whole tuple (each fetch pays a full
-            # round trip on remote-execution platforms)
-            aggv, cnt, rows, overflow = jax.device_get(out)
-            if int(overflow) == 0:
-                dense_sig = tuple(
-                    (d.kind, d.size, d.base, d.step, d.post_div,
-                     None if d.values is None else d.values.tobytes())
-                    for d in dense_plan.domains)
-                table.merge_dense(dense_sig, dense_plan, aggv, cnt, rows)
-                return
-            # fall through to the general sort path
+            dense_sig = tuple(
+                (d.kind, d.size, d.base, d.step, d.post_div,
+                 None if d.values is None else d.values.tobytes())
+                for d in dense_plan.domains)
+            # deferred fetch: the batch result is resolved after every batch
+            # has been dispatched (executor pipeline), replicating the
+            # reference's transfer/execute stream overlap
+            plan._exec_pending.append(
+                ("dense", dense_sig, dense_plan, out, columns, foreign_idx,
+                 n_valid, n_padded, live_cutoff, batch_stats))
+            return
 
+        self._run_sort_batch(plan, columns, foreign_idx, n_valid, n_padded,
+                             table, live_cutoff)
+
+    def _run_sort_batch(self, plan, columns, foreign_idx, n_valid, n_padded,
+                        table: GroupTable, live_cutoff=0):
         k = DEFAULT_GROUP_CAPACITY
         while True:
             kernel = self.kernel_cache.agg_kernel(plan, n_padded, k)
@@ -606,6 +613,20 @@ class ShardExecutor:
                           list(dim_values), list(dim_valids))
         return True
 
+    def _resolve_pending(self, plan, table: GroupTable) -> None:
+        """Fetch all dispatched dense batch results; overflowed batches
+        (domain understated by stale stats) rerun on the sort ladder."""
+        pending, plan._exec_pending = plan._exec_pending, []
+        for entry in pending:
+            (_, dense_sig, dense_plan, out, columns, foreign_idx, n_valid,
+             n_padded, live_cutoff, batch_stats) = entry
+            aggv, cnt, rows, overflow = jax.device_get(out)
+            if int(overflow) == 0:
+                table.merge_dense(dense_sig, dense_plan, aggv, cnt, rows)
+            else:
+                self._run_sort_batch(plan, columns, foreign_idx, n_valid,
+                                     n_padded, table, live_cutoff)
+
     def _run_hll_batch(self, plan, columns, foreign_idx, n_valid, n_padded,
                        table: GroupTable, live_cutoff=0):
         """HLL register build; group capacity laddered (registers are 16KB
@@ -651,7 +672,7 @@ class ShardExecutor:
             for batch_cols, n_valid, n_padded, _, cutoff in \
                     self._iter_batches(plan, shard):
                 columns = dict(batch_cols)
-                columns.update(self._geo_cols)
+                columns.update(plan._exec_geo_cols)
                 for ft, (_, fcols) in zip(plan.foreign_tables, foreign):
                     for (_, cid), arrs in fcols.items():
                         columns[(ft.table_id, cid)] = arrs
