@@ -160,6 +160,43 @@ class TableHandler(_Base):
         self.write_json({"message": "table deleted"})
 
 
+class ColumnHandler(_Base):
+    def delete(self, table: str, column: str):
+        """Delete (tombstone) a column (reference api/schema_handler.go
+        DeleteColumn + memstore TableShard.DeleteColumn)."""
+        ms = self.ctx.memstore
+        try:
+            schema = ms.get_schema(table)
+        except KeyError as e:
+            return self.write_error_json(404, str(e))
+        cid = schema.column_ids.get(column)
+        if cid is None:
+            return self.write_error_json(404, f"unknown column {column!r}")
+        if not schema.get_column_deletable(cid):
+            return self.write_error_json(
+                400, f"column {column!r} cannot be deleted (primary key or "
+                     f"time column)")
+        t = schema.table
+        t.columns[cid].deleted = True
+        t.version += 1
+        if ms.metastore is not None:
+            ms.metastore.update_table(t)
+        schema.set_table(t)
+        # drop in-memory + on-disk data
+        for (tname, sid) in list(ms.shards):
+            if tname != table:
+                continue
+            shard = ms.get_table_shard(tname, sid)
+            for b in shard.live_store.batches.values():
+                b.columns.pop(cid, None)
+            version = shard.archive_store.get_current_version()
+            for ab in version.batches.values():
+                ab.evict_column(cid)
+            if ms.diskstore is not None:
+                ms.diskstore.delete_column(tname, sid, cid)
+        self.write_json({"message": f"column {column} deleted"})
+
+
 class EnumHandler(_Base):
     def get(self, table: str, column: str):
         try:
@@ -464,6 +501,7 @@ def make_app(ctx: ServerContext) -> tornado.web.Application:
         (r"/schema/tables", TablesHandler, a),
         (r"/schema/tables/([^/]+)", TableHandler, a),
         (r"/schema/tables/([^/]+)/columns/([^/]+)/enum-cases", EnumHandler, a),
+        (r"/schema/tables/([^/]+)/columns/([^/]+)", ColumnHandler, a),
         (r"/dbg/shards", ShardsDebugHandler, a),
         (r"/dbg/jobs", JobsDebugHandler, a),
         (r"/dbg/devices", DevicesDebugHandler, a),

@@ -164,3 +164,22 @@ def test_bulk_columnar_insert(base, server):
                       "rowFilters": ["id >= 10000"]}],
         "now": NOW})
     assert resp["results"][0][""] == float(n)
+
+
+def test_delete_column(base):
+    import requests as rq
+
+    r = rq.delete(f"{base}/schema/tables/trips/columns/status")
+    assert r.status_code == 200, r.text
+    r = rq.get(f"{base}/schema/tables/trips")
+    cols = {c["name"]: c for c in r.json()["columns"]}
+    assert cols["status"]["deleted"] is True
+    # deleted column gone from queries
+    r = rq.post(f"{base}/query/aql", json={"queries": [{
+        "table": "trips",
+        "measures": [{"sqlExpression": "count(*)",
+                      "rowFilters": ["status='completed'"]}]}]})
+    assert r.json()["errors"][0]
+    # pk cannot be deleted
+    r = rq.delete(f"{base}/schema/tables/trips/columns/id")
+    assert r.status_code == 400
