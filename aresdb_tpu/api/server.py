@@ -423,12 +423,17 @@ class DebugUIHandler(_Base):
 
 class PeerMetadataHandler(_Base):
     def get(self, table: str, shard: str):
+        from aresdb_tpu.memstore.common import GLOBAL_BOOTSTRAP_TOKEN
+
         ms = self.ctx.memstore
         sid = int(shard)
         try:
             ms.get_table_shard(table, sid)
         except KeyError as e:
             return self.write_error_json(404, str(e))
+        # hold off data jobs while a peer snapshots this shard's metadata
+        GLOBAL_BOOTSTRAP_TOKEN.acquire(table, sid)
+        GLOBAL_BOOTSTRAP_TOKEN.release(table, sid)
         meta = ms.metastore
         ds = ms.diskstore
         cutoff = meta.get_archiving_cutoff(table, sid)

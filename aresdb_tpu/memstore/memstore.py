@@ -120,11 +120,19 @@ class MemStore:
     def init_shards(self, shard_assignments: Optional[List[Tuple[str, int]]] = None
                     ) -> None:
         """Create shards and replay redo logs / load snapshots + archives."""
+        import time as _time
+
+        from aresdb_tpu.utils import metrics as M
+
         if shard_assignments is None:
             shard_assignments = [(t, 0) for t in sorted(self.schemas)]
         for table, shard_id in shard_assignments:
+            t0 = _time.perf_counter()
             shard = self.add_table_shard(table, shard_id)
             self._recover_shard(shard)
+            M.root().record_timer(M.RECOVERY_LATENCY,
+                                  _time.perf_counter() - t0,
+                                  {"table": table, "shard": str(shard_id)})
 
     def _recover_shard(self, shard: TableShard) -> None:
         table = shard.schema.table.name

@@ -120,6 +120,9 @@ class Scheduler:
         status = self.statuses.setdefault(key, JobStatus())
         start = clock.now()
         result = None
+        from aresdb_tpu.memstore.common import GLOBAL_BOOTSTRAP_TOKEN
+
+        GLOBAL_BOOTSTRAP_TOKEN.acquire(table, shard_id)
         try:
             if jobtype == "archiving":
                 delay = shard.schema.table.config.archiving_delay_minutes * 60
@@ -143,6 +146,7 @@ class Scheduler:
             status.last_error = f"{type(e).__name__}: {e}"
             raise
         finally:
+            GLOBAL_BOOTSTRAP_TOKEN.release(table, shard_id)
             status.last_run = now
             status.num_runs += 1
             status.last_duration = clock.now() - start

@@ -237,8 +237,9 @@ class ShardExecutor:
                                         n_padded, table, stats, cutoff)
                 plan.stats["batches"] += 1
                 plan.stats["rows_scanned"] += n_valid
-        self._resolve_pending(plan, table)
-        table.finalize()
+        with stage("resultFetch"):
+            self._resolve_pending(plan, table)
+            table.finalize()
         M.root().count(M.QUERY_ROWS_RETURNED, len(table.groups))
         return table, None
 
