@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import datetime as _dt
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 from aresdb_tpu.common import data_types as mdt
 from aresdb_tpu.common.schema import TableSchema

@@ -15,7 +15,7 @@ query/aql_batchexecutor.go. The TPU design differs deliberately:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -30,14 +30,9 @@ from aresdb_tpu.utils import metrics as M
 
 from aresdb_tpu.common import data_types as mdt
 from aresdb_tpu.memstore.common import SECONDS_PER_DAY
-from aresdb_tpu.query import expr as E
 from aresdb_tpu.query.compiler import CompiledQuery, QueryError
 from aresdb_tpu.query.dense import plan_dense
-from aresdb_tpu.query.kernels import (
-    GLOBAL_KERNEL_CACHE,
-    SENTINEL64,
-    round_up_pow2,
-)
+from aresdb_tpu.query.kernels import GLOBAL_KERNEL_CACHE, round_up_pow2
 
 DEFAULT_GROUP_CAPACITY = 4096
 MAX_GROUP_CAPACITY = 1 << 22

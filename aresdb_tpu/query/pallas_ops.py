@@ -24,8 +24,6 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
-
 from aresdb_tpu.utils import jax_env
 
 jax_env.ensure()
