@@ -117,6 +117,11 @@ class CompiledQuery:
     now_ts: int = 0
     stats: Dict = field(default_factory=dict)  # per-stage timings (executor)
     uses_tz_table: bool = False
+    # (column_id, op, value) matched against the archiving-sort-column
+    # prefix, in sort order; the executor binary-searches sorted archive
+    # batches to a candidate row range (reference: query/aql_compiler.go
+    # matchPrefilters + memstore calculateBatchSizeAndStartRow)
+    prefilters: List[tuple] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -200,7 +205,60 @@ class Compiler:
         self._process_measure(q, cq)
         self._process_dimensions(q, cq)
         self._collect_column_usage(cq)
+        self._match_prefilters(main, cq)
         return cq
+
+    # -- prefilters --
+
+    @staticmethod
+    def _match_prefilters(main: TableSchema, cq: CompiledQuery) -> None:
+        """Match ANDed filters against the archiving-sort-column prefix.
+
+        Reference: query/aql_compiler.go matchPrefilters — equality filters
+        on a prefix of the sort columns, then at most one level of range
+        filters (the resolved time range counts when the time column is the
+        next sort column). Matched filters stay in the device filter list;
+        the slice the executor computes is a conservative superset, so the
+        fused mask keeps full correctness.
+        """
+        sort_cols = list(main.table.archiving_sort_columns)
+        if not sort_cols:
+            return
+        _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+        cand: Dict[int, List[tuple]] = {}
+        for f in cq.filters:
+            if not isinstance(f, E.BinaryExpr) or \
+                    f.op not in ("=", "<", "<=", ">", ">="):
+                continue
+            lhs, rhs, op = f.lhs, f.rhs, f.op
+            if isinstance(lhs, E.NumberLiteral) and isinstance(rhs, E.VarRef):
+                lhs, rhs, op = rhs, lhs, _FLIP.get(op, op)
+            if not (isinstance(lhs, E.VarRef) and
+                    isinstance(rhs, E.NumberLiteral)):
+                continue
+            if lhs.table_id != 0 or lhs.column_id < 0:
+                continue
+            if mdt.is_array_type(lhs.data_type) or lhs.data_type in (
+                    mdt.UUID, mdt.GeoPoint, mdt.GeoShape):
+                continue
+            val = rhs.val if rhs.type == E.FLOAT else rhs.int_val
+            cand.setdefault(lhs.column_id, []).append((op, val))
+        for cid in sort_cols:
+            ops = cand.get(cid, [])
+            eq = next((v for op, v in ops if op == "="), None)
+            if eq is not None:
+                cq.prefilters.append((cid, "=", eq))
+                continue
+            if cid == cq.time_column_id and (cq.from_ts or cq.to_ts):
+                if cq.from_ts:
+                    cq.prefilters.append((cid, ">=", cq.from_ts))
+                if cq.to_ts:
+                    cq.prefilters.append((cid, "<", cq.to_ts))
+            else:
+                for op, v in ops:
+                    if op != "=":
+                        cq.prefilters.append((cid, op, v))
+            break
 
     # -- joins --
 

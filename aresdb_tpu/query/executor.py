@@ -291,9 +291,49 @@ class ShardExecutor:
                 plan.from_ts or 0, plan.to_ts or 0)
             for day in day_ids:
                 ab = version.request_batch(day)
-                staged = self._stage_archive_batch(schema, ab, used, stat_keys)
+                staged = self._stage_archive_batch(schema, ab, used, stat_keys,
+                                                   plan)
                 if staged is not None:
                     yield staged + (0,)
+
+    @staticmethod
+    def _prefilter_slice(prefilters, vps, n: int, stats: dict):
+        """Candidate [lo, hi) row range of a sorted archive batch.
+
+        Reference: memstore/vector_party (sorted-column binary search) +
+        query archive batch processing — each matched prefilter narrows the
+        range via searchsorted on the expanded sort column. Archive batches
+        are ordered by raw value first, validity second (archiving.py
+        _sort_and_compress), so a raw-value run is a conservative superset
+        of the matching valid rows; deeper levels are only sorted within
+        each parent run, so narrowing stops when the slice is not monotone.
+        """
+        lo, hi = 0, n
+        for cid, op, val in prefilters:
+            if hi <= lo:
+                break
+            vp = vps.get(cid)
+            if vp is None or vp.is_list or vp.values is None or \
+                    vp.values.ndim != 1:
+                break
+            seg = vp.values[lo:hi]
+            if len(seg) > 1 and not np.all(seg[1:] >= seg[:-1]):
+                break
+            if op == "=":
+                lo, hi = (lo + int(np.searchsorted(seg, val, "left")),
+                          lo + int(np.searchsorted(seg, val, "right")))
+            elif op == ">=":
+                lo += int(np.searchsorted(seg, val, "left"))
+            elif op == ">":
+                lo += int(np.searchsorted(seg, val, "right"))
+            elif op == "<":
+                hi = lo + int(np.searchsorted(seg, val, "left"))
+            elif op == "<=":
+                hi = lo + int(np.searchsorted(seg, val, "right"))
+        if (lo, hi) != (0, n):
+            stats["prefilterRowsSkipped"] = \
+                stats.get("prefilterRowsSkipped", 0) + (n - max(hi - lo, 0))
+        return lo, hi
 
     @staticmethod
     def _column_stat(stats, stat_keys, cid, values, validity):
@@ -333,7 +373,7 @@ class ShardExecutor:
         return cols, n, n_padded, stats
 
     def _stage_archive_batch(self, schema, ab, used: List[int],
-                             stat_keys=frozenset()):
+                             stat_keys=frozenset(), plan=None):
         # resolve row count from any present column
         vps = {}
         n = ab.size
@@ -345,14 +385,21 @@ class ShardExecutor:
             vps[cid] = vp
         if n == 0:
             return None
-        n_padded = round_up_pow2(max(n, 1))
-        table = schema.table.name
+        # prefilter slicing: binary-search the sorted batch down to the
+        # candidate row range before staging anything on device
+        lo, hi = 0, n
+        if plan is not None and plan.prefilters:
+            lo, hi = self._prefilter_slice(plan.prefilters, vps, n, plan.stats)
+            if hi <= lo:
+                return None
+        n_rows = hi - lo
+        n_padded = round_up_pow2(max(n_rows, 1))
         cols = {}
         stats = {}
         for cid in used:
             vp = vps[cid]
             col_schema = schema.table.columns[cid]
-            akey = ("arch", getattr(vp, "uid", None), n_padded)
+            akey = ("arch", getattr(vp, "uid", None), lo, hi, n_padded)
             if vp is None:
                 cols[(0, cid)] = self.device_cache.get_or_stage(
                     ("default", col_schema.data_type,
@@ -361,14 +408,16 @@ class ShardExecutor:
             elif vp.is_list:
                 cols[(0, cid)] = self.device_cache.get_or_stage(
                     akey, lambda: _pad_array_column(
-                        vp.list_values, vp.validity, n_padded,
+                        vp.list_values[lo:hi], vp.validity[lo:hi], n_padded,
                         col_schema.data_type))
             else:
-                self._column_stat(stats, stat_keys, cid, vp.values, vp.validity)
+                self._column_stat(stats, stat_keys, cid, vp.values[lo:hi],
+                                  vp.validity[lo:hi])
                 cols[(0, cid)] = self.device_cache.get_or_stage(
-                    akey, lambda: _pad_column(vp.values, vp.validity, n_padded,
-                                              col_schema.data_type))
-        return cols, n, n_padded, stats
+                    akey, lambda: _pad_column(
+                        vp.values[lo:hi], vp.validity[lo:hi], n_padded,
+                        col_schema.data_type))
+        return cols, n_rows, n_padded, stats
 
     def _stage_foreign_tables(self, plan: CompiledQuery):
         """Stage each joined dimension table: sorted key index + used columns.

@@ -242,3 +242,51 @@ def test_scheduler_runs_jobs(tmp_root):
     assert statuses["trips/0/archiving"]["numRuns"] == 1
     ran = sched.run_due_jobs(now=now + 10)
     assert ("trips", 0, "backfill") in ran
+
+
+def test_prefilter_slicing_on_sorted_archive_batches(tmp_root):
+    """Equality prefilter on the archiving sort column binary-search-slices
+    sorted archive batches (reference: aql_compiler.go matchPrefilters)."""
+    from aresdb_tpu.query.aql import AQLQuery
+    from aresdb_tpu.query.compiler import Compiler
+    from aresdb_tpu.query.executor import ShardExecutor
+    from aresdb_tpu.query.postprocess import build_agg_result
+
+    ms = make_memstore(tmp_root)
+    shard = ms.get_table_shard("trips")
+    rng = np.random.RandomState(7)
+    n = 400
+    cities = rng.randint(0, 20, n)
+    rows = [(BASE_T + int(i % DAY), 1000 + i, int(cities[i]),
+             float(i) if i % 10 else None) for i in range(n)]
+    shard.save_upsert_batch(fact_batch(rows))
+    Archiver(shard, ms.metastore, ms.diskstore).archive(BASE_T + DAY)
+
+    q = {"table": "trips",
+         "measures": [{"sqlExpression": "sum(fare)"}],
+         "rowFilters": ["city_id = 7"],
+         "now": BASE_T + 2 * DAY}
+    compiler = Compiler(ms.get_schemas())
+    plan = compiler.compile(AQLQuery.from_json(q))
+    assert plan.prefilters == [(2, "=", 7)]
+    table, rows_out = ShardExecutor(ms).execute(plan)
+    got = build_agg_result(plan, table)[""]
+
+    expected = sum(float(i) for i in range(n)
+                   if cities[i] == 7 and i % 10)
+    assert got == pytest.approx(expected)
+    # the slice actually skipped the non-matching sorted rows
+    in_city = int((cities == 7).sum())
+    assert plan.stats["prefilterRowsSkipped"] == n - in_city
+
+    # range prefilter parity: no equality, first sort col gets the range
+    q2 = {"table": "trips",
+          "measures": [{"sqlExpression": "count(*)"}],
+          "rowFilters": ["city_id >= 15"],
+          "now": BASE_T + 2 * DAY}
+    plan2 = compiler.compile(AQLQuery.from_json(q2))
+    assert plan2.prefilters == [(2, ">=", 15)]
+    table2, _ = ShardExecutor(ms).execute(plan2)
+    got2 = build_agg_result(plan2, table2)[""]
+    assert got2 == float((cities >= 15).sum())
+    assert plan2.stats["prefilterRowsSkipped"] == int((cities < 15).sum())
