@@ -139,8 +139,8 @@ class BrokerExecutor:
 
     # -- datanode RPC --
 
-    def _scan(self, host, shards: List[int], query: Dict[str, Any]
-              ) -> Dict[str, Any]:
+    def _scan(self, host, shards: List[int], query: Dict[str, Any],
+              ctx_out: Optional[list] = None) -> Dict[str, Any]:
         """One sub-query with retries + health marking (BlockingScanNode)."""
         sub = copy.deepcopy(query)
         sub["shards"] = shards
@@ -149,13 +149,18 @@ class BrokerExecutor:
             try:
                 r = self.session.post(
                     f"http://{host.address}/query/aql",
-                    json={"queries": [sub]}, timeout=120)
+                    json={"queries": [sub], "verbose": ctx_out is not None},
+                    timeout=120)
                 r.raise_for_status()
                 body = r.json()
                 errs = body.get("errors")
                 if errs and errs[0]:
                     raise BrokerError(errs[0])
                 self.topology.mark_healthy(host.name)
+                if ctx_out is not None:
+                    ctx_out.append({
+                        "host": host.name, "shards": shards,
+                        "stats": (body.get("context") or [None])[0]})
                 return body["results"][0]
             except (requests.RequestException, BrokerError) as e:
                 last_err = e
@@ -163,7 +168,8 @@ class BrokerExecutor:
         raise BrokerError(
             f"datanode {host.address} failed after {RETRIES} tries: {last_err}")
 
-    def _scatter(self, query: Dict[str, Any]) -> List[Dict[str, Any]]:
+    def _scatter(self, query: Dict[str, Any],
+                 ctx_out: Optional[list] = None) -> List[Dict[str, Any]]:
         view = self.topology.get()
         try:
             if not view.shards:
@@ -180,27 +186,31 @@ class BrokerExecutor:
                 raise BrokerError("empty topology")
             assignment = calculate_shard_assignment(view)
         futures = [
-            self.pool.submit(self._scan, host, shards, query)
+            self.pool.submit(self._scan, host, shards, query, ctx_out)
             for host, shards in assignment.values()
         ]
         return [f.result() for f in futures]
 
     # -- public --
 
-    def execute(self, query: Dict[str, Any]) -> Dict[str, Any]:
+    def execute(self, query: Dict[str, Any],
+                ctx_out: Optional[list] = None) -> Dict[str, Any]:
+        """Scatter-gather one query; ctx_out (when given) collects each
+        datanode's verbose stage stats for broker-level verbose responses."""
         agg = _agg_of(query)
 
         if agg is None:
-            return self._execute_non_agg(query)
+            return self._execute_non_agg(query, ctx_out)
         if agg == "avg":
-            return self._execute_avg(query)
+            return self._execute_avg(query, ctx_out)
         if agg == "hll":
             sub = copy.deepcopy(query)
             sub["_hllData"] = True
-            return merge_hll_results(self._scatter(sub))
-        return merge_results(agg, self._scatter(query))
+            return merge_hll_results(self._scatter(sub, ctx_out))
+        return merge_results(agg, self._scatter(query, ctx_out))
 
-    def _execute_avg(self, query: Dict[str, Any]) -> Dict[str, Any]:
+    def _execute_avg(self, query: Dict[str, Any],
+                     ctx_out: Optional[list] = None) -> Dict[str, Any]:
         """AVG = merged SUM / merged COUNT (query_plan_agg.go:241)."""
         m = query["measures"][0]
         ast = E.parse(m["sqlExpression"])
@@ -213,8 +223,8 @@ class BrokerExecutor:
         # match single-node avg semantics
         cnt_q["measures"][0].setdefault("rowFilters", []).append(
             f"{arg} IS NOT NULL")
-        sums = merge_results("sum", self._scatter(sum_q))
-        cnts = merge_results("count", self._scatter(cnt_q))
+        sums = merge_results("sum", self._scatter(sum_q, ctx_out))
+        cnts = merge_results("count", self._scatter(cnt_q, ctx_out))
 
         def divide(s_node, c_node):
             out = {}
@@ -229,9 +239,10 @@ class BrokerExecutor:
 
         return divide(sums, cnts)
 
-    def _execute_non_agg(self, query: Dict[str, Any]) -> Dict[str, Any]:
+    def _execute_non_agg(self, query: Dict[str, Any],
+                         ctx_out: Optional[list] = None) -> Dict[str, Any]:
         limit = query.get("limit", 0) or 1000
-        results = self._scatter(query)
+        results = self._scatter(query, ctx_out)
         headers = None
         matrix: List[List[Any]] = []
         for r in results:

@@ -31,28 +31,36 @@ class _Base(tornado.web.RequestHandler):
         except json.JSONDecodeError as e:
             raise tornado.web.HTTPError(400, reason=str(e))
 
-    async def _run_queries(self, queries):
+    async def _run_queries(self, queries, verbose: bool = False):
         loop = tornado.ioloop.IOLoop.current()
         results, errors, had_error = [], [], False
+        contexts = []
         for q in queries:
+            ctx = [] if verbose else None
             try:
                 r = await loop.run_in_executor(
-                    self.pool, self.executor.execute, q)
+                    self.pool, self.executor.execute, q, ctx)
                 results.append(r)
                 errors.append(None)
             except (BrokerError, ValueError, KeyError) as e:
                 results.append({})
                 errors.append(str(e))
                 had_error = True
+            contexts.append(ctx)
         resp = {"results": results}
         if had_error:
             resp["errors"] = errors
+        if verbose:
+            resp["context"] = contexts
         return resp
 
 
 class BrokerAQLHandler(_Base):
     async def post(self):
-        resp = await self._run_queries(self.body().get("queries", []))
+        body = self.body()
+        resp = await self._run_queries(
+            body.get("queries", []),
+            verbose=bool(body.get("verbose") or body.get("debug")))
         self.write_json(resp)
 
 

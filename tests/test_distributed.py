@@ -140,15 +140,18 @@ def test_cluster_scatter_gather(cluster):
         assert "errors" not in resp, resp.get("errors")
         assert resp["results"][0] == {"1": 21.0, "2": 42.0}
 
-        # count
+        # count (verbose: per-datanode stage stats pass through the broker)
         resp = requests.post(
             f"http://localhost:{bport}/query/aql",
-            json={"queries": [{
+            json={"verbose": True, "queries": [{
                 "table": "trips",
                 "measures": [{"sqlExpression": "count(*)"}],
                 "now": NOW,
             }]}).json()
         assert resp["results"][0] == {"": 6.0}
+        ctx = resp["context"][0]
+        assert {s for e in ctx for s in e["shards"]} == {0, 1, 2, 3}
+        assert all("batchExec" in e["stats"] for e in ctx)
 
         # avg split (sum/count across shards)
         resp = requests.post(
