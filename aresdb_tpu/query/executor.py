@@ -95,14 +95,6 @@ class DeviceColumnCache:
 GLOBAL_DEVICE_CACHE = DeviceColumnCache()
 
 
-def _hashable(v) -> object:
-    """One dim value → hashable merge key component."""
-    a = np.asarray(v)
-    if a.ndim > 0:
-        return tuple(a.tolist())
-    return a.item()
-
-
 class GroupTable:
     """Host-side exact merge of per-batch partial aggregates.
 
@@ -153,25 +145,44 @@ class GroupTable:
         """dim_values/dim_valids: per-dim arrays aligned with slots."""
         agg_kind = self.plan.measure.agg
         used = np.nonzero(slot_used)[0]
-        for slot in used:
-            dvalid = tuple(bool(dv[slot]) for dv in dim_valids)
-            dims = tuple(dv[slot] for dv in dim_values)
-            k = tuple(
-                (valid, _hashable(value) if valid else None)
-                for valid, value in zip(dvalid, dims))
-            entry = self.groups.get(k)
+        n_used = len(used)
+        if n_used == 0:
+            return
+        # one vectorized host conversion per dim: .tolist() yields hashable
+        # exact python scalars, avoiding per-slot numpy boxing (the python
+        # tail cost is per-GROUP here, never per-row)
+        dvals = []
+        for dv in dim_values:
+            sel = np.asarray(dv)[used]
+            dvals.append([tuple(x) for x in sel.tolist()]
+                         if sel.ndim > 1 else sel.tolist())
+        dvalids = [np.asarray(bv)[used].astype(bool).tolist()
+                   for bv in dim_valids]
+        aggs = np.asarray(agg)[used]
+        if agg_kind != "hll":
+            aggs = aggs.tolist()          # python floats; hll keeps register rows
+        cnts = np.asarray(cnt)[used].tolist()
+        n_dims = len(dvals)
+        rng = range(n_dims)
+        groups = self.groups
+        for j in range(n_used):
+            dvalid = tuple(dvalids[i][j] for i in rng)
+            dims = tuple(dvals[i][j] for i in rng)
+            k = tuple((valid, value if valid else None)
+                      for valid, value in zip(dvalid, dims))
+            entry = groups.get(k)
             if entry is None:
-                self.groups[k] = [dims, dvalid, agg[slot], int(cnt[slot])]
+                groups[k] = [dims, dvalid, aggs[j], int(cnts[j])]
                 continue
             if agg_kind in ("sum", "count", "avg"):
-                entry[2] += agg[slot]
+                entry[2] += aggs[j]
             elif agg_kind == "min":
-                entry[2] = min(entry[2], agg[slot])
+                entry[2] = min(entry[2], aggs[j])
             elif agg_kind == "hll":
-                entry[2] = np.maximum(entry[2], agg[slot])
+                entry[2] = np.maximum(entry[2], aggs[j])
             else:
-                entry[2] = max(entry[2], agg[slot])
-            entry[3] += int(cnt[slot])
+                entry[2] = max(entry[2], aggs[j])
+            entry[3] += int(cnts[j])
 
 
 class ShardExecutor:

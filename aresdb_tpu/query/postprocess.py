@@ -104,11 +104,26 @@ def build_agg_result(plan: CompiledQuery, table,
     """
     result: Dict[str, Any] = {}
     n_dims = len(plan.dimensions)
+    # memoize per-dimension formatting: group counts are typically much
+    # larger than per-dimension cardinality (hour buckets, enums), and
+    # time/float formatting dominates the python tail otherwise
+    fmt_cache: List[Dict] = [{} for _ in range(n_dims)]
+
+    def fmt(i: int, value, valid: bool) -> Optional[str]:
+        if not valid:
+            return None
+        k = value
+        if isinstance(value, np.ndarray):
+            k = tuple(value.tolist())
+        cache = fmt_cache[i]
+        s = cache.get(k)
+        if s is None and k not in cache:
+            s = format_dimension(value, True, plan.dimensions[i], plan)
+            cache[k] = s
+        return s
+
     for key, (dims, dim_valids, agg, cnt) in table.groups.items():
-        dim_strs = [
-            format_dimension(dims[i], dim_valids[i], plan.dimensions[i], plan)
-            for i in range(n_dims)
-        ]
+        dim_strs = [fmt(i, dims[i], dim_valids[i]) for i in range(n_dims)]
         if hll_data and plan.measure.agg == "hll":
             import base64
             from aresdb_tpu.query import hll as H
