@@ -383,31 +383,149 @@ class ProfilerHandler(_Base):
 
 
 _DEBUG_HTML = """<!doctype html><html><head><title>aresdb_tpu debug</title>
-<style>body{font-family:monospace;margin:2em}table{border-collapse:collapse}
-td,th{border:1px solid #999;padding:4px 8px}h2{margin-top:1.2em}</style>
-</head><body><h1>aresdb_tpu debug</h1>
-<div id=out>loading...</div>
+<style>
+body{font-family:ui-monospace,monospace;margin:0;background:#fafafa;color:#222}
+#nav{background:#1a2744;color:#fff;padding:0 1em;display:flex;align-items:center}
+#nav b{margin-right:1.5em;padding:10px 0}
+#nav a{color:#9fb3d9;text-decoration:none;padding:12px 14px;cursor:pointer}
+#nav a.on{color:#fff;background:#2d4373}
+#page{padding:1.2em 1.6em}
+table{border-collapse:collapse;background:#fff;margin:.5em 0}
+td,th{border:1px solid #ccc;padding:4px 10px;text-align:left}
+th{background:#eef1f7}
+h2{margin:.8em 0 .2em;font-size:1.05em}
+button{font-family:inherit;padding:3px 10px;margin:2px;cursor:pointer}
+textarea{width:100%;height:90px;font-family:inherit;font-size:13px}
+pre{background:#fff;border:1px solid #ccc;padding:8px;overflow:auto}
+.err{color:#b00020}.ok{color:#0a7d38}
+input,select{font-family:inherit;padding:3px 6px}
+</style></head><body>
+<div id=nav><b>aresdb_tpu</b></div><div id=page>loading...</div>
 <script>
-async function j(u){return await (await fetch(u)).json()}
-async function main(){
-  const shards = await j('/dbg/shards');
-  const jobs = await j('/dbg/jobs');
-  const cache = await j('/dbg/device-cache');
-  const devices = await j('/dbg/devices');
-  let h = '<h2>Shards</h2><table><tr><th>table</th><th>shard</th>'
-    + '<th>rows</th><th>batches</th><th>pks</th><th>cutoff</th>'
-    + '<th>archive batches</th></tr>';
-  for (const s of shards) h += `<tr><td>${s.table}</td><td>${s.shard}</td>`
-    + `<td>${s.rowsVisible}</td><td>${s.liveBatches}</td>`
-    + `<td>${s.primaryKeys}</td><td>${s.archivingCutoff}</td>`
-    + `<td>${s.archiveBatches}</td></tr>`;
-  h += '</table><h2>Jobs</h2><pre>' + JSON.stringify(jobs, null, 1)
-    + '</pre><h2>Device cache</h2><pre>' + JSON.stringify(cache, null, 1)
-    + '</pre><h2>Devices</h2><pre>' + JSON.stringify(devices, null, 1)
-    + '</pre>';
-  document.getElementById('out').innerHTML = h;
+const TABS=["Overview","Jobs","Memory","Schema","Query","Metrics","Redologs","Profiler"];
+let cur="Overview";
+async function j(u,opt){const r=await fetch(u,opt);
+  const t=await r.text();try{return JSON.parse(t)}catch(e){return t}}
+function esc(x){return String(x).replace(/&/g,"&amp;").replace(/</g,"&lt;")}
+function tbl(headers,rows){let h="<table><tr>"+headers.map(c=>`<th>${esc(c)}</th>`).join("")+"</tr>";
+  for(const r of rows)h+="<tr>"+r.map(c=>`<td>${c}</td>`).join("")+"</tr>";return h+"</table>"}
+function nav(){document.getElementById("nav").innerHTML="<b>aresdb_tpu</b>"+
+  TABS.map(t=>`<a class="${t===cur?"on":""}" onclick="go('${t}')">${t}</a>`).join("")}
+function go(t){cur=t;nav();render()}
+async function render(){
+  const p=document.getElementById("page");
+  try{p.innerHTML=await PAGES[cur]()}catch(e){p.innerHTML=`<pre class=err>${esc(e)}</pre>`}
+  if(cur==="Overview"||cur==="Jobs"||cur==="Memory")
+    clearTimeout(window.__t),window.__t=setTimeout(()=>{if(cur)render()},5000);
 }
-main(); setInterval(main, 5000);
+const PAGES={
+ async Overview(){
+  const shards=await j("/dbg/shards"),devices=await j("/dbg/devices");
+  let h="<h2>Table shards</h2>"+tbl(
+    ["table","shard","rows visible","live batches","primary keys",
+     "archiving cutoff","archive batches",""],
+    shards.map(s=>[esc(s.table),s.shard,s.rowsVisible,s.liveBatches,
+      s.primaryKeys,s.archivingCutoff,s.archiveBatches,
+      `<button onclick="detail('${esc(s.table)}',${s.shard})">detail</button>`]));
+  h+="<div id=detail></div><h2>Devices</h2><pre>"+esc(JSON.stringify(devices,null,1))+"</pre>";
+  return h},
+ async Jobs(){
+  const jobs=await j("/dbg/jobs"),shards=await j("/dbg/shards");
+  let h="<h2>Job statuses</h2>"+tbl(
+    ["job","last run","runs","last duration (s)","last result"],
+    Object.entries(jobs).map(([k,v])=>[esc(k),
+      v.lastRun?new Date(v.lastRun*1000).toISOString():"-",
+      v.numRuns??0,(v.lastDuration??0).toFixed(3),
+      esc(JSON.stringify(v.lastResult??""))]));
+  h+="<h2>Trigger</h2>";
+  for(const s of shards){h+=`<div>${esc(s.table)}/${s.shard}: `+
+    ["archiving","backfill","snapshot","purge"].map(x=>
+      `<button onclick="trig('${esc(s.table)}',${s.shard},'${x}')">${x}</button>`).join("")+"</div>"}
+  return h+"<pre id=trigout></pre>"},
+ async Memory(){
+  const hm=await j("/dbg/host-memory"),dc=await j("/dbg/device-cache");
+  return "<h2>Host memory</h2><pre>"+esc(JSON.stringify(hm,null,1))+
+    "</pre><h2>Device column cache (HBM residency)</h2><pre>"+
+    esc(JSON.stringify(dc,null,1))+"</pre>"},
+ async Schema(){
+  const names=await j("/schema/tables");let h="<h2>Tables</h2>";
+  for(const n of names){const t=await j("/schema/tables/"+n);
+    h+=`<h2>${esc(n)} ${t.isFactTable?"(fact)":"(dimension)"}</h2>`+tbl(
+      ["id","column","type","default","deleted","pk","sort"],
+      t.columns.map((c,i)=>[i,esc(c.name),esc(c.type),
+        c.defaultValue===undefined||c.defaultValue===null?"":esc(c.defaultValue),
+        c.deleted?"yes":"",t.primaryKeyColumns.includes(i)?"yes":"",
+        (t.archivingSortColumns||[]).includes(i)?"yes":""]))}
+  return h},
+ async Query(){
+  return `<h2>Query console</h2>
+  <select id=qmode><option>SQL</option><option>AQL</option></select>
+  <label><input type=checkbox id=qverbose> verbose</label>
+  <button onclick="runq()">Run</button>
+  <textarea id=qtext>SELECT count(*) FROM </textarea>
+  <div id=qout></div>`},
+ async Metrics(){
+  const m=await j("/metrics");
+  return "<h2>Counters</h2>"+tbl(["name","value"],
+      Object.entries(m.counters||{}).map(([k,v])=>[esc(k),v]))+
+    "<h2>Gauges</h2>"+tbl(["name","value"],
+      Object.entries(m.gauges||{}).map(([k,v])=>[esc(k),v]))+
+    "<h2>Timers</h2>"+tbl(["name","count","avg (ms)","max (ms)"],
+      Object.entries(m.timers||{}).map(([k,v])=>[esc(k),v.count,
+        (1e3*(v.avg??0)).toFixed(2),(1e3*(v.max??0)).toFixed(2)]))},
+ async Redologs(){
+  const shards=await j("/dbg/shards");let h="<h2>Redo logs</h2>";
+  for(const s of shards){const files=await j(`/dbg/${s.table}/${s.shard}/redologs`);
+    h+=`<h2>${esc(s.table)}/${s.shard}</h2><pre>`+esc(JSON.stringify(files,null,1))+"</pre>"}
+  return h},
+ async Profiler(){
+  return `<h2>XLA profiler</h2>
+  <div>trace dir <input id=pdir value="/tmp/ares-profile" size=40>
+  <button onclick="prof('start')">start</button>
+  <button onclick="prof('stop')">stop</button></div>
+  <p>Captured traces load in Perfetto / TensorBoard (xplane + trace.json.gz).</p>
+  <pre id=pout></pre>`},
+};
+async function detail(t,s){
+  const d=await j(`/dbg/${t}/${s}`);
+  document.getElementById("detail").innerHTML=
+    `<h2>${esc(t)}/${s}</h2><pre>`+esc(JSON.stringify(d,null,1))+"</pre>"}
+async function trig(t,s,job){
+  const r=await j(`/dbg/${t}/${s}/${job}`,{method:"POST",body:"{}"});
+  document.getElementById("trigout").textContent=JSON.stringify(r,null,1)}
+async function prof(a){
+  const dir=document.getElementById("pdir").value;
+  const r=await j(`/dbg/profiler/${a}`,{method:"POST",body:JSON.stringify({dir})});
+  document.getElementById("pout").textContent=JSON.stringify(r,null,1)}
+function flat(node,prefix,out){
+  for(const[k,v]of Object.entries(node)){
+    if(v!==null&&typeof v==="object"&&!Array.isArray(v))flat(v,prefix.concat(k),out);
+    else out.push(prefix.concat([k,v]))}return out}
+async function runq(){
+  const mode=document.getElementById("qmode").value;
+  const verbose=document.getElementById("qverbose").checked;
+  const text=document.getElementById("qtext").value;
+  let body;
+  if(mode==="SQL")body={queries:[text]};
+  else{let q;try{q=JSON.parse(text)}catch(e){
+    document.getElementById("qout").innerHTML=`<pre class=err>bad AQL json: ${esc(e)}</pre>`;return}
+    body={queries:[q],verbose}}
+  const t0=performance.now();
+  const resp=await j(mode==="SQL"?"/query/sql":"/query/aql",
+    {method:"POST",body:JSON.stringify(body)});
+  const ms=(performance.now()-t0).toFixed(1);
+  let h=`<p class=ok>${ms} ms</p>`;
+  if(resp.errors&&resp.errors[0])h+=`<pre class=err>${esc(resp.errors[0])}</pre>`;
+  const r=(resp.results||[])[0];
+  if(r&&r.matrixData)h+=tbl(r.headers,r.matrixData.map(row=>row.map(esc)));
+  else if(r&&typeof r==="object"){
+    const rows=flat(r,[],[]);
+    const depth=rows.length?rows[0].length-1:0;
+    h+=tbl([...Array(depth).keys()].map(i=>"dim"+i).concat(["value"]),
+      rows.map(row=>row.map(esc)))}
+  if(resp.context)h+="<h2>stats</h2><pre>"+esc(JSON.stringify(resp.context,null,1))+"</pre>";
+  document.getElementById("qout").innerHTML=h}
+nav();render();
 </script></body></html>"""
 
 
