@@ -133,6 +133,15 @@ class MemStore:
             M.root().record_timer(M.RECOVERY_LATENCY,
                                   _time.perf_counter() - t0,
                                   {"table": table, "shard": str(shard_id)})
+        # async preload of archive columns inside their preloading windows,
+        # like the reference's startup preloading goroutines
+        # (host_memory_manager.go) — queries work immediately either way
+        # (lazy load), preloading just warms the host cache
+        if self.host_memory_manager is not None:
+            import threading
+
+            threading.Thread(target=self.host_memory_manager.preload_all,
+                             daemon=True, name="ares-preload").start()
 
     def _recover_shard(self, shard: TableShard) -> None:
         table = shard.schema.table.name

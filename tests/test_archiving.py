@@ -290,3 +290,37 @@ def test_prefilter_slicing_on_sorted_archive_batches(tmp_root):
     got2 = build_agg_result(plan2, table2)[""]
     assert got2 == float((cities >= 15).sum())
     assert plan2.stats["prefilterRowsSkipped"] == int((cities < 15).sum())
+
+
+def test_startup_preloads_archive_columns_in_window(tmp_root):
+    """Columns with preloadingDays become host-resident after recovery
+    (reference: host_memory_manager.go startup preloading goroutines)."""
+    import copy
+    import time as _t
+
+    FACT_PRE = copy.deepcopy(FACT)
+    FACT_PRE["columns"][3]["config"] = {"preloadingDays": 30}
+    ms = MemStore(DiskMetaStore(tmp_root), LocalDiskStore(tmp_root))
+    ms.create_table(Table.from_json(FACT_PRE))
+    ms.init_shards()
+    shard = ms.get_table_shard("trips")
+    shard.save_upsert_batch(fact_batch([
+        (BASE_T + 100, 1, 7, 1.0),
+        (BASE_T + 200, 2, 5, 2.0)]))
+    Archiver(shard, ms.metastore, ms.diskstore).archive(BASE_T + DAY)
+
+    clock.set_current_time(BASE_T + 2 * DAY)
+    try:
+        ms2 = MemStore(DiskMetaStore(tmp_root), LocalDiskStore(tmp_root))
+        ms2.fetch_schema()
+        ms2.init_shards()
+        batch = ms2.get_table_shard("trips").archive_store \
+            .get_current_version().batches[BASE_T // DAY]
+        deadline = _t.time() + 10
+        while 3 not in batch.columns and _t.time() < deadline:
+            _t.sleep(0.05)
+        assert 3 in batch.columns and batch.columns[3] is not None
+        # non-preloading column stays lazy
+        assert 2 not in batch.columns
+    finally:
+        clock.reset_clock()
