@@ -266,6 +266,51 @@ class ShardDebugHandler(_Base):
         })
 
 
+class PrimaryKeyLookupHandler(_Base):
+    """Debug PK probe (reference: api/debug_handler.go LookupPrimaryKey —
+    /dbg/{table}/{shard}/primary-keys?key=v1,v2 → RecordID)."""
+
+    def get(self, table: str, shard: str):
+        import numpy as np
+
+        from aresdb_tpu.common import data_types as dtm
+
+        try:
+            s = self.ctx.memstore.get_table_shard(table, int(shard))
+        except KeyError as e:
+            return self.write_error_json(404, str(e))
+        schema = s.schema
+        pk_ids = schema.table.primary_key_columns
+        values = [v for v in self.get_query_argument("key", "").split(",") if v]
+        if len(values) != len(pk_ids):
+            return self.write_error_json(
+                400, f"expected {len(pk_ids)} comma-separated key values "
+                     f"for columns "
+                     f"{[schema.table.columns[c].name for c in pk_ids]}")
+        parts = []
+        for raw, cid in zip(values, pk_ids):
+            col = schema.table.columns[cid]
+            try:
+                if col.is_enum_column():
+                    rank = schema.enum_dicts[col.name].get(raw)
+                    if rank is None:
+                        return self.write_json({"found": False})
+                    parsed = rank
+                else:
+                    parsed = dtm.parse_value(raw, col.data_type)
+            except (ValueError, TypeError) as e:
+                return self.write_error_json(400, str(e))
+            if parsed is None:
+                return self.write_error_json(400, f"bad key value {raw!r}")
+            arr = np.asarray([parsed], dtm.numpy_dtype(col.data_type))
+            parts.append(arr.view(np.uint8).tobytes())
+        rec = s.live_store.primary_key.find(b"".join(parts))
+        if rec is None:
+            return self.write_json({"found": False})
+        self.write_json({"found": True, "batchID": rec.batch_id,
+                         "index": rec.index})
+
+
 class JobsDebugHandler(_Base):
     def get(self):
         if self.ctx.scheduler is None:
@@ -632,6 +677,7 @@ def make_app(ctx: ServerContext) -> tornado.web.Application:
         (r"/dbg/([^/]+)/(\d+)/(archiving|backfill|snapshot|purge)",
          JobTriggerHandler, a),
         (r"/dbg/([^/]+)/(\d+)/redologs/?(.*)", RedologBrowserHandler, a),
+        (r"/dbg/([^/]+)/(\d+)/primary-keys", PrimaryKeyLookupHandler, a),
         (r"/dbg/device-cache", DeviceCacheDebugHandler, a),
         (r"/dbg/profiler/(start|stop)", ProfilerHandler, a),
         (r"/dbg/?", DebugUIHandler, a),

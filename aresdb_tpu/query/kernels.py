@@ -950,8 +950,16 @@ def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
                 stacked = jnp.stack([contrib, ones, present], axis=1)
                 from aresdb_tpu.query import pallas_ops as P
 
+                if P.use_factored(n_slots):
+                    # factored hi/lo one-hot outer product on the MXU —
+                    # fastest dense reduction at every slot count (see
+                    # pallas_ops.factored_segment_sum measurements)
+                    dropped = jnp.where(slot >= n_slots, jnp.int32(-1),
+                                        slot.astype(jnp.int32))
+                    out3 = P.factored_segment_sum(dropped, stacked, n_slots)
+                    return out3[:, 0], out3[:, 1], out3[:, 2], overflow
                 if P.use_pallas(n_slots):
-                    # MXU one-hot matmul reduction (scatter-free)
+                    # gridless pallas one-hot matmul reduction (scatter-free)
                     interp = jax.devices()[0].platform == "cpu"
                     dropped = jnp.where(slot >= n_slots, jnp.int32(-1),
                                         slot)

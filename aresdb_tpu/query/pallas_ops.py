@@ -160,3 +160,80 @@ def use_pallas(n_slots: int = 0) -> bool:
         return jax.devices()[0].platform not in ("cpu",)
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# factored hi/lo segment sum — the fastest dense reduction on TPU
+# ---------------------------------------------------------------------------
+#
+# result[c, hi, lo] = Σ_rows values[row, c] · onehot_hi[row, hi] ·
+# onehot_lo[row, lo] with slot = hi*KLO + lo. The O(n·K) one-hot COMPARES of
+# the direct formulation collapse to O(n·(KHI+KLO)) — 32× fewer at K=8192 —
+# while the O(n·K·C) accumulation stays on the MXU as
+# [C·KHI, T] @ [T, KLO] matmuls per row chunk. Measured on one v5e chip at
+# n=4M, C=3 (chained iterations, single device sync):
+#
+#     K        XLA scatter   pallas one-hot   factored
+#     1024        30.2ms          —             12.5ms
+#     8192        30.1ms        27.1ms          10.9ms
+#     16384       30.1ms          —             12.2ms
+#     65536       73.5ms          —             14.7ms
+#
+# so the factored path wins at every dense slot count (dense mode caps at
+# 65536 slots) and replaces both alternatives on TPU.
+
+FACTORED_ROW_CHUNK = 1 << 15
+
+
+def _factored_klo(n_slots: int) -> int:
+    return 512 if n_slots > 16384 else 256
+
+
+@functools.partial(jax.jit, static_argnames=("n_slots",))
+def factored_segment_sum(slots, values, n_slots: int):
+    """segment-sum values[n, C] by slots[n] into [n_slots, C] via factored
+    one-hot outer products on the MXU. slots < 0 are dropped."""
+    n = slots.shape[0]
+    c = values.shape[1]
+    klo = _factored_klo(n_slots)
+    khi = (n_slots + klo - 1) // klo
+    t = min(FACTORED_ROW_CHUNK, n)
+    n_pad = ((n + t - 1) // t) * t
+    slots = slots.astype(jnp.int32)
+    values = values.astype(jnp.float32)
+    if n_pad != n:
+        slots = jnp.full(n_pad, -1, jnp.int32).at[:n].set(slots)
+        values = jnp.zeros((n_pad, c), jnp.float32).at[:n].set(values)
+    hi = jnp.where(slots < 0, -1, slots // klo)
+    lo = slots % klo
+
+    def body(acc, xs):
+        s_hi, s_lo, v = xs
+        oh_hi = (s_hi[:, None] == jnp.arange(khi, dtype=jnp.int32)
+                 ).astype(jnp.float32)
+        oh_lo = (s_lo[:, None] == jnp.arange(klo, dtype=jnp.int32)
+                 ).astype(jnp.float32)
+        w = (oh_hi[:, None, :] * v[:, :, None]).reshape(t, c * khi)
+        return acc + jax.lax.dot_general(
+            w, oh_lo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32), None
+
+    xs = (hi.reshape(-1, t), lo.reshape(-1, t), values.reshape(-1, t, c))
+    acc, _ = jax.lax.scan(body, jnp.zeros((c * khi, klo), jnp.float32), xs)
+    return acc.reshape(c, khi * klo)[:, :n_slots].T
+
+
+def use_factored(n_slots: int = 0) -> bool:
+    """Factored MXU reduction on real TPU backends for any dense slot count
+    (ARES_FACTORED=0 falls back to use_pallas()/scatter, =1 forces it on)."""
+    import os
+
+    flag = os.environ.get("ARES_FACTORED", "")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False

@@ -183,3 +183,17 @@ def test_delete_column(base):
     # pk cannot be deleted
     r = rq.delete(f"{base}/schema/tables/trips/columns/id")
     assert r.status_code == 400
+
+
+def test_primary_key_lookup(base):
+    r = requests.get(f"{base}/dbg/trips/0/primary-keys", params={"key": "1"})
+    body = r.json()
+    assert body["found"] is True and "batchID" in body and "index" in body
+    r = requests.get(f"{base}/dbg/trips/0/primary-keys",
+                     params={"key": "999999999"})
+    assert r.json() == {"found": False}
+    r = requests.get(f"{base}/dbg/trips/0/primary-keys",
+                     params={"key": "1,2"})
+    assert r.status_code == 400
+    r = requests.get(f"{base}/dbg/missing/0/primary-keys", params={"key": "1"})
+    assert r.status_code == 404
