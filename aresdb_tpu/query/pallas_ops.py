@@ -214,8 +214,13 @@ def factored_segment_sum(slots, values, n_slots: int):
         oh_lo = (s_lo[:, None] == jnp.arange(klo, dtype=jnp.int32)
                  ).astype(jnp.float32)
         w = (oh_hi[:, None, :] * v[:, :, None]).reshape(t, c * khi)
+        # Precision.HIGH (bf16x3 passes): f32-exact products (~1e-6 rel on
+        # 4M-row sums) for ~10% over single-pass bf16, which silently
+        # rounds the measure values to bf16 (2.5e-4 rel) — measured 11.7ms
+        # vs 10.6ms at n=4M K=8192 on one v5e chip
         return acc + jax.lax.dot_general(
             w, oh_lo, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32), None
 
     xs = (hi.reshape(-1, t), lo.reshape(-1, t), values.reshape(-1, t, c))
