@@ -673,10 +673,15 @@ class ShardExecutor:
         """Fetch all dispatched dense batch results; overflowed batches
         (domain understated by stale stats) rerun on the sort ladder."""
         pending, plan._exec_pending = plan._exec_pending, []
-        for entry in pending:
-            (_, dense_sig, dense_plan, out, columns, foreign_idx, n_valid,
+        if not pending:
+            return
+        # ONE device_get for every pending batch: through a remote tunnel
+        # each fetch costs a full round trip (~30ms), so per-batch fetches
+        # would serialize RTTs that a single gather pays once
+        fetched = jax.device_get([entry[3] for entry in pending])
+        for entry, (aggv, cnt, rows, overflow) in zip(pending, fetched):
+            (_, dense_sig, dense_plan, _, columns, foreign_idx, n_valid,
              n_padded, live_cutoff, batch_stats) = entry
-            aggv, cnt, rows, overflow = jax.device_get(out)
             if int(overflow) == 0:
                 table.merge_dense(dense_sig, dense_plan, aggv, cnt, rows)
             else:
