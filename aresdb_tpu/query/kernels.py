@@ -701,57 +701,87 @@ def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
     cross-batch merges — fixed output capacity `k_groups` plus one overflow
     slot; rows with the sentinel key are dropped.
 
+    TPU cost shape (measured at n=4M on one v5e chip): a multi-operand
+    `lax.sort` carries the measure lanes through the sort network almost
+    for free (44ms vs 44ms key-only), while post-hoc gathers by the argsort
+    permutation cost ~124ms EACH and scatter-based segment ops 65-96ms.
+    So everything downstream of the sort uses sorted-contiguity instead of
+    scatters: slot boundaries come from `searchsorted` over the monotone
+    clipped segment ids, sums run on the factored MXU reduction, and
+    min/max fall out of boundary gathers by making the measure a secondary
+    sort key.
+
     Returns (group_keys[K], slot_used[K], agg[K], cnt[K], n_groups,
              dim_values, dim_valids).
     """
-    order = jnp.argsort(keys)
-    skeys = keys[order]
+    from aresdb_tpu.query import pallas_ops as P
+
+    n = keys.shape[0]
+    num = k_groups + 1
+    iota = jnp.arange(n, dtype=jnp.int32)
+    minmax = agg in ("min", "max")
+    if minmax:
+        # measure as secondary sort key: per-group min/max become boundary
+        # gathers (invalids sort to the min-end/max-end identity)
+        if agg == "min":
+            ident = _F32_MAX if out_float else jnp.array(
+                np.iinfo(np.int32).max, mval.dtype)
+        else:
+            ident = -_F32_MAX if out_float else jnp.array(
+                np.iinfo(np.int32).min, mval.dtype)
+        contrib0 = jnp.where(mvalid, mval, ident)
+        skeys, contrib, mvalid_i8, order = jax.lax.sort(
+            (keys, contrib0, mvalid.astype(jnp.int8), iota),
+            num_keys=2, is_stable=False)
+    else:
+        skeys, mval, mvalid_i8, order = jax.lax.sort(
+            (keys, mval, mvalid.astype(jnp.int8), iota),
+            num_keys=1, is_stable=False)
+    mvalid = mvalid_i8.astype(jnp.bool_)
     first = jnp.concatenate([jnp.ones(1, jnp.bool_), skeys[1:] != skeys[:-1]])
     seg = jnp.cumsum(first.astype(jnp.int32)) - 1
     live = skeys != SENTINEL64
+    # sentinel rows sort last and seg ascends, so the clipped ids stay
+    # monotone — each slot owns one contiguous sorted span
     seg_c = jnp.where(live & (seg < k_groups), seg, k_groups)
+    starts = jnp.searchsorted(seg_c, jnp.arange(num, dtype=jnp.int32)
+                              ).astype(jnp.int32)
+    ends = jnp.concatenate([starts[1:], jnp.array([n], jnp.int32)])
 
-    mval = mval[order]
-    mvalid = mvalid[order]
-
-    # segment ops are the hot reduction: counts ride as an f32 lane fused
-    # with f32 measures (one 2D segment_sum), i64 only for integer sums
-    num = k_groups + 1
     ones = jnp.where(mvalid, jnp.float32(1), jnp.float32(0))
     if agg in ("sum", "count", "avg"):
         contrib = jnp.where(mvalid, mval, jnp.zeros((), mval.dtype))
         if contrib.dtype == jnp.float32:
             stacked = jnp.stack([contrib, ones], axis=1)
-            both = jax.ops.segment_sum(stacked, seg_c, num_segments=num)
+            if P.use_factored(num):
+                both = P.factored_segment_sum(seg_c, stacked, num)
+            else:
+                both = jax.ops.segment_sum(stacked, seg_c, num_segments=num)
             aggv = both[:k_groups, 0]
             cnt = both[:k_groups, 1]
         else:
+            # integer sums keep their wide accumulator (scatter path)
             aggv = jax.ops.segment_sum(contrib, seg_c,
                                        num_segments=num)[:k_groups]
             cnt = jax.ops.segment_sum(ones, seg_c,
                                       num_segments=num)[:k_groups]
-    elif agg == "min":
-        big = _F32_MAX if out_float else jnp.array(
-            np.iinfo(np.int32).max, mval.dtype)
-        contrib = jnp.where(mvalid, mval, big)
-        aggv = jax.ops.segment_min(contrib, seg_c, num_segments=num)[:k_groups]
-        cnt = jax.ops.segment_sum(ones, seg_c, num_segments=num)[:k_groups]
-    elif agg == "max":
-        small = -_F32_MAX if out_float else jnp.array(
-            np.iinfo(np.int32).min, mval.dtype)
-        contrib = jnp.where(mvalid, mval, small)
-        aggv = jax.ops.segment_max(contrib, seg_c, num_segments=num)[:k_groups]
-        cnt = jax.ops.segment_sum(ones, seg_c, num_segments=num)[:k_groups]
+    elif minmax:
+        at = starts if agg == "min" else jnp.maximum(ends - 1, 0)
+        aggv = contrib[jnp.clip(at[:k_groups], 0, n - 1)]
+        empty = starts[:k_groups] >= ends[:k_groups]
+        aggv = jnp.where(empty, ident, aggv)
+        if P.use_factored(num):
+            cnt = P.factored_segment_sum(seg_c, ones[:, None], num)[:k_groups, 0]
+        else:
+            cnt = jax.ops.segment_sum(ones, seg_c, num_segments=num)[:k_groups]
     else:
         raise QueryError(f"agg {agg} has no device kernel yet")
 
-    rep = jax.ops.segment_min(
-        jnp.where(seg_c <= k_groups, order.astype(jnp.int32), 0), seg_c,
-        num_segments=num)[:k_groups]
-    rep_safe = jnp.clip(rep, 0, keys.shape[0] - 1)
-    # group key per slot: gather from the original key array at the
-    # representative row (cheaper than a u64 segment_min on TPU)
-    gkeys = keys[rep_safe]
+    # representative row per slot = any member row (same key → same dims):
+    # the first sorted position of the span, mapped back to row space
+    start_pos = jnp.clip(starts[:k_groups], 0, n - 1)
+    rep_safe = order[start_pos]
+    gkeys = skeys[start_pos]
     n_live_groups = jnp.sum(first & live).astype(jnp.int32)
     slot_used = (jnp.arange(k_groups, dtype=jnp.int32) < n_live_groups) & \
         (gkeys != SENTINEL64)
