@@ -76,6 +76,8 @@ def demo_columns(plan: CompiledQuery, n_rows: int, seed: int = 7,
             vals = rng.randint(0, 3, n_rows).astype(np.uint8)
         elif col.name == "fare":
             vals = (rng.rand(n_rows) * 50).astype(np.float32)
+        elif col.name == "uuid":
+            vals = rng.randint(0, 1 << 62, (n_rows, 2)).astype(np.uint64)
         else:
             vals = np.zeros(n_rows, mdt.numpy_dtype(col.data_type))
         validity = rng.rand(n_rows) > 0.02
