@@ -737,13 +737,26 @@ class ShardExecutor:
                 for ft, (_, fcols) in zip(plan.foreign_tables, foreign):
                     for (_, cid), arrs in fcols.items():
                         columns[(ft.table_id, cid)] = arrs
-                kernel = self.kernel_cache.select_kernel(plan, n_padded)
+                # device-side top-L compaction: only L rows per dim lane
+                # cross to the host instead of the whole batch
+                top_l = 0
+                if limit_collect and limit_collect < n_padded:
+                    top_l = round_up_pow2(limit_collect)
+                kernel = self.kernel_cache.select_kernel(plan, n_padded,
+                                                         top_l)
                 out = kernel(
                     columns, foreign_idx, np.int32(n_valid), np.int64(cutoff))
-                mask, dim_values, dim_valids = jax.device_get(out)
-                sel = np.nonzero(mask)[0]
-                if limit_collect and len(rows) + len(sel) > limit_collect:
-                    sel = sel[:limit_collect - len(rows)]
+                if top_l:
+                    n_found, dim_values, dim_valids = jax.device_get(out)
+                    take = min(int(n_found), top_l)
+                    if limit_collect:
+                        take = min(take, limit_collect - len(rows))
+                    sel = range(take)
+                else:
+                    mask, dim_values, dim_valids = jax.device_get(out)
+                    sel = np.nonzero(mask)[0]
+                    if limit_collect and len(rows) + len(sel) > limit_collect:
+                        sel = sel[:limit_collect - len(rows)]
                 dvs = list(dim_values)
                 dvds = list(dim_valids)
                 for i in sel:

@@ -1041,19 +1041,33 @@ def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
     return jax.jit(fn)
 
 
-def make_select_kernel(plan: CompiledQuery, n_rows: int):
+def make_select_kernel(plan: CompiledQuery, n_rows: int, top_l: int = 0):
     """Non-aggregation kernel: filter mask + dim lanes (no reduce).
 
     Reference: query/aql_nonaggr_batchexecutor.go — dims are written directly
-    per passing row; the host applies the limit.
+    per passing row; the host applies the limit. With top_l > 0 the kernel
+    compacts to the first top_l passing rows on device and returns
+    (n_found, dims[top_l], valids[top_l]) instead of full lanes.
     """
 
     def fn(columns, foreign, n_valid, live_cutoff):
         ctx = _EvalCtx(columns, foreign, n_rows)
         mask, dim_vals = _eval_common(plan, ctx, n_valid, live_cutoff)
-        return (mask,
-                tuple(dv.value for dv in dim_vals),
-                tuple(dv.valid for dv in dim_vals))
+        if not top_l:
+            return (mask,
+                    tuple(dv.value for dv in dim_vals),
+                    tuple(dv.valid for dv in dim_vals))
+        # device-side top-L compaction: a stable sort on the inverted mask
+        # moves passing rows to the front in scan order, so only L rows of
+        # each dim lane ever reach the host (full lanes cost ~n*D transfer)
+        iota = jnp.arange(n_rows, dtype=jnp.int32)
+        sortk = jnp.where(mask, jnp.int8(0), jnp.int8(1))
+        _, idx = jax.lax.sort((sortk, iota), num_keys=1, is_stable=True)
+        idx_l = idx[:top_l]
+        n_found = jnp.sum(mask).astype(jnp.int32)
+        return (n_found,
+                tuple(dv.value[idx_l] for dv in dim_vals),
+                tuple(dv.valid[idx_l] for dv in dim_vals))
 
     return jax.jit(fn)
 
@@ -1094,11 +1108,12 @@ class KernelCache:
             self._cache[key] = fn
         return fn
 
-    def select_kernel(self, plan: CompiledQuery, n_rows: int):
-        key = ("sel", plan_signature(plan), n_rows)
+    def select_kernel(self, plan: CompiledQuery, n_rows: int,
+                      top_l: int = 0):
+        key = ("sel", plan_signature(plan), n_rows, top_l)
         fn = self._cache.get(key)
         if fn is None:
-            fn = make_select_kernel(plan, n_rows)
+            fn = make_select_kernel(plan, n_rows, top_l)
             self._cache[key] = fn
         return fn
 
