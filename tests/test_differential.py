@@ -194,3 +194,44 @@ def test_differential(seed):
         for k in exp_c:
             assert got_c[k] == pytest.approx(exp_c[k], rel=1e-4, abs=1e-3), \
                 (q, k, got_c[k], exp_c[k])
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_differential_factored_reduction(seed, monkeypatch):
+    """Same differential harness with the factored MXU reduction forced on
+    (the default TPU path; interpretable on CPU since it is pure XLA)."""
+    monkeypatch.setenv("ARES_FACTORED", "1")
+    from aresdb_tpu.query.kernels import GLOBAL_KERNEL_CACHE
+    GLOBAL_KERNEL_CACHE._cache.clear()   # drop kernels traced without it
+    try:
+        rng = np.random.RandomState(2000 + seed)
+        store, cols, valid = build(seed + 50)
+        svc = QueryService(store)
+        for trial in range(4):
+            fsql, foracle = FILTER_CHOICES[rng.randint(len(FILTER_CHOICES))]
+            dims, _ = DIM_CHOICES[rng.randint(len(DIM_CHOICES))]
+            agg = AGG_CHOICES[rng.randint(len(AGG_CHOICES))]
+            q = {"table": "t",
+                 "measures": [{"sqlExpression": agg}],
+                 "dimensions": [{"sqlExpression": name} for name, _ in dims],
+                 "now": NOW}
+            if fsql:
+                q["rowFilters"] = [fsql]
+            resp = svc.handle_aql({"queries": [q]})
+            assert "errors" not in resp, (resp.get("errors"), q)
+            got = flatten(resp["results"][0], len(dims))
+            mask = foracle(cols, valid)
+            expected = oracle(cols, valid, mask, dims, agg)
+
+            def clean(d):
+                return {k: v for k, v in d.items()
+                        if v is not None and abs(v) < 1e30}
+
+            got_c, exp_c = clean(got), clean(expected)
+            assert set(got_c) == set(exp_c), (q, set(got_c) ^ set(exp_c))
+            for k in exp_c:
+                assert got_c[k] == pytest.approx(exp_c[k], rel=1e-4,
+                                                 abs=1e-3), \
+                    (q, k, got_c[k], exp_c[k])
+    finally:
+        GLOBAL_KERNEL_CACHE._cache.clear()
