@@ -161,7 +161,28 @@ class CuckooIndex {
                 uint32_t* out_index, int32_t* out_counts) {
     int32_t inserted = 0, updated = 0, backfilled = 0, retention = 0,
             nullpk = 0;
+    // pre-size for the incoming batch: one rehash up front instead of
+    // eviction storms at high load + mid-batch doubling rehashes
+    uint64_t need = static_cast<uint64_t>(size_) + static_cast<uint64_t>(n);
+    uint64_t nb = num_buckets_;
+    while (need * 20 > nb * kBucketSize * 17) nb <<= 1;
+    grow_to(nb);
+    // software-prefetch the probe buckets a window ahead: the loop is
+    // DRAM-latency bound (4 random cachelines per probe)
+    constexpr int kWindow = 16;
+    auto prefetch_row = [&](int j) {
+      if (j >= n || !key_valid[j]) return;
+      const uint8_t* k = keys + static_cast<int64_t>(j) * key_bytes_;
+      // h0 only: most lookups hit the first hash position, and 4-way
+      // prefetch costs more hash compute + bandwidth than it hides
+      uint64_t b = murmur3_32(k, key_bytes_, seed_base_) &
+                   (num_buckets_ - 1);
+      __builtin_prefetch(&buckets_[b], 0, 1);
+      __builtin_prefetch(bucket_key(b, 0), 0, 1);
+    };
+    for (int j = 0; j < kWindow; j++) prefetch_row(j);
     for (int i = 0; i < n; i++) {
+      prefetch_row(i + kWindow);
       const uint8_t* key = keys + static_cast<int64_t>(i) * key_bytes_;
       if (!key_valid[i]) {
         actions[i] = 0;
@@ -174,11 +195,18 @@ class CuckooIndex {
         retention++;
         continue;
       }
-      RecordID found;
-      if (find(key, &found)) {
+      // single probe per row: find() + find_or_insert() would walk the
+      // same 4 hash positions twice for every new key
+      Slot* slot = lookup(key);
+      if (slot != nullptr && expired(*slot)) {
+        slot->signature = 0;
+        size_--;
+        slot = nullptr;
+      }
+      if (slot != nullptr) {
         actions[i] = 2;
-        out_batch[i] = found.batch_id;
-        out_index[i] = found.index;
+        out_batch[i] = slot->record.batch_id;
+        out_index[i] = slot->record.index;
         updated++;
         continue;
       }
@@ -193,8 +221,7 @@ class CuckooIndex {
       }
       RecordID rec{next_batch, next_index};
       next_index++;
-      RecordID out;
-      find_or_insert(key, rec, static_cast<uint32_t>(et), &out);
+      insert(key, rec, static_cast<uint32_t>(et));
       actions[i] = 1;
       out_batch[i] = rec.batch_id;
       out_index[i] = rec.index;
@@ -337,7 +364,13 @@ class CuckooIndex {
     insert(cur_key, cur.record, cur.event_time);
   }
 
-  void resize() {
+  void resize() { grow_to(num_buckets_ << 1); }
+
+  // Rehash into new_buckets (>= current). Proactive growth keeps the load
+  // factor below ~70%: at stash-overflow load (95%+) every insert does long
+  // random-walk evictions and batch ingestion turns quadratic.
+  void grow_to(uint64_t new_buckets) {
+    if (new_buckets <= num_buckets_) return;
     uint64_t old_buckets = num_buckets_;
     Bucket* ob = buckets_;
     uint8_t* ok = keys_;
@@ -345,7 +378,7 @@ class CuckooIndex {
     std::memcpy(old_stash, stash_, sizeof(stash_));
     uint8_t* osk = stash_keys_;
 
-    num_buckets_ <<= 1;
+    num_buckets_ = new_buckets;
     size_ = 0;
     alloc_tables();
 
