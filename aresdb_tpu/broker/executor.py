@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import base64
 import copy
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, List, Optional, Tuple
 

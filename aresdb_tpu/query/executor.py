@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from aresdb_tpu.utils import metrics as M
 
 from aresdb_tpu.common import data_types as mdt
-from aresdb_tpu.memstore.common import SECONDS_PER_DAY
 from aresdb_tpu.query.compiler import CompiledQuery, QueryError
 from aresdb_tpu.query.dense import plan_dense
 from aresdb_tpu.query.kernels import GLOBAL_KERNEL_CACHE, round_up_pow2

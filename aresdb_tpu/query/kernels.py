@@ -27,7 +27,6 @@ rules; null measures contribute the aggregation identity
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
