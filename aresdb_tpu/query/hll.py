@@ -129,16 +129,17 @@ def _estimate_bias(estimate: float) -> float:
 
 
 def compute_estimate(registers: np.ndarray) -> float:
-    """registers: uint8[16384] holding rho+1 (0 = register never observed).
+    """registers: uint8[16384] holding the STORED rho (0 = never observed).
 
-    rho itself can legitimately be 0 (hash bit 14 set), and such registers
-    still count as present (the reference's SparseData entries may carry
-    Rho=0, query/common/hll.go Compute), hence the +1 presence encoding.
+    The reference's write functor adds 1 to the raw trailing-zero count
+    before storing ("rho must plus 1", query/functor.hpp:1364), so stored
+    registers are the standard HLL rank (>= 1) and HLL.Compute
+    (query/common/hll.go:735) uses them directly in 1/2^rho — as do we.
     """
     m = float(HLL_M)
     present = registers > 0
     non_zero = float(np.count_nonzero(present))
-    rho = registers[present].astype(np.int64) - 1
+    rho = registers[present].astype(np.int64)
     sum_recip = float(np.sum(np.ldexp(1.0, -rho))) + (m - non_zero)
     alpha = 0.7213 / (1 + 1.079 / m)
     estimate = alpha * m * m / sum_recip
@@ -160,19 +161,15 @@ HLL_MAGIC = 0xACED0101
 
 
 def encode_dense(registers: np.ndarray) -> bytes:
-    """registers (rho+1 presence encoding) → reference dense bytes (raw rho).
-
-    The reference's dense form cannot distinguish an empty register from a
-    present one with rho=0 (query/common/hll.go DenseData) — that quirk is
-    inherited by the wire format, not by our in-memory registers.
-    """
-    rho = np.where(registers > 0, registers - 1, 0)
-    return rho.astype(np.uint8).tobytes()
+    """Dense wire bytes = the stored registers verbatim (0 = empty,
+    else rho >= 1 — the +1 applied at write time, functor.hpp:1364,
+    guarantees a present register is never 0)."""
+    return registers.astype(np.uint8).tobytes()
 
 
 def encode_sparse(registers: np.ndarray, padding: bool = True) -> bytes:
     idx = np.nonzero(registers)[0]
-    rhos = registers[idx] - 1  # wire format carries raw rho
+    rhos = registers[idx]  # wire format carries the stored (rho+1) value
     if padding:
         vals = (rhos.astype(np.uint32) << 16) | idx.astype(np.uint32)
         return vals.astype("<u4").tobytes()
@@ -183,14 +180,13 @@ def encode_sparse(registers: np.ndarray, padding: bool = True) -> bytes:
 
 
 def decode_registers(data: bytes) -> np.ndarray:
-    """Dense (16384 bytes) or padded-sparse (4-byte records) → rho+1 regs."""
+    """Dense (16384 bytes) or padded-sparse (4-byte records) → stored regs."""
     registers = np.zeros(HLL_M, np.uint8)
     if len(data) == HLL_M:
-        raw = np.frombuffer(data, np.uint8)
-        return np.where(raw > 0, raw + 1, 0).astype(np.uint8)
+        return np.frombuffer(data, np.uint8).copy()
     vals = np.frombuffer(data, "<u4")
     idx = vals & (HLL_M - 1)
-    rho = ((vals >> 16) & 0xFF) + 1
+    rho = (vals >> 16) & 0xFF
     np.maximum.at(registers, idx, rho.astype(np.uint8))
     return registers
 

@@ -893,7 +893,9 @@ def make_hll_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
 
         valid_m = svalid & (seg_c < k_groups)
         reg_key = jnp.where(valid_m, seg_c * m + sreg, k_groups * m)
-        # registers carry rho+1 so presence survives rho=0 (see hll.py)
+        # stored register = raw trailing-zero count + 1 (the reference's
+        # write functor: "rho must plus 1", query/functor.hpp:1364) — the
+        # standard 1-based HLL rank, and 0 unambiguously means empty
         registers = jax.ops.segment_max(
             jnp.where(valid_m, srho + 1, 0), reg_key,
             num_segments=k_groups * m + 1,
