@@ -74,21 +74,35 @@ class _EvalCtx:
         self._geo_matched = None
 
     def foreign_row(self, table_id: int, fidx: int, main_key: _Val):
-        """Resolve main rows to foreign row indices via sorted binary search.
+        """Resolve main rows to foreign row indices.
 
         TPU-native replacement for the reference's GPU cuckoo probe
-        (query/hash_lookup.cu): the executor stages the foreign key column
-        sorted (host argsort), the device does a vectorized searchsorted.
+        (query/hash_lookup.cu). Two stagings (executor
+        _stage_foreign_tables): a dense key→row lookup table for
+        small-domain integer keys — ONE device gather — or sorted keys +
+        device searchsorted for the general case (searchsorted costs ~9
+        gather rounds, ~425ms per 2M rows on v5e vs ~10ms for the LUT).
         """
         cached = self._foreign_rows.get(table_id)
         if cached is not None:
             return cached
-        sorted_keys, perm = self.foreign[fidx]
-        key = main_key.value.astype(sorted_keys.dtype)
-        pos = jnp.searchsorted(sorted_keys, key)
-        pos = jnp.clip(pos, 0, sorted_keys.shape[0] - 1)
-        hit = (sorted_keys[pos] == key) & main_key.valid
-        rows = perm[pos]
+        entry = self.foreign[fidx]
+        if len(entry) == 1:
+            (lut,) = entry
+            size = lut.shape[0]
+            key = main_key.value
+            in_range = (key >= 0) & (key < size) & main_key.valid
+            idx = jnp.clip(key, 0, size - 1).astype(jnp.int32)
+            rows = lut[idx]
+            hit = in_range & (rows >= 0)
+            rows = jnp.maximum(rows, 0)
+        else:
+            sorted_keys, perm = entry
+            key = main_key.value.astype(sorted_keys.dtype)
+            pos = jnp.searchsorted(sorted_keys, key)
+            pos = jnp.clip(pos, 0, sorted_keys.shape[0] - 1)
+            hit = (sorted_keys[pos] == key) & main_key.valid
+            rows = perm[pos]
         self._foreign_rows[table_id] = (rows, hit)
         return rows, hit
 
