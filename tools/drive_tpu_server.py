@@ -1,0 +1,117 @@
+import sys, time, tempfile, json
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import numpy as np, requests
+from aresdb_tpu.api.server import ApiServer
+from aresdb_tpu.client import Connector
+from aresdb_tpu.diskstore.local_diskstore import LocalDiskStore
+from aresdb_tpu.memstore.memstore import MemStore
+from aresdb_tpu.memstore.scheduler import Scheduler
+from aresdb_tpu.metastore.disk_metastore import DiskMetaStore
+
+NOW = 1_600_000_000
+root = tempfile.mkdtemp()
+ms = MemStore(DiskMetaStore(root), LocalDiskStore(root))
+ms.fetch_schema()
+srv = ApiServer(ms, Scheduler(ms), port=0)
+port = srv.start_background()
+conn = Connector("localhost", port)
+conn.create_table({
+    "name": "trips", "columns": [
+        {"name": "request_at", "type": "Uint32"},
+        {"name": "id", "type": "Uint32"},
+        {"name": "city_id", "type": "Uint16"},
+        {"name": "status", "type": "SmallEnum"},
+        {"name": "fare", "type": "Float32"}],
+    "primaryKeyColumns": [1], "archivingSortColumns": [2],
+    "isFactTable": True,
+    "config": {"batchSize": 1 << 21, "recordRetentionInDays": 0}})
+conn.create_table({
+    "name": "cities", "columns": [
+        {"name": "id", "type": "Uint16"}, {"name": "population", "type": "Uint32"}],
+    "primaryKeyColumns": [0], "isFactTable": False,
+    "config": {"batchSize": 1024}})
+
+requests.post(
+    f"http://localhost:{port}/schema/tables/trips/columns/status/enum-cases",
+    json={"enumCases": ["completed", "canceled", "rejected"]})
+n = 1 << 23
+rng = np.random.RandomState(1)
+ts = (NOW - rng.randint(0, 20 * 3600, n)).astype(np.uint32)
+city = rng.randint(0, 300, n).astype(np.uint16)
+status = rng.randint(0, 3, n).astype(np.uint8)
+fare = (rng.rand(n) * 50).astype(np.float32)
+fare_valid = rng.rand(n) > 0.05
+t0 = time.perf_counter()
+for off in range(0, n, 1 << 21):
+    sl = slice(off, off + (1 << 21))
+    conn.insert_columns("trips", {
+        "request_at": ts[sl], "id": np.arange(off, off + (1 << 21), dtype=np.uint32),
+        "city_id": city[sl], "status": status[sl], "fare": fare[sl]},
+        validity={"fare": fare_valid[sl]})
+print(f"ingest {n} rows: {time.perf_counter()-t0:.1f}s "
+      f"({n/(time.perf_counter()-t0)/1e6:.2f}M rows/s over HTTP)", flush=True)
+conn.insert("cities", ["id", "population"],
+            [(i, (i + 1) * 1000) for i in range(300)])
+
+status_names = np.array(["completed", "canceled", "rejected"])[status]
+ok = fare_valid & (status == 0)
+def timed(q, sql=False):
+    t0 = time.perf_counter()
+    r = (conn.query_sql(q) if sql else conn.query_aql(q))
+    dt = (time.perf_counter() - t0) * 1e3
+    return r["results"][0], dt
+
+# warm + timed runs of a battery
+battery = []
+q1 = {"table": "trips", "measures": [{"sqlExpression": "sum(fare)",
+      "rowFilters": ["status='completed'"]}],
+      "dimensions": [{"sqlExpression": "request_at", "timeBucketizer": "hour"},
+                     {"sqlExpression": "city_id"}], "now": NOW}
+exp1 = float(fare[ok].astype(np.float64).sum())
+r, cold = timed(q1); r, warm = timed(q1)
+got1 = sum(float(v) for d in r.values() for v in d.values())
+battery.append(("sum hour×city (14.4k groups)", cold, warm,
+                abs(got1 - exp1) / exp1 < 1e-4))
+
+q2 = {"table": "trips", "measures": [{"sqlExpression": "avg(fare)"}],
+      "dimensions": [{"sqlExpression": "status"}], "now": NOW}
+r, cold = timed(q2); r, warm = timed(q2)
+exp_avg = float(fare[fare_valid & (status == 1)].mean())
+battery.append(("avg by status", cold, warm,
+                abs(r["canceled"] - exp_avg) < 1e-2))
+
+q3 = {"table": "trips", "measures": [{"sqlExpression": "countdistincthll(id)"}],
+      "now": NOW}
+r, cold = timed(q3); r, warm = timed(q3)
+battery.append(("hll distinct ids (8.4M)", cold, warm,
+                abs(r[""] - n) / n < 0.05))
+
+q4 = {"table": "trips",
+      "joins": [{"table": "cities", "alias": "c",
+                 "conditions": ["c.id = city_id"]}],
+      "measures": [{"sqlExpression": "count(*)",
+                    "rowFilters": ["c.population > 200000"]}], "now": NOW}
+r, cold = timed(q4); r, warm = timed(q4)
+exp4 = int((city >= 200).sum())
+battery.append(("join filter count", cold, warm, r[""] == float(exp4)))
+
+q5 = {"table": "trips", "measures": [{"sqlExpression": "1"}],
+      "dimensions": [{"sqlExpression": "fare"}, {"sqlExpression": "city_id"}],
+      "rowFilters": ["status='rejected'"], "limit": 50, "now": NOW}
+r, cold = timed(q5); r, warm = timed(q5)
+battery.append(("non-agg limit 50", cold, warm,
+                len(r["matrixData"]) == 50))
+
+r, cold = timed("SELECT count(*) FROM trips WHERE fare > 25 AND "
+                f"aql_now(request_at, {NOW})", sql=True)
+r, warm = timed("SELECT count(*) FROM trips WHERE fare > 25 AND "
+                f"aql_now(request_at, {NOW})", sql=True)
+exp6 = int((fare_valid & (fare > 25)).sum())
+battery.append(("sql count fare>25", cold, warm, r[""] == float(exp6)))
+
+print(f"{'query':36s} {'cold':>9s} {'warm':>8s}  correct")
+for name, cold, warm, okk in battery:
+    print(f"{name:36s} {cold:8.0f}ms {warm:7.0f}ms  {okk}")
+assert all(b[3] for b in battery), "CORRECTNESS FAILURE"
+print("all correct on", __import__("jax").devices()[0].platform)
+srv.stop()
