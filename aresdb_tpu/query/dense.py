@@ -59,17 +59,25 @@ def _pow2_at_least(n: int, cap: int = DENSE_MAX_SLOTS) -> int:
     return min(c, cap)
 
 
-def _time_bucket_domain(plan: CompiledQuery, width: int) -> Optional[DimDomain]:
-    if plan.from_ts is None or plan.to_ts is None:
-        return None
+def _time_bucket_domain(plan: CompiledQuery, width: int,
+                        tstats=None) -> Optional[DimDomain]:
+    """Bucket domain from the resolved time filter, or — when the query has
+    no time filter — from the batch's observed time-column (min, max) stats
+    (the dense overflow guard keeps stale stats safe)."""
     if plan.uses_tz_table:
         # per-row offsets make the bucket range data-dependent; the sort
         # path handles it (dense overflow guard would fire anyway)
         return None
+    if plan.from_ts is not None and plan.to_ts is not None:
+        lo, hi = plan.from_ts, plan.to_ts
+    elif tstats is not None:
+        lo, hi = tstats
+    else:
+        return None
     lo_off = min(plan.from_offset, plan.to_offset, 0)
     hi_off = max(plan.from_offset, plan.to_offset, 0)
-    vmin = ((plan.from_ts + lo_off) // width) * width
-    vmax = ((plan.to_ts + hi_off) // width) * width
+    vmin = ((lo + lo_off) // width) * width
+    vmax = ((hi + hi_off) // width) * width
     size = (vmax - vmin) // width + 1
     if size <= 0 or size > DENSE_MAX_SLOTS:
         return None
@@ -110,14 +118,28 @@ _CALENDAR_EXTRACT_SIZES = {
 }
 
 
+def _underlying_column_key(ast) -> Optional[tuple]:
+    found: List[tuple] = []
+
+    def visit(node):
+        if not found and isinstance(node, E.VarRef) and node.table_id == 0:
+            found.append((node.table_id, node.column_id))
+
+    E.walk(ast, visit)
+    return found[0] if found else None
+
+
 def dimension_domain(plan: CompiledQuery, dim: DimensionPlan,
-                     batch_int_max: Optional[int] = None) -> Optional[DimDomain]:
+                     batch_stat=None, stats=None) -> Optional[DimDomain]:
     """Infer the bounded domain of one dimension, or None if unbounded.
 
-    batch_int_max: observed max value for raw integer columns (staging-time
+    batch_stat: observed (min, max) for raw integer columns (staging-time
     statistic), enabling dense mode for e.g. uint16 city ids with max 300.
+    stats: the full per-batch stat dict, for time-bucket dims.
     """
     ast = dim.expr
+    if batch_stat is not None and not isinstance(batch_stat, tuple):
+        batch_stat = (0, int(batch_stat))   # bare max (bench/test callers)
 
     # raw column reference
     if isinstance(ast, E.VarRef):
@@ -129,10 +151,10 @@ def dimension_domain(plan: CompiledQuery, dim: DimensionPlan,
         if dt_ == mdt.Uint8:
             return DimDomain(size=256)
         if dt_ in (mdt.Uint16, mdt.Uint32, mdt.Int32, mdt.Int64, mdt.Int16):
-            if batch_int_max is not None and batch_int_max + 1 <= DENSE_MAX_SLOTS:
+            if batch_stat is not None and batch_stat[1] + 1 <= DENSE_MAX_SLOTS:
                 if dt_ in (mdt.Int16, mdt.Int32, mdt.Int64):
                     return None  # negative values not handled densely
-                return DimDomain(size=_pow2_at_least(int(batch_int_max) + 1))
+                return DimDomain(size=_pow2_at_least(int(batch_stat[1]) + 1))
         return None
 
     # time bucketizers
@@ -147,7 +169,13 @@ def dimension_domain(plan: CompiledQuery, dim: DimensionPlan,
             if base > 0 and bucket // base <= DENSE_MAX_SLOTS:
                 return DimDomain(size=bucket // base + 1, step=base)
         # regular: FLOOR(shifted_time, width) — bounded by the time filter
-        return _time_bucket_domain(plan, ast.rhs.int_val)
+        # or, absent one, by the batch's time-column stats
+        tstats = None
+        if stats is not None:
+            key = _underlying_column_key(ast.lhs)
+            if key is not None:
+                tstats = stats.get(key)
+        return _time_bucket_domain(plan, ast.rhs.int_val, tstats)
 
     # recurring with trailing division: (FLOOR(x % bucket, base)) / base
     if isinstance(ast, E.BinaryExpr) and ast.op == "/" and \
@@ -201,12 +229,13 @@ def plan_dense(plan: CompiledQuery,
     if plan.measure is None:
         return None
     domains = []
+    stats = {k: (v if isinstance(v, tuple) else (0, int(v)))
+             for k, v in (batch_int_maxes or {}).items()}
     for dim in plan.dimensions:
         key = None
         if isinstance(dim.expr, E.VarRef):
             key = (dim.expr.table_id, dim.expr.column_id)
-        bmax = (batch_int_maxes or {}).get(key)
-        dom = dimension_domain(plan, dim, bmax)
+        dom = dimension_domain(plan, dim, stats.get(key), stats)
         if dom is None:
             return None
         domains.append(dom)

@@ -250,7 +250,9 @@ class ShardExecutor:
 
     @staticmethod
     def _dense_stat_keys(plan: CompiledQuery):
-        """Main-table integer dim columns whose max unlocks dense mode."""
+        """Main-table columns whose (min, max) stats unlock dense mode:
+        raw integer dims, and the column under FLOOR time-bucket dims so
+        unbounded-time queries (no timeFilter) still plan densely."""
         from aresdb_tpu.query import expr as _E
         keys = set()
         for d in plan.dimensions:
@@ -258,6 +260,11 @@ class ShardExecutor:
             if isinstance(e, _E.VarRef) and e.table_id == 0 and \
                     e.data_type in (mdt.Uint16, mdt.Uint32):
                 keys.add((0, e.column_id))
+            elif isinstance(e, _E.BinaryExpr) and e.op == "FLOOR":
+                from aresdb_tpu.query.dense import _underlying_column_key
+                key = _underlying_column_key(e.lhs)
+                if key is not None:
+                    keys.add(key)
         return keys
 
     # -- batch iteration + staging --
@@ -348,7 +355,8 @@ class ShardExecutor:
     @staticmethod
     def _column_stat(stats, stat_keys, cid, values, validity):
         if (0, cid) in stat_keys and len(validity) and validity.any():
-            stats[(0, cid)] = int(np.max(values[validity]))
+            sel = values[validity]
+            stats[(0, cid)] = (int(np.min(sel)), int(np.max(sel)))
 
     def _stage_live_batch(self, schema, batch, n: int, used: List[int],
                           stat_keys=frozenset()):

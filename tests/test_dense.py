@@ -101,3 +101,26 @@ def test_enum_dim_domain():
     dp = plan_dense(plan, {})
     assert dp is not None
     assert dp.domains[0].size == 3  # completed/canceled/rejected
+
+
+def test_time_bucket_domain_from_batch_stats():
+    """Dense mode without a timeFilter: the FLOOR time-bucket domain comes
+    from the batch's observed time-column (min, max) stats."""
+    from aresdb_tpu import demo
+    from aresdb_tpu.query.dense import plan_dense
+
+    q = dict(demo.DEMO_QUERY)
+    q = {k: v for k, v in q.items() if k != "timeFilter"}
+    plan = demo.demo_plan(q)
+    assert plan.from_ts is None or plan.to_ts is None
+    tkey = (0, plan.main_schema.column_id("request_at"))
+    ckey = (0, plan.main_schema.column_id("city_id"))
+    base = demo.DEMO_NOW - 20 * 3600
+    dp = plan_dense(plan, {tkey: (base, demo.DEMO_NOW), ckey: (1, 300)})
+    assert dp is not None
+    hours = dp.domains[0]
+    assert hours.step == 3600
+    assert hours.base == (base // 3600) * 3600
+    assert hours.size == (demo.DEMO_NOW // 3600) - (base // 3600) + 1
+    # no stats for the time column -> not densely plannable
+    assert plan_dense(plan, {ckey: (1, 300)}) is None
