@@ -227,6 +227,7 @@ class ShardExecutor:
         table = GroupTable(plan)
         stat_keys = self._dense_stat_keys(plan)
         plan._exec_pending = []
+        plan._exec_hll_pending = []
         for shard_id in shards:
             shard = self.memstore.get_table_shard(
                 plan.main_schema.table.name, shard_id)
@@ -244,6 +245,7 @@ class ShardExecutor:
                 plan.stats["rows_scanned"] += n_valid
         with stage("resultFetch"):
             self._resolve_pending(plan, table)
+            self._resolve_hll_pending(plan, table)
             table.finalize()
         M.root().count(M.QUERY_ROWS_RETURNED, len(table.groups))
         return table, None
@@ -711,24 +713,53 @@ class ShardExecutor:
                                      n_padded, table, live_cutoff)
 
     def _run_hll_batch(self, plan, columns, foreign_idx, n_valid, n_padded,
-                       table: GroupTable, live_cutoff=0):
-        """HLL register build; group capacity laddered (registers are 16KB
-        per group, so the cap is tighter than scalar aggregation)."""
-        k = 256
-        while True:
-            kernel = self.kernel_cache.hll_kernel(plan, n_padded, k)
-            out = kernel(columns, foreign_idx, np.int32(n_valid),
-                         np.int64(live_cutoff))
-            (gkeys, slot_used, registers, cnt, n_groups, dim_values,
-             dim_valids) = jax.device_get(out)
-            if int(n_groups) <= k:
-                break
-            if k >= 4096:
+                       table: GroupTable, live_cutoff=0, k: int = 256):
+        """HLL register build; dispatched async and resolved after all
+        batches (registers are 16KB per group, so results are fetched
+        sliced to the live group count — see _resolve_hll_pending)."""
+        kernel = self.kernel_cache.hll_kernel(plan, n_padded, k)
+        out = kernel(columns, foreign_idx, np.int32(n_valid),
+                     np.int64(live_cutoff))
+        plan._exec_hll_pending.append(
+            (k, out, columns, foreign_idx, n_valid, n_padded, live_cutoff))
+
+    def _resolve_hll_pending(self, plan, table: GroupTable) -> None:
+        """Two-round gather for all pending HLL batches: group counts first
+        (one round trip), then register/metadata arrays sliced to the live
+        groups — a K×16KB register table would otherwise cross the wire
+        whole for every batch. Overflowed batches re-run on a bigger K."""
+        pending = getattr(plan, "_exec_hll_pending", [])
+        plan._exec_hll_pending = []
+        if not pending:
+            return
+        counts = jax.device_get([entry[1][4] for entry in pending])
+        slices = []
+        retries = []
+        for entry, n_groups in zip(pending, counts):
+            k, out = entry[0], entry[1]
+            if int(n_groups) > k:
+                retries.append((entry, int(n_groups)))
+                continue
+            kg = min(round_up_pow2(max(int(n_groups), 1), 8), k)
+            (gkeys, slot_used, registers, cnt, _, dim_values,
+             dim_valids) = out
+            slices.append((slot_used[:kg], registers[:kg], cnt[:kg],
+                           tuple(dv[:kg] for dv in dim_values),
+                           tuple(dv[:kg] for dv in dim_valids)))
+        for slot_used, registers, cnt, dim_values, dim_valids in \
+                jax.device_get(slices):
+            table.merge_batch(slot_used, list(registers), cnt,
+                              list(dim_values), list(dim_valids))
+        for (old_k, _, columns, foreign_idx, n_valid, n_padded,
+             live_cutoff), n_groups in retries:
+            if n_groups > 4096:
                 raise QueryError(
-                    f"hll group cardinality {int(n_groups)} exceeds 4096")
-            k = min(round_up_pow2(int(n_groups), 256), 4096)
-        table.merge_batch(slot_used, list(registers), cnt,
-                          list(dim_values), list(dim_valids))
+                    f"hll group cardinality {n_groups} exceeds 4096")
+            k2 = min(round_up_pow2(n_groups, 256), 4096)
+            self._run_hll_batch(plan, columns, foreign_idx, n_valid,
+                                n_padded, table, live_cutoff, k=k2)
+        if plan._exec_hll_pending:
+            self._resolve_hll_pending(plan, table)
 
     # -- non-agg execution --
 
