@@ -227,6 +227,7 @@ class ShardExecutor:
         table = GroupTable(plan)
         stat_keys = self._dense_stat_keys(plan)
         plan._exec_pending = []
+        plan._exec_sort_pending = []
         plan._exec_hll_pending = []
         for shard_id in shards:
             shard = self.memstore.get_table_shard(
@@ -245,6 +246,7 @@ class ShardExecutor:
                 plan.stats["rows_scanned"] += n_valid
         with stage("resultFetch"):
             self._resolve_pending(plan, table)
+            self._resolve_sort_pending(plan, table)
             self._resolve_hll_pending(plan, table)
             table.finalize()
         M.root().count(M.QUERY_ROWS_RETURNED, len(table.groups))
@@ -620,23 +622,53 @@ class ShardExecutor:
                              table, live_cutoff)
 
     def _run_sort_batch(self, plan, columns, foreign_idx, n_valid, n_padded,
-                        table: GroupTable, live_cutoff=0):
-        k = DEFAULT_GROUP_CAPACITY
-        while True:
-            kernel = self.kernel_cache.agg_kernel(plan, n_padded, k)
-            out = kernel(columns, foreign_idx, np.int32(n_valid),
-                         np.int64(live_cutoff))
-            (gkeys, _, slot_used, agg, cnt, n_groups, dim_values,
-             dim_valids) = jax.device_get(out)
-            if int(n_groups) <= k:
-                break
-            if k >= MAX_GROUP_CAPACITY:
+                        table: GroupTable, live_cutoff=0,
+                        k: int = DEFAULT_GROUP_CAPACITY):
+        """Sort-path aggregation; dispatched async and resolved after all
+        batches, like the dense and HLL paths (_resolve_sort_pending)."""
+        kernel = self.kernel_cache.agg_kernel(plan, n_padded, k)
+        out = kernel(columns, foreign_idx, np.int32(n_valid),
+                     np.int64(live_cutoff))
+        plan._exec_sort_pending.append(
+            (k, out, columns, foreign_idx, n_valid, n_padded, live_cutoff))
+
+    def _resolve_sort_pending(self, plan, table: GroupTable) -> None:
+        """Two-round gather for pending sort batches: group counts first,
+        then result arrays sliced to the live group count (the K-capacity
+        arrays are mostly empty slots). Overflows re-run on a bigger K."""
+        pending = getattr(plan, "_exec_sort_pending", [])
+        plan._exec_sort_pending = []
+        if not pending:
+            return
+        counts = jax.device_get([entry[1][5] for entry in pending])
+        slices = []
+        retries = []
+        for entry, n_groups in zip(pending, counts):
+            k, out = entry[0], entry[1]
+            ng = int(n_groups)
+            if ng > k:
+                retries.append((entry, ng))
+                continue
+            kg = min(round_up_pow2(max(ng, 1), 64), k)
+            (_, _, slot_used, agg, cnt, _, dim_values, dim_valids) = out
+            slices.append((slot_used[:kg], agg[:kg], cnt[:kg],
+                           tuple(dv[:kg] for dv in dim_values),
+                           tuple(dv[:kg] for dv in dim_valids)))
+        for slot_used, agg, cnt, dim_values, dim_valids in \
+                jax.device_get(slices):
+            table.merge_batch(slot_used, agg, cnt,
+                              list(dim_values), list(dim_valids))
+        for (old_k, _, columns, foreign_idx, n_valid, n_padded,
+             live_cutoff), ng in retries:
+            if ng > MAX_GROUP_CAPACITY:
                 raise QueryError(
-                    f"group cardinality {int(n_groups)} exceeds maximum "
+                    f"group cardinality {ng} exceeds maximum "
                     f"capacity {MAX_GROUP_CAPACITY}")
-            k = min(round_up_pow2(int(n_groups)), MAX_GROUP_CAPACITY)
-        table.merge_batch(slot_used, agg, cnt,
-                          list(dim_values), list(dim_valids))
+            self._run_sort_batch(
+                plan, columns, foreign_idx, n_valid, n_padded, table,
+                live_cutoff, k=min(round_up_pow2(ng), MAX_GROUP_CAPACITY))
+        if plan._exec_sort_pending:
+            self._resolve_sort_pending(plan, table)
 
     def _run_mesh_batch(self, plan, columns, foreign_idx, n_valid, n_padded,
                         table: GroupTable, live_cutoff=0) -> bool:
