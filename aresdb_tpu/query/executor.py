@@ -110,6 +110,10 @@ class GroupTable:
         # vectorized accumulators for dense batches sharing a slot space:
         # dense_sig -> [dense_plan, agg_array, cnt_array, rows_array]
         self._dense_acc: Dict[tuple, list] = {}
+        # raw per-batch (gkeys, agg, cnt, dims) from keyed kernels (sort /
+        # hll / mesh); merged vectorized at finalize via np.unique so the
+        # python tail runs once over the FINAL groups, not per batch
+        self._keyed_acc: list = []
 
     def merge_dense(self, dense_sig: tuple, dense_plan, aggv, cnt, rows):
         """Accumulate whole dense slot tables elementwise (no python loop);
@@ -129,8 +133,62 @@ class GroupTable:
         acc[2] += cnt
         acc[3] += rows
 
+    def merge_keyed(self, gkeys, slot_used, agg, cnt, dim_values,
+                    dim_valids):
+        """Accumulate one batch's keyed group table (u64 packed keys)."""
+        sel = np.asarray(slot_used).astype(bool)
+        if not sel.any():
+            return
+        self._keyed_acc.append((
+            np.asarray(gkeys)[sel], np.asarray(agg)[sel],
+            np.asarray(cnt)[sel],
+            [np.asarray(v)[sel] for v in dim_values],
+            [np.asarray(b)[sel] for b in dim_valids]))
+
+    def _finalize_keyed(self) -> None:
+        acc, self._keyed_acc = self._keyed_acc, []
+        if not acc:
+            return
+        gkeys = np.concatenate([a[0] for a in acc])
+        aggs = np.concatenate([a[1] for a in acc])
+        cnts = np.concatenate([a[2] for a in acc])
+        uniq, inv = np.unique(gkeys, return_inverse=True)
+        g = len(uniq)
+        kind = self.plan.measure.agg
+        if kind in ("sum", "count", "avg"):
+            m_agg = np.zeros(g, np.float64 if aggs.dtype.kind == "f"
+                             else aggs.dtype)
+            np.add.at(m_agg, inv, aggs)
+        elif kind == "min":
+            m_agg = np.full(g, np.inf if aggs.dtype.kind == "f"
+                            else np.iinfo(aggs.dtype).max, aggs.dtype)
+            np.minimum.at(m_agg, inv, aggs)
+        elif kind == "max":
+            m_agg = np.full(g, -np.inf if aggs.dtype.kind == "f"
+                            else np.iinfo(aggs.dtype).min, aggs.dtype)
+            np.maximum.at(m_agg, inv, aggs)
+        else:  # hll register rows
+            m_agg = np.zeros((g,) + aggs.shape[1:], aggs.dtype)
+            np.maximum.at(m_agg, inv, aggs)
+        m_cnt = np.zeros(g, np.int64)
+        np.add.at(m_cnt, inv, cnts)
+        # dims from the first occurrence of each key (same key → same dims)
+        first = np.full(g, len(gkeys), np.int64)
+        np.minimum.at(first, inv, np.arange(len(gkeys)))
+        n_dims = len(acc[0][3])
+        dim_values = []
+        dim_valids = []
+        for d in range(n_dims):
+            vals = np.concatenate([a[3][d] for a in acc])
+            valids = np.concatenate([a[4][d] for a in acc])
+            dim_values.append(vals[first])
+            dim_valids.append(valids[first])
+        self.merge_batch(np.ones(g, bool), m_agg, m_cnt,
+                         dim_values, dim_valids)
+
     def finalize(self) -> None:
-        """Fold dense accumulators into the generic groups dict."""
+        """Fold dense + keyed accumulators into the generic groups dict."""
+        self._finalize_keyed()
         for dense_plan, aggv, cnt, rows in self._dense_acc.values():
             used = rows > 0
             slots = np.arange(dense_plan.n_slots)
@@ -192,6 +250,10 @@ class ShardExecutor:
         self.memstore = memstore
         self.kernel_cache = kernel_cache
         self.device_cache = device_cache
+        # plan-signature → observed group capacity: warm repeats of a
+        # high-cardinality query start the ladder at the right K instead
+        # of paying a wasted low-K kernel pass per batch
+        self._k_hints: Dict[str, int] = {}
 
     # -- public --
 
@@ -622,10 +684,13 @@ class ShardExecutor:
                              table, live_cutoff)
 
     def _run_sort_batch(self, plan, columns, foreign_idx, n_valid, n_padded,
-                        table: GroupTable, live_cutoff=0,
-                        k: int = DEFAULT_GROUP_CAPACITY):
+                        table: GroupTable, live_cutoff=0, k: int = 0):
         """Sort-path aggregation; dispatched async and resolved after all
         batches, like the dense and HLL paths (_resolve_sort_pending)."""
+        if not k:
+            from aresdb_tpu.query.kernels import plan_signature
+            k = self._k_hints.get(plan_signature(plan),
+                                  DEFAULT_GROUP_CAPACITY)
         kernel = self.kernel_cache.agg_kernel(plan, n_padded, k)
         out = kernel(columns, foreign_idx, np.int32(n_valid),
                      np.int64(live_cutoff))
@@ -650,13 +715,13 @@ class ShardExecutor:
                 retries.append((entry, ng))
                 continue
             kg = min(round_up_pow2(max(ng, 1), 64), k)
-            (_, _, slot_used, agg, cnt, _, dim_values, dim_valids) = out
-            slices.append((slot_used[:kg], agg[:kg], cnt[:kg],
+            (gkeys, _, slot_used, agg, cnt, _, dim_values, dim_valids) = out
+            slices.append((gkeys[:kg], slot_used[:kg], agg[:kg], cnt[:kg],
                            tuple(dv[:kg] for dv in dim_values),
                            tuple(dv[:kg] for dv in dim_valids)))
-        for slot_used, agg, cnt, dim_values, dim_valids in \
+        for gkeys, slot_used, agg, cnt, dim_values, dim_valids in \
                 jax.device_get(slices):
-            table.merge_batch(slot_used, agg, cnt,
+            table.merge_keyed(gkeys, slot_used, agg, cnt,
                               list(dim_values), list(dim_valids))
         for (old_k, _, columns, foreign_idx, n_valid, n_padded,
              live_cutoff), ng in retries:
@@ -664,9 +729,13 @@ class ShardExecutor:
                 raise QueryError(
                     f"group cardinality {ng} exceeds maximum "
                     f"capacity {MAX_GROUP_CAPACITY}")
+            k2 = min(round_up_pow2(ng), MAX_GROUP_CAPACITY)
+            from aresdb_tpu.query.kernels import plan_signature
+            sig = plan_signature(plan)
+            self._k_hints[sig] = max(self._k_hints.get(sig, 0), k2)
             self._run_sort_batch(
                 plan, columns, foreign_idx, n_valid, n_padded, table,
-                live_cutoff, k=min(round_up_pow2(ng), MAX_GROUP_CAPACITY))
+                live_cutoff, k=k2)
         if plan._exec_sort_pending:
             self._resolve_sort_pending(plan, table)
 
@@ -721,7 +790,7 @@ class ShardExecutor:
             jax.device_get(out)
         if int(n_groups) > k_groups:
             return False  # overflow: retry on the single-chip ladder
-        table.merge_batch(slot_used, aggv, cnt,
+        table.merge_keyed(gkeys, slot_used, aggv, cnt,
                           list(dim_values), list(dim_valids))
         return True
 
@@ -745,10 +814,13 @@ class ShardExecutor:
                                      n_padded, table, live_cutoff)
 
     def _run_hll_batch(self, plan, columns, foreign_idx, n_valid, n_padded,
-                       table: GroupTable, live_cutoff=0, k: int = 256):
+                       table: GroupTable, live_cutoff=0, k: int = 0):
         """HLL register build; dispatched async and resolved after all
         batches (registers are 16KB per group, so results are fetched
         sliced to the live group count — see _resolve_hll_pending)."""
+        if not k:
+            from aresdb_tpu.query.kernels import plan_signature
+            k = self._k_hints.get("hll:" + plan_signature(plan), 256)
         kernel = self.kernel_cache.hll_kernel(plan, n_padded, k)
         out = kernel(columns, foreign_idx, np.int32(n_valid),
                      np.int64(live_cutoff))
@@ -775,12 +847,13 @@ class ShardExecutor:
             kg = min(round_up_pow2(max(int(n_groups), 1), 8), k)
             (gkeys, slot_used, registers, cnt, _, dim_values,
              dim_valids) = out
-            slices.append((slot_used[:kg], registers[:kg], cnt[:kg],
+            slices.append((gkeys[:kg], slot_used[:kg], registers[:kg],
+                           cnt[:kg],
                            tuple(dv[:kg] for dv in dim_values),
                            tuple(dv[:kg] for dv in dim_valids)))
-        for slot_used, registers, cnt, dim_values, dim_valids in \
+        for gkeys, slot_used, registers, cnt, dim_values, dim_valids in \
                 jax.device_get(slices):
-            table.merge_batch(slot_used, list(registers), cnt,
+            table.merge_keyed(gkeys, slot_used, registers, cnt,
                               list(dim_values), list(dim_valids))
         for (old_k, _, columns, foreign_idx, n_valid, n_padded,
              live_cutoff), n_groups in retries:
@@ -788,6 +861,9 @@ class ShardExecutor:
                 raise QueryError(
                     f"hll group cardinality {n_groups} exceeds 4096")
             k2 = min(round_up_pow2(n_groups, 256), 4096)
+            from aresdb_tpu.query.kernels import plan_signature
+            sig = "hll:" + plan_signature(plan)
+            self._k_hints[sig] = max(self._k_hints.get(sig, 0), k2)
             self._run_hll_batch(plan, columns, foreign_idx, n_valid,
                                 n_padded, table, live_cutoff, k=k2)
         if plan._exec_hll_pending:
