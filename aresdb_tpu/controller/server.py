@@ -177,6 +177,31 @@ class JobsHandler(_Base):
                             self.write_json({"message": "added"}))[-1])
 
 
+class JobConfigHandler(_Base):
+    """Single job-config CRUD (reference: controller/handlers/config.go
+    GetJob/UpdateJob/DeleteJob at /config/{namespace}/jobs/{job})."""
+
+    def get(self, ns: str, name: str):
+        def run():
+            jobs = self.state.ns(ns).jobs
+            if name not in jobs:
+                return self.write_json({"message": "job not found"}, 404)
+            self.write_json(vars(jobs[name]))
+        self.guard(run)
+
+    def put(self, ns: str, name: str):
+        b = self.body()
+        job = JobConfig(name=name, table=b["table"], topic=b["topic"],
+                        cluster=b.get("cluster", ""),
+                        config=b.get("config", {}))
+        self.guard(lambda: (self.state.add_job(ns, job),
+                            self.write_json({"message": "updated"}))[-1])
+
+    def delete(self, ns: str, name: str):
+        self.guard(lambda: (self.state.delete_job(ns, name),
+                            self.write_json({"message": "deleted"}))[-1])
+
+
 class AssignmentHandler(_Base):
     def get(self, ns: str, subscriber: str):
         def run():
@@ -201,6 +226,8 @@ def make_app(state: ControllerState) -> tornado.web.Application:
         (r"/placement/([^/]+)/([^/]+)/([^/]+)/available",
          PlacementAvailableHandler, a),
         (r"/assignment/([^/]+)/jobs", JobsHandler, a),
+        (r"/config/([^/]+)/jobs", JobsHandler, a),
+        (r"/config/([^/]+)/jobs/([^/]+)", JobConfigHandler, a),
         (r"/assignment/([^/]+)/subscribers/([^/]+)", AssignmentHandler, a),
     ])
 

@@ -308,3 +308,25 @@ def test_broker_hll_merge(cluster):
         assert resp["results"][0][""] == pytest.approx(40, abs=2)
     finally:
         broker.stop()
+
+
+def test_job_config_crud(cluster):
+    """Reference controller config handler parity:
+    /config/{ns}/jobs CRUD (controller/handlers/config.go)."""
+    _, cport, _ = cluster
+    base = f"http://localhost:{cport}"
+    r = requests.post(f"{base}/config/{NS}/jobs", json={
+        "name": "etl1", "table": "trips", "topic": "trips-events"})
+    assert r.status_code == 200
+    r = requests.get(f"{base}/config/{NS}/jobs")
+    assert any(j["name"] == "etl1" for j in r.json())
+    r = requests.get(f"{base}/config/{NS}/jobs/etl1")
+    assert r.json()["topic"] == "trips-events"
+    r = requests.put(f"{base}/config/{NS}/jobs/etl1", json={
+        "table": "trips", "topic": "trips-v2"})
+    assert r.status_code == 200
+    assert requests.get(
+        f"{base}/config/{NS}/jobs/etl1").json()["topic"] == "trips-v2"
+    r = requests.delete(f"{base}/config/{NS}/jobs/etl1")
+    assert r.status_code == 200
+    assert requests.get(f"{base}/config/{NS}/jobs/etl1").status_code == 404
