@@ -574,6 +574,66 @@ nav();render();
 </script></body></html>"""
 
 
+def _openapi_spec() -> dict:
+    """Minimal OpenAPI 3 description of the public surface (reference ships
+    a swagger spec under api/ui/swagger; this is the generated equivalent)."""
+    def op(summary, **kw):
+        d = {"summary": summary,
+             "responses": {"200": {"description": "OK"}}}
+        d.update(kw)
+        return d
+
+    return {
+        "openapi": "3.0.0",
+        "info": {"title": "aresdb_tpu", "version": "1.0",
+                 "description": "TPU-native real-time analytics engine"},
+        "paths": {
+            "/health": {"get": op("liveness probe")},
+            "/query/aql": {"post": op(
+                "run AQL queries",
+                requestBody={"content": {"application/json": {"schema": {
+                    "type": "object", "properties": {
+                        "queries": {"type": "array"},
+                        "verbose": {"type": "boolean"}}}}}})},
+            "/query/sql": {"post": op("run SQL queries")},
+            "/data/{table}/{shard}": {"post": op(
+                "ingest a binary UpsertBatch")},
+            "/schema/tables": {"get": op("list tables"),
+                               "post": op("create table")},
+            "/schema/tables/{table}": {"get": op("get table schema"),
+                                       "put": op("update table"),
+                                       "delete": op("delete table")},
+            "/schema/tables/{table}/columns/{column}": {
+                "delete": op("delete (tombstone) a column")},
+            "/schema/tables/{table}/columns/{column}/enum-cases": {
+                "get": op("list enum cases"),
+                "post": op("extend enum cases")},
+            "/metrics": {"get": op("metrics snapshot")},
+            "/dbg": {"get": op("debug web UI")},
+            "/dbg/shards": {"get": op("table shard overview")},
+            "/dbg/jobs": {"get": op("job statuses")},
+            "/dbg/devices": {"get": op("JAX devices")},
+            "/dbg/host-memory": {"get": op("host memory usage")},
+            "/dbg/device-cache": {"get": op("HBM column cache stats")},
+            "/dbg/{table}/{shard}": {"get": op("shard detail")},
+            "/dbg/{table}/{shard}/{job}": {"post": op(
+                "trigger archiving|backfill|snapshot|purge")},
+            "/dbg/{table}/{shard}/redologs": {"get": op("list redo logs")},
+            "/dbg/{table}/{shard}/primary-keys": {"get": op(
+                "look up a primary key (?key=v1,v2)")},
+            "/dbg/profiler/{action}": {"post": op(
+                "start|stop an XLA profiler trace")},
+            "/peer/{table}/{shard}/metadata": {"get": op(
+                "peer bootstrap: shard metadata")},
+        },
+    }
+
+
+class SwaggerHandler(_Base):
+    def get(self):
+        self.write_json(_openapi_spec())
+
+
 class DebugUIHandler(_Base):
     def get(self):
         self.set_header("Content-Type", "text/html")
@@ -681,6 +741,7 @@ def make_app(ctx: ServerContext) -> tornado.web.Application:
         (r"/dbg/device-cache", DeviceCacheDebugHandler, a),
         (r"/dbg/profiler/(start|stop)", ProfilerHandler, a),
         (r"/dbg/?", DebugUIHandler, a),
+        (r"/swagger.json", SwaggerHandler, a),
         (r"/dbg/([^/]+)/(\d+)", ShardDebugHandler, a),
         (r"/metrics", MetricsHandler, a),
         (r"/peer/([^/]+)/(\d+)/metadata", PeerMetadataHandler, a),

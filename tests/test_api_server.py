@@ -197,3 +197,11 @@ def test_primary_key_lookup(base):
     assert r.status_code == 400
     r = requests.get(f"{base}/dbg/missing/0/primary-keys", params={"key": "1"})
     assert r.status_code == 404
+
+
+def test_openapi_spec(base):
+    r = requests.get(f"{base}/swagger.json")
+    spec = r.json()
+    assert spec["openapi"].startswith("3.")
+    assert "/query/aql" in spec["paths"]
+    assert "post" in spec["paths"]["/data/{table}/{shard}"]
