@@ -254,6 +254,10 @@ class ShardExecutor:
         # high-cardinality query start the ladder at the right K instead
         # of paying a wasted low-K kernel pass per batch
         self._k_hints: Dict[str, int] = {}
+        # (vp.uid, vp.version, n) → (min, max) over valid values: scanning
+        # 33M rows of host memory per query costs ~100ms+; columns are
+        # immutable at a given mutation version so stats memoize exactly
+        self._stat_memo: Dict[tuple, tuple] = {}
 
     # -- public --
 
@@ -355,11 +359,9 @@ class ShardExecutor:
             if plan.time_column_id >= 0 and (plan.from_ts or plan.to_ts):
                 vp = batch.column(plan.time_column_id)
                 if vp is not None and vp.values is not None and n > 0:
-                    tvals = vp.values[:n]
-                    tvalid = vp.validity[:n]
-                    if tvalid.any():
-                        tmin = int(tvals[tvalid].min())
-                        tmax = int(tvals[tvalid].max())
+                    mm = self._minmax(vp, vp.values[:n], vp.validity[:n], n)
+                    if mm is not None:
+                        tmin, tmax = mm
                         if plan.from_ts and tmax < plan.from_ts:
                             continue
                         if plan.to_ts and tmin >= plan.to_ts:
@@ -418,11 +420,28 @@ class ShardExecutor:
                 stats.get("prefilterRowsSkipped", 0) + (n - max(hi - lo, 0))
         return lo, hi
 
-    @staticmethod
-    def _column_stat(stats, stat_keys, cid, values, validity):
-        if (0, cid) in stat_keys and len(validity) and validity.any():
+    def _minmax(self, vp, values, validity, n_key) -> object:
+        """Memoized (min, max) over valid values (None = all invalid)."""
+        key = (getattr(vp, "uid", None), getattr(vp, "version", 0), n_key)
+        if key[0] is not None and key in self._stat_memo:
+            return self._stat_memo[key]
+        if len(validity) and validity.any():
             sel = values[validity]
-            stats[(0, cid)] = (int(np.min(sel)), int(np.max(sel)))
+            out = (int(np.min(sel)), int(np.max(sel)))
+        else:
+            out = None
+        if key[0] is not None:
+            if len(self._stat_memo) > 4096:
+                self._stat_memo.clear()
+            self._stat_memo[key] = out
+        return out
+
+    def _column_stat(self, stats, stat_keys, cid, vp, values, validity,
+                     n_key):
+        if (0, cid) in stat_keys:
+            mm = self._minmax(vp, values, validity, n_key)
+            if mm is not None:
+                stats[(0, cid)] = mm
 
     def _stage_live_batch(self, schema, batch, n: int, used: List[int],
                           stat_keys=frozenset()):
@@ -446,8 +465,8 @@ class ShardExecutor:
                         vp.list_values[:n], vp.validity[:n], n_padded,
                         col_schema.data_type))
                 continue
-            self._column_stat(stats, stat_keys, cid, vp.values[:n],
-                              vp.validity[:n])
+            self._column_stat(stats, stat_keys, cid, vp, vp.values[:n],
+                              vp.validity[:n], n)
             # keyed on VP object identity + mutation version: collision-safe
             # across stores/tables and invalidated by any write
             cols[(0, cid)] = self.device_cache.get_or_stage(
@@ -495,8 +514,9 @@ class ShardExecutor:
                         vp.list_values[lo:hi], vp.validity[lo:hi], n_padded,
                         col_schema.data_type))
             else:
-                self._column_stat(stats, stat_keys, cid, vp.values[lo:hi],
-                                  vp.validity[lo:hi])
+                self._column_stat(stats, stat_keys, cid, vp,
+                                  vp.values[lo:hi], vp.validity[lo:hi],
+                                  (lo, hi))
                 cols[(0, cid)] = self.device_cache.get_or_stage(
                     akey, lambda: _pad_column(
                         vp.values[lo:hi], vp.validity[lo:hi], n_padded,
