@@ -15,7 +15,7 @@ query/sort_reduce.cu); this is the TPU-shaped redesign the survey calls for
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

@@ -16,8 +16,6 @@ register planes.
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Optional, Tuple
-
 import numpy as np
 
 from aresdb_tpu.query.hll_bias_data import (
