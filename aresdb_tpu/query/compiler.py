@@ -686,15 +686,25 @@ class Compiler:
 
     def _process_filters(self, q: AQLQuery, cq: CompiledQuery) -> None:
         all_filters = list(q.filters) + list(q.measures[0].filters)
+        geo_filters = 0
         for f in all_filters:
             ast = E.parse(f)
             if cq.geo is not None and self._try_geo_filter(ast, cq):
+                geo_filters += 1
+                if geo_filters > 1:
+                    raise QueryError("only one geo filter allowed")
                 continue
             ast = self._resolve(ast)
             if ast.type != E.BOOLEAN and not (
                     isinstance(ast, E.VarRef) and ast.data_type == mdt.Bool):
                 raise QueryError(f"filter must be boolean: {f!r}")
             cq.filters.append(ast)
+        if cq.geo is not None and geo_filters == 0:
+            # reference: aql_compiler.go:845 "Exact one geo filter is
+            # needed if geo intersection is used during join"
+            raise QueryError(
+                "exactly one geo filter is needed if geo intersection "
+                "is used during join")
 
     def _try_geo_filter(self, ast: E.Expr, cq: CompiledQuery) -> bool:
         """Classify `geo.pk IN (...)` / `=` / `NOT IN` shape filters.

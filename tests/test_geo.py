@@ -165,9 +165,23 @@ def test_geo_dimension(geo_service):
                    "conditions": ["geography_intersects(g.shape, request_point)"]}],
         "measures": [{"sqlExpression": "sum(fare)"}],
         "dimensions": [{"sqlExpression": "g.geo_uuid"}],
+        "rowFilters": [
+            f"g.geo_uuid IN ('{_zone_uuid(1)}', '{_zone_uuid(2)}')"],
         "now": NOW}]})
     assert "errors" not in resp, resp.get("errors")
     r = resp["results"][0]
     assert r[_zone_uuid(1)] == pytest.approx(1 + 2 + 3)
     assert r[_zone_uuid(2)] == pytest.approx(4 + 5)
-    assert r["NULL"] == pytest.approx(6.0)
+    assert "NULL" not in r  # the geo filter drops unmatched rows
+
+
+def test_geo_join_requires_filter(geo_service):
+    """Reference parity (aql_compiler.go:845): a geo-intersection join
+    without a geo filter is a compile error."""
+    resp = geo_service.handle_aql({"queries": [{
+        "table": "trips",
+        "joins": [{"table": "zones", "alias": "g",
+                   "conditions": ["geography_intersects(g.shape, request_point)"]}],
+        "measures": [{"sqlExpression": "count(*)"}],
+        "now": NOW}]})
+    assert "geo filter" in resp["errors"][0]

@@ -69,6 +69,7 @@ qg = {"table": "trips",
                  "conditions": ["geography_intersects(z.shape, pickup)"]}],
       "measures": [{"sqlExpression": "count(*)"}],
       "dimensions": [{"sqlExpression": "z.id"}],
+      "rowFilters": ["z.id IN (1, 2)"],
       "now": BASE + 2 * DAY}
 for it in range(2):
     t0 = time.perf_counter()
@@ -81,5 +82,6 @@ in2 = int(((lat > 20) & (lat < 30) & (lng > 20) & (lng < 30)).sum())
 print(f"geo query: {dtg:.0f}ms warm, zones={res} expected~({in1},{in2})", flush=True)
 ok1 = abs(res.get("1", 0) - in1) <= in1 * 0.001 + 5
 ok2 = abs(res.get("2", 0) - in2) <= in2 * 0.001 + 5
+assert "NULL" not in res, "geo filter must drop unmatched rows"
 print("geo parity:", ok1 and ok2, flush=True)
 srv.stop()
