@@ -176,7 +176,9 @@ class Compiler:
         main = self.schemas.get(q.table)
         if main is None:
             raise QueryError(f"unknown table {q.table!r}")
-        if not q.measures:
+        if len(q.measures) != 1:
+            # reference: query_plan expects one measure per query
+            # (aql_compiler.go:802)
             raise QueryError("exactly 1 measure is required")
 
         cq = CompiledQuery(query=q, main_schema=main, shards=list(q.shards),
@@ -262,7 +264,13 @@ class Compiler:
 
     # -- joins --
 
+    MAX_JOINS = 8  # reference: aql_compiler.go:170
+
     def _process_joins(self, q: AQLQuery, cq: CompiledQuery) -> None:
+        if len(q.joins) > self.MAX_JOINS:
+            raise QueryError(
+                f"at most {self.MAX_JOINS} foreign tables allowed, "
+                f"got {len(q.joins)}")
         for j in q.joins:
             schema = self.schemas.get(j.table)
             if schema is None:
@@ -655,9 +663,16 @@ class Compiler:
             return
         if col_expr is None:
             raise QueryError("time filter requires a time column")
+        if not tf.from_:
+            # reference: aql_compiler.go:1009
+            raise QueryError("'from' of time filter is missing")
         col_expr = self._resolve(col_expr)
-        if isinstance(col_expr, E.VarRef) and col_expr.table_id == 0:
-            cq.time_column_id = col_expr.column_id
+        if not (isinstance(col_expr, E.VarRef) and col_expr.table_id == 0):
+            # reference: aql_compiler.go:1002
+            raise QueryError(
+                f"timeFilter only supports the main table "
+                f"{cq.main_schema.table.name!r}, got {tf.column!r}")
+        cq.time_column_id = col_expr.column_id
 
         from_t, to_t = TU.parse_time_filter(tf.from_, tf.to, cq.timezone, cq.now_ts)
         if from_t is not None:

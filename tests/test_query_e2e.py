@@ -458,3 +458,37 @@ def test_select_star(service):
                                  "fare"]
     assert len(result["matrixData"]) == 2
     assert len(result["matrixData"][0]) == 5
+
+
+def test_compiler_validation_parity():
+    """Reference compiler error cases (aql_compiler.go:170,802,1002,1009)."""
+    from aresdb_tpu.query.aql import AQLQuery
+    from aresdb_tpu.query.compiler import Compiler, QueryError
+    import pytest as _pt
+
+    store = FakeMemStore()
+    store.create(TRIPS_SCHEMA)
+    store.create(CITIES_SCHEMA)
+    comp = Compiler(store.get_schemas())
+
+    with _pt.raises(QueryError, match="at most 8 foreign tables"):
+        comp.compile(AQLQuery.from_json({
+            "table": "trips", "measures": [{"sqlExpression": "count(*)"}],
+            "joins": [{"table": "cities", "alias": f"c{i}",
+                       "conditions": [f"c{i}.id = city_id"]}
+                      for i in range(9)]}))
+    with _pt.raises(QueryError, match="exactly 1 measure"):
+        comp.compile(AQLQuery.from_json({
+            "table": "trips", "measures": [
+                {"sqlExpression": "count(*)"},
+                {"sqlExpression": "sum(fare)"}]}))
+    with _pt.raises(QueryError, match="'from' of time filter is missing"):
+        comp.compile(AQLQuery.from_json({
+            "table": "trips", "measures": [{"sqlExpression": "count(*)"}],
+            "timeFilter": {"column": "request_at", "to": "now"}}))
+    with _pt.raises(QueryError, match="timeFilter only supports"):
+        comp.compile(AQLQuery.from_json({
+            "table": "trips", "measures": [{"sqlExpression": "count(*)"}],
+            "joins": [{"table": "cities", "alias": "c",
+                       "conditions": ["c.id = city_id"]}],
+            "timeFilter": {"column": "c.id", "from": "24 hours ago"}}))
