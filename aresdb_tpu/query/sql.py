@@ -172,7 +172,17 @@ def _split_as_alias(item: str) -> Tuple[str, str]:
 
 def parse_sql(sql: str) -> AQLQuery:
     """Parse one SQL statement into an AQLQuery JSON-equivalent object."""
+    # constructs AQL cannot express are rejected up front (reference:
+    # sql_parser.go "having not yet supported"; WITH/subqueries and
+    # DISTINCT have no AQL mapping either) — silently misparsing them
+    # would return wrong results
+    if sql.lstrip().lower().startswith("with"):
+        raise SQLParseError("WITH / subqueries are not supported")
     clauses = _find_clauses(sql)
+    if "having" in clauses:
+        raise SQLParseError("HAVING is not supported")
+    if clauses["select"].lower().lstrip().startswith("distinct"):
+        raise SQLParseError("DISTINCT is not supported")
     q: Dict = {"measures": [], "dimensions": [], "rowFilters": [], "joins": []}
 
     # FROM: main table + joins

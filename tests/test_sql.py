@@ -92,3 +92,22 @@ def test_sql_end_to_end():
         f"GROUP BY c.name"]})
     assert "errors" not in resp, resp.get("errors")
     assert "San Francisco" in resp["results"][0]
+
+
+def test_unsupported_sql_constructs_rejected():
+    """Reference parity: HAVING errors (sql_parser.go 'having not yet
+    supported'); WITH/subqueries and DISTINCT have no AQL mapping."""
+    import pytest as _pt
+
+    from aresdb_tpu.query.sql import SQLParseError, parse_sql
+
+    for stmt, msg in [
+            ("SELECT count(*) FROM t GROUP BY c HAVING count(*) > 5",
+             "HAVING"),
+            ("WITH x AS (SELECT 1) SELECT count(*) FROM t", "WITH"),
+            ("SELECT DISTINCT c FROM t", "DISTINCT")]:
+        with _pt.raises(SQLParseError, match=msg):
+            parse_sql(stmt)
+    # the words remain fine inside string literals
+    q = parse_sql("SELECT count(*) FROM t WHERE name = 'with distinct'")
+    assert q.filters == ["name = 'with distinct'"]
