@@ -819,7 +819,21 @@ class Compiler:
 
     def _process_dimensions(self, q: AQLQuery, cq: CompiledQuery) -> None:
         for d in q.dimensions:
-            cq.dimensions.append(self._compile_dimension(d, cq))
+            plan = self._compile_dimension(d, cq)
+            # aggregates have no meaning as group-by keys (the reference's
+            # dimension type resolution rejects them at parse)
+            bad = []
+
+            def _check(node):
+                if isinstance(node, E.Call) and                         node.name in E.AGGREGATE_CALLS:
+                    bad.append(node.name)
+
+            E.walk(plan.expr, _check)
+            if bad:
+                raise QueryError(
+                    f"aggregate function {bad[0]!r} not allowed in a "
+                    f"dimension: {d.expr!r}")
+            cq.dimensions.append(plan)
 
     def _compile_dimension(self, d: Dimension, cq: CompiledQuery) -> DimensionPlan:
         main = cq.main_schema

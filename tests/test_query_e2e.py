@@ -492,3 +492,17 @@ def test_compiler_validation_parity():
             "joins": [{"table": "cities", "alias": "c",
                        "conditions": ["c.id = city_id"]}],
             "timeFilter": {"column": "c.id", "from": "24 hours ago"}}))
+
+
+def test_aggregate_in_dimension_rejected():
+    from aresdb_tpu.query.aql import AQLQuery
+    from aresdb_tpu.query.compiler import Compiler, QueryError
+    import pytest as _pt
+
+    store = FakeMemStore()
+    store.create(TRIPS_SCHEMA)
+    comp = Compiler(store.get_schemas())
+    with _pt.raises(QueryError, match="not allowed in a dimension"):
+        comp.compile(AQLQuery.from_json({
+            "table": "trips", "measures": [{"sqlExpression": "count(*)"}],
+            "dimensions": [{"sqlExpression": "sum(fare)"}]}))
