@@ -64,11 +64,11 @@ def make_sharded_agg_kernel(plan: CompiledQuery, rows_per_device: int,
     """
     n_dev = mesh.devices.size
 
-    def per_shard(columns, foreign, n_valid):
+    def per_shard(columns, foreign, n_valid, live_cutoff):
         # n_valid: int32[1] rows valid in THIS shard
         (gkeys, _, slot_used, aggv, cnt, n_groups, dim_values, dim_valids) = \
             K.agg_batch_body(plan, rows_per_device, k_groups,
-                             columns, foreign, n_valid[0], None)
+                             columns, foreign, n_valid[0], live_cutoff)
         # gather partial tables from all chips over ICI
         all_keys = jax.lax.all_gather(gkeys, SHARD_AXIS).reshape(-1)
         all_agg = jax.lax.all_gather(aggv, SHARD_AXIS).reshape(-1)
@@ -104,18 +104,20 @@ def make_sharded_agg_kernel(plan: CompiledQuery, rows_per_device: int,
 
     col_spec = jax.tree_util.tree_map(lambda _: P(SHARD_AXIS), {})
 
-    def fn(columns, foreign, n_valid):
+    def fn(columns, foreign, n_valid, live_cutoff):
         # columns: {key: (values[n_dev*rows], valid[n_dev*rows])}
         in_specs = (
             jax.tree_util.tree_map(lambda _: P(SHARD_AXIS), columns),
             jax.tree_util.tree_map(lambda _: P(), foreign),
             P(SHARD_AXIS),
+            P(),
         )
         out_specs = (P(), P(), P(), P(), P(),
                      tuple(P() for _ in plan.dimensions),
                      tuple(P() for _ in plan.dimensions))
         return _shard_map(per_shard, mesh=mesh, in_specs=in_specs,
-                          out_specs=out_specs)(columns, foreign, n_valid)
+                          out_specs=out_specs)(columns, foreign, n_valid,
+                                               live_cutoff)
 
     return jax.jit(fn)
 

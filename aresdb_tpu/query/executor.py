@@ -677,9 +677,15 @@ class ShardExecutor:
 
         if os.environ.get("ARES_MESH") == "1" and not plan._exec_geo_cols and \
                 not any(len(v) == 4 for v in batch_cols.values()):
-            if self._run_mesh_batch(plan, columns, foreign_idx, n_valid,
-                                    n_padded, table, live_cutoff):
-                return
+            try:
+                if self._run_mesh_batch(plan, columns, foreign_idx, n_valid,
+                                        n_padded, table, live_cutoff):
+                    return
+            except Exception:
+                # any mesh ineligibility (odd shapes, tz lanes, version
+                # quirks) falls back to the single-chip path — mesh mode
+                # must never change results or fail a query
+                pass
 
         # fast path: dense slot aggregation when every dim is bounded
         dense_plan = plan_dense(plan, batch_stats)
@@ -805,7 +811,8 @@ class ShardExecutor:
             fn = sharded.make_sharded_agg_kernel(
                 plan, rows_per_device, k_groups, mesh)
             self.kernel_cache._cache[cache_key] = fn
-        out = fn(cols_sharded, foreign_repl, n_valid_per)
+        out = fn(cols_sharded, foreign_repl, n_valid_per,
+                 jnp.int64(live_cutoff))
         (gkeys, slot_used, aggv, cnt, n_groups, dim_values, dim_valids) = \
             jax.device_get(out)
         if int(n_groups) > k_groups:

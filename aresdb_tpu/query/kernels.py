@@ -798,6 +798,11 @@ def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
     n_live_groups = jnp.sum(first & live).astype(jnp.int32)
     slot_used = (jnp.arange(k_groups, dtype=jnp.int32) < n_live_groups) & \
         (gkeys != SENTINEL64)
+    # unused slots would otherwise repeat a REAL key (the clipped boundary
+    # gather lands on the last row): when partial tables are merged again
+    # (mesh all_gather, cross-batch reduce), such ghosts can be picked as
+    # group representatives and corrupt dim validity — sentinel them out
+    gkeys = jnp.where(slot_used, gkeys, SENTINEL64)
     n_groups = n_live_groups
 
     dim_values = []
@@ -933,6 +938,8 @@ def make_hll_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
         gkeys = skeys[start_pos]
         n_live_groups = jnp.sum(first & live).astype(jnp.int32)
         slot_used = (jnp.arange(k_groups, dtype=jnp.int32) < n_live_groups)
+        gkeys = jnp.where(slot_used & (gkeys != SENTINEL64), gkeys,
+                          SENTINEL64)
 
         dim_values = []
         dim_valids = []

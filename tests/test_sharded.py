@@ -45,7 +45,7 @@ def test_sharded_agg_matches_single_chip():
         jnp.asarray(sharded.per_shard_valid(total, 8, rows_per_device)),
         row_sharding)
     fn = sharded.make_sharded_agg_kernel(plan, rows_per_device, k_groups, mesh)
-    out = fn(columns, (), n_valid)
+    out = fn(columns, (), n_valid, jnp.int64(0))
     keys = np.asarray(out[0])
     used = np.asarray(out[1])
     agg = np.asarray(out[2])
