@@ -524,10 +524,12 @@ class ShardExecutor:
         return cols, n_rows, n_padded, stats
 
     def _stage_foreign_tables(self, plan: CompiledQuery):
-        """Stage each joined dimension table: sorted key index + used columns.
+        """Stage each joined dimension table for the device probe.
 
         Replaces the reference's device cuckoo probe (query/hash_lookup.cu)
-        with a host argsort + device searchsorted (kernels._EvalCtx.foreign_row).
+        with either a dense key→row lookup table (small integer key
+        domains: one device gather) or a host argsort + device
+        searchsorted (kernels._EvalCtx.foreign_row).
         """
         staged = []
         for ft in plan.foreign_tables:

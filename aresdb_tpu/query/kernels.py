@@ -12,7 +12,7 @@ group-by runs as sort + segment-reduce over **static** shapes:
                                           splitmix64 hash, mirroring the
                                           reference's 64-bit murmur group-by
                                           in query/sort_reduce.cu:117)
-         --sort--> argsort(keys)         (XLA sort, MXU-adjacent throughput)
+         --sort--> multi-operand lax.sort (keys + measure lanes co-sorted)
          --segment-reduce--> fixed-capacity group table (K slots + overflow)
 
 Selection is mask-carrying (no index compaction): filtered rows get the
