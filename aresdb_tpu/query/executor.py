@@ -344,17 +344,26 @@ class ShardExecutor:
         live = shard.live_store
         used = plan.used_columns
         schema = plan.main_schema
-        # cutoff of the archive version consistent with this query's view;
-        # live rows below it are already archived (liveCustomFilter)
+        # snapshot LIVE first, then take the archive version ONCE: this
+        # ordering is correct under a concurrent archiving swap in every
+        # interleaving — the snapshot keeps pre-purge live batches alive,
+        # and whichever version we then observe either excludes the moved
+        # rows (old cutoff, no archive copy) or filters the live copies
+        # via its cutoff while the archive copy is scanned once. Reading
+        # the cutoff and batch list from DIFFERENT version objects, or
+        # reading the version before the live snapshot, double- or
+        # under-counts mid-archive (caught by driving aresd while its
+        # scheduler archived concurrently).
+        with live.lock:
+            snapshots = live.snapshot_columns(used)
+        version = None
         live_cutoff = 0
         if schema.table.is_fact_table:
-            live_cutoff = shard.archive_store.get_current_version(
-                ).archiving_cutoff
+            version = shard.archive_store.get_current_version()
+            live_cutoff = version.archiving_cutoff
 
         # live batches (skip by time column min/max like shouldSkipLiveBatch,
         # reference aql_processor.go:1435)
-        with live.lock:
-            snapshots = live.snapshot_columns(used)
         for batch_id, n, batch in snapshots:
             if plan.time_column_id >= 0 and (plan.from_ts or plan.to_ts):
                 vp = batch.column(plan.time_column_id)
@@ -371,7 +380,6 @@ class ShardExecutor:
 
         # archive batches (fact tables): day-ranged by the time filter
         if schema.table.is_fact_table:
-            version = shard.archive_store.get_current_version()
             day_ids = version.get_batch_ids_for_range(
                 plan.from_ts or 0, plan.to_ts or 0)
             for day in day_ids:
