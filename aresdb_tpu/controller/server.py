@@ -152,6 +152,18 @@ class PlacementHandler(_Base):
         self.guard(run)
 
 
+class PlacementReplaceHandler(_Base):
+    """Elastic instance replacement (reference: m3 placement replace —
+    the leaving instance keeps serving as a Leaving bootstrap source
+    until the joiner marks its shards Available)."""
+
+    def post(self, ns: str, kind: str):
+        b = self.body()
+        self.guard(lambda: (self.state.replace_instance(
+            ns, kind, b["leaving"], b["joining"]),
+            self.write_json({"message": "replacing"}))[-1])
+
+
 class PlacementAvailableHandler(_Base):
     def post(self, ns: str, kind: str, instance: str):
         b = self.body()
@@ -223,6 +235,7 @@ def make_app(state: ControllerState) -> tornado.web.Application:
         (r"/membership/([^/]+)/instances", MembershipHandler, a),
         (r"/membership/([^/]+)/instances/([^/]+)", HeartbeatHandler, a),
         (r"/placement/([^/]+)/([^/]+)", PlacementHandler, a),
+        (r"/placement/([^/]+)/([^/]+)/replace", PlacementReplaceHandler, a),
         (r"/placement/([^/]+)/([^/]+)/([^/]+)/available",
          PlacementAvailableHandler, a),
         (r"/assignment/([^/]+)/jobs", JobsHandler, a),

@@ -247,8 +247,10 @@ def test_shard_migration_peer_bootstrap(cluster, tmp_path):
             f"{base}/membership/{NS}/instances",
             json={"name": "dn2", "host": "localhost", "port": dn2.port})
         requests.post(f"{base}/placement/{NS}/datanode")  # no-op GET-ish
-        # replace dn0 with dn2 in the placement
-        ctrl.state.replace_instance(NS, "datanode", "dn0", "dn2")
+        # replace dn0 with dn2 in the placement (over the API)
+        r = requests.post(f"{base}/placement/{NS}/datanode/replace",
+                          json={"leaving": "dn0", "joining": "dn2"})
+        assert r.status_code == 200, r.text
 
         deadline = time.time() + 20
         while time.time() < deadline:

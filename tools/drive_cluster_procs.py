@@ -99,14 +99,37 @@ try:
           "ok:", abs(got - exp_sum) < 0.5, flush=True)
     assert abs(got - exp_sum) < 0.5
 
-    # kill one datanode: broker must keep serving the surviving shards
-    procs[1].send_signal(signal.SIGKILL); procs[1].wait()
+    # elastic replacement: dn2 joins, peer-copies dn1's shards, dn1 leaves
+    spawn("aresdb_tpu.cmd.aresd", "--port", "9483",
+          "--root-path", tempfile.mkdtemp(), "--controller", "localhost:9471",
+          "--namespace", "prod", "--instance", "dn2")
+    wait_http("http://localhost:9483/health")
+    rr = requests.post(f"{base}/placement/prod/datanode/replace",
+                       json={"leaving": "dn1", "joining": "dn2"})
+    assert rr.status_code == 200, rr.text
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        p2 = requests.get(f"{base}/placement/prod/datanode").json()
+        dn2_states = [sd["instances"].get("dn2") for sd in p2["shards"]
+                      if "dn2" in sd["instances"]]
+        if len(dn2_states) == 2 and all(s == "Available" for s in dn2_states):
+            break
+        time.sleep(0.5)
+    else:
+        raise RuntimeError(f"dn2 never became available: {p2}")
+    print("dn2 available; placement:",
+          [(sd["shardId"], sd["instances"]) for sd in p2["shards"]], flush=True)
+    # dn1 should be dropped from the placement once dn2 is Available
+    assert not any("dn1" in sd["instances"] for sd in p2["shards"]), p2
+    procs[2].send_signal(signal.SIGKILL); procs[2].wait()   # dn1 process
     time.sleep(6)
     r = requests.post("http://localhost:9491/query/aql", json={"queries": [{
         "table": "trips", "measures": [{"sqlExpression": "count(*)"}],
         "now": NOW}]}).json()
-    print("after killing dn0:", r.get("errors") or r["results"][0], flush=True)
-    print("real-process cluster drive OK", flush=True)
+    print("after migration + dn1 kill:", r.get("errors") or r["results"][0],
+          "expect", float(total), flush=True)
+    assert r["results"][0][""] == float(total)
+    print("real-process cluster drive OK (incl. elastic replacement)", flush=True)
 finally:
     for p in procs:
         if p.poll() is None:
