@@ -258,6 +258,10 @@ class ShardExecutor:
         # 33M rows of host memory per query costs ~100ms+; columns are
         # immutable at a given mutation version so stats memoize exactly
         self._stat_memo: Dict[tuple, tuple] = {}
+        # staged foreign tables keyed on their live batches' (uid, version):
+        # re-staging a dim table per query costs several host→device
+        # transfers (~30ms each through a remote tunnel)
+        self._foreign_cache: Dict[tuple, tuple] = {}
 
     # -- public --
 
@@ -545,6 +549,17 @@ class ShardExecutor:
             live = shard.live_store
             with live.lock:
                 snaps = live.snapshot_columns(ft.used_columns)
+            ckey_parts = [ft.schema.table.name, tuple(ft.used_columns)]
+            for _, n, batch in snaps:
+                for cid in ft.used_columns:
+                    vp = batch.column(cid)
+                    ckey_parts.append((cid, n, getattr(vp, "uid", None),
+                                       getattr(vp, "version", 0)))
+            ckey = tuple(ckey_parts)
+            hit = self._foreign_cache.get(ckey)
+            if hit is not None:
+                staged.append(hit)
+                continue
             # concatenate visible rows of all live batches
             parts: Dict[int, list] = {cid: [] for cid in ft.used_columns}
             valid_parts: Dict[int, list] = {cid: [] for cid in ft.used_columns}
@@ -570,8 +585,10 @@ class ShardExecutor:
                 for cid in ft.used_columns:
                     col_schema = ft.schema.table.columns[cid]
                     columns[(0, cid)] = _default_column(col_schema, 1)
-                staged.append(((jnp.asarray(key_sorted), jnp.asarray(perm)),
-                               columns))
+                entry = ((jnp.asarray(key_sorted), jnp.asarray(perm)),
+                         columns)
+                self._remember_foreign(ckey, entry)
+                staged.append(entry)
                 continue
             key_cid = ft.foreign_key_column
             keys = np.concatenate(parts[key_cid]).astype(np.int64)
@@ -592,15 +609,23 @@ class ShardExecutor:
                 # reversed write: first occurrence wins (PKs are unique, but
                 # keep parity with the sorted path's first-match semantics)
                 lut[vk[::-1]] = rows_idx[::-1]
-                staged.append(((jnp.asarray(lut),), columns))
+                entry = ((jnp.asarray(lut),), columns)
+                self._remember_foreign(ckey, entry)
+                staged.append(entry)
                 continue
             # general path: invalid keys sort to the end and can never match
             keys = np.where(keys_valid, keys, np.iinfo(np.int64).max)
             perm = np.argsort(keys, kind="stable")
             key_sorted = keys[perm]
-            staged.append(((jnp.asarray(key_sorted), jnp.asarray(perm)),
-                           columns))
+            entry = ((jnp.asarray(key_sorted), jnp.asarray(perm)), columns)
+            self._remember_foreign(ckey, entry)
+            staged.append(entry)
         return staged
+
+    def _remember_foreign(self, ckey, entry) -> None:
+        if len(self._foreign_cache) > 128:
+            self._foreign_cache.clear()
+        self._foreign_cache[ckey] = entry
 
     FOREIGN_LUT_CAP = 1 << 22  # max dense key domain for the LUT join probe
 
