@@ -55,10 +55,26 @@ class ServerContext:
 
 class HealthHandler(_Base):
     def get(self):
+        if getattr(self.ctx, "health_off", False):
+            return self.write_error_json(503, "health check turned off")
         self.finish("OK")
 
     def head(self):
+        if getattr(self.ctx, "health_off", False):
+            return self.write_error_json(503, "health check turned off")
         self.finish()
+
+
+class HealthSwitchHandler(_Base):
+    """Drain support (reference: api/debug_handler.go HealthSwitch —
+    POST /health/{on|off} flips the liveness probe so load balancers
+    stop routing before a restart)."""
+
+    def post(self, on_or_off: str):
+        if on_or_off not in ("on", "off"):
+            return self.write_error_json(400, "use on or off")
+        self.ctx.health_off = on_or_off == "off"
+        self.write_json({"message": f"health {on_or_off}"})
 
 
 class AQLHandler(_Base):
@@ -264,6 +280,103 @@ class ShardDebugHandler(_Base):
                             for b, ab in version.batches.items()},
             },
         })
+
+
+class BatchInspectHandler(_Base):
+    """Batch / vector-party inspection (reference: debug_handler.go
+    ShowBatch + LoadVectorParty/EvictVectorParty)."""
+
+    def get(self, table: str, shard: str, batch: str, column: str = None):
+        try:
+            s = self.ctx.memstore.get_table_shard(table, int(shard))
+        except KeyError as e:
+            return self.write_error_json(404, str(e))
+        bid = int(batch)
+        schema = s.schema
+        if bid < 0:        # live batch
+            b = s.live_store.batches.get(bid)
+            if b is None:
+                return self.write_error_json(404, f"no live batch {bid}")
+            get_col = b.column
+            size = s.live_store.visible_rows_in_batch(bid)
+        else:              # archive day batch
+            version = s.archive_store.get_current_version()
+            ab = version.batches.get(bid)
+            if ab is None:
+                return self.write_error_json(404, f"no archive batch {bid}")
+            get_col = ab.request_column
+            size = ab.size
+        if column is None:
+            cols = {}
+            for cid, cs in enumerate(schema.table.columns):
+                vp = get_col(cid)
+                if vp is None:
+                    continue
+                cols[cs.name] = {
+                    "dataType": f"0x{cs.data_type:06x}",
+                    "bytes": getattr(vp, "bytes_estimate", lambda: 0)(),
+                    "compressed": bool(getattr(vp, "is_compressed", False)),
+                }
+            return self.write_json({"batch": bid, "rows": size,
+                                    "columns": cols})
+        cid = schema.column_ids.get(column)
+        if cid is None:
+            return self.write_error_json(404, f"unknown column {column!r}")
+        vp = get_col(cid)
+        if vp is None:
+            return self.write_json({"column": column, "allDefault": True})
+        n = min(size, 20)
+        sample = [vp.read_value(i) for i in range(n)]
+        self.write_json({"column": column, "rows": size,
+                         "bytes": getattr(vp, "bytes_estimate", lambda: 0)(),
+                         "sample": [None if v is None else str(v)
+                                    for v in sample]})
+
+    def delete(self, table: str, shard: str, batch: str, column: str = None):
+        """Evict an archive column from host memory (lazy-reloads)."""
+        try:
+            s = self.ctx.memstore.get_table_shard(table, int(shard))
+        except KeyError as e:
+            return self.write_error_json(404, str(e))
+        bid = int(batch)
+        if bid < 0 or column is None:
+            return self.write_error_json(400, "evict needs an archive batch "
+                                              "and a column")
+        cid = s.schema.column_ids.get(column)
+        if cid is None:
+            return self.write_error_json(404, f"unknown column {column!r}")
+        version = s.archive_store.get_current_version()
+        ab = version.batches.get(bid)
+        if ab is None:
+            return self.write_error_json(404, f"no archive batch {bid}")
+        ab.evict_column(cid)
+        self.write_json({"message": f"evicted {column} of batch {bid}"})
+
+
+class BackfillQueueHandler(_Base):
+    """Peek the backfill queue (reference: debug_handler.go
+    ReadBackfillQueueUpsertBatch)."""
+
+    def get(self, table: str, shard: str, offset: str):
+        try:
+            s = self.ctx.memstore.get_table_shard(table, int(shard))
+        except KeyError as e:
+            return self.write_error_json(404, str(e))
+        bm = s.backfill_manager
+        if bm is None:
+            return self.write_error_json(404, "no backfill manager")
+        i = int(offset)
+        with bm.lock:
+            queue = list(bm.queue)
+        if i >= len(queue):
+            return self.write_error_json(404,
+                                         f"offset {i} >= {len(queue)}")
+        entry = queue[i]
+        batch = entry[0] if isinstance(entry, tuple) else entry
+        self.write_json({
+            "offset": i, "queued": len(queue),
+            "numRows": batch.num_rows,
+            "columns": [c.column_id for c in batch.columns]})
 
 
 class PrimaryKeyLookupHandler(_Base):
@@ -623,6 +736,15 @@ def _openapi_spec() -> dict:
                 "look up a primary key (?key=v1,v2)")},
             "/dbg/profiler/{action}": {"post": op(
                 "start|stop an XLA profiler trace")},
+            "/health/{onOrOff}": {"post": op(
+                "drain switch for the liveness probe")},
+            "/dbg/{table}/{shard}/batches/{batch}": {"get": op(
+                "inspect a live or archive batch")},
+            "/dbg/{table}/{shard}/batches/{batch}/vector-parties/{column}":
+                {"get": op("sample a column's values"),
+                 "delete": op("evict an archive column from host memory")},
+            "/dbg/{table}/{shard}/backfill-queue/{offset}": {"get": op(
+                "peek a queued backfill upsert batch")},
             "/peer/{table}/{shard}/metadata": {"get": op(
                 "peer bootstrap: shard metadata")},
         },
@@ -723,6 +845,7 @@ def make_app(ctx: ServerContext) -> tornado.web.Application:
     a = {"ctx": ctx}
     return tornado.web.Application([
         (r"/health", HealthHandler, a),
+        (r"/health/(on|off)", HealthSwitchHandler, a),
         (r"/query/aql", AQLHandler, a),
         (r"/query/sql", SQLHandler, a),
         (r"/data/([^/]+)/(\d+)", DataHandler, a),
@@ -738,6 +861,11 @@ def make_app(ctx: ServerContext) -> tornado.web.Application:
          JobTriggerHandler, a),
         (r"/dbg/([^/]+)/(\d+)/redologs/?(.*)", RedologBrowserHandler, a),
         (r"/dbg/([^/]+)/(\d+)/primary-keys", PrimaryKeyLookupHandler, a),
+        (r"/dbg/([^/]+)/(\d+)/batches/(-?\d+)", BatchInspectHandler, a),
+        (r"/dbg/([^/]+)/(\d+)/batches/(-?\d+)/vector-parties/([^/]+)",
+         BatchInspectHandler, a),
+        (r"/dbg/([^/]+)/(\d+)/backfill-queue/(\d+)",
+         BackfillQueueHandler, a),
         (r"/dbg/device-cache", DeviceCacheDebugHandler, a),
         (r"/dbg/profiler/(start|stop)", ProfilerHandler, a),
         (r"/dbg/?", DebugUIHandler, a),

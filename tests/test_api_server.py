@@ -205,3 +205,28 @@ def test_openapi_spec(base):
     assert spec["openapi"].startswith("3.")
     assert "/query/aql" in spec["paths"]
     assert "post" in spec["paths"]["/data/{table}/{shard}"]
+
+
+def test_batch_inspection_and_health_switch(base):
+    r = requests.get(f"{base}/dbg/shards")
+    # live batch ids are negative
+    r = requests.get(f"{base}/dbg/trips/0/batches/-2147483648")
+    body = r.json()
+    assert r.status_code == 200 and body["rows"] > 0 and body["columns"]
+    col = next(iter(body["columns"]))
+    r = requests.get(
+        f"{base}/dbg/trips/0/batches/-2147483648/vector-parties/{col}")
+    assert r.status_code == 200 and len(r.json()["sample"]) > 0
+    r = requests.get(f"{base}/dbg/trips/0/batches/999")
+    assert r.status_code == 404
+
+    # backfill queue peek (empty)
+    r = requests.get(f"{base}/dbg/trips/0/backfill-queue/0")
+    assert r.status_code == 404
+
+    # health switch drains the probe
+    assert requests.get(f"{base}/health").status_code == 200
+    requests.post(f"{base}/health/off")
+    assert requests.get(f"{base}/health").status_code == 503
+    requests.post(f"{base}/health/on")
+    assert requests.get(f"{base}/health").status_code == 200
