@@ -121,15 +121,22 @@ class Connector:
             cid = col_ids[name]
             b.add_column(cid, table.columns[cid].data_type, mode)
 
-        # pre-translate enum columns (batch the dictionary extensions)
+        # pre-translate enum columns (batch the dictionary extensions);
+        # array-of-enum columns translate per item
         enum_cols = {}
         for ci, name in enumerate(column_names):
             col = table.columns[col_ids[name]]
-            if col.type in ("SmallEnum", "BigEnum"):
+            if col.is_enum_column():
                 enum_cols[ci] = col
 
         for ci, col in enum_cols.items():
-            values = {str(r[ci]) for r in rows if r[ci] is not None}
+            values = set()
+            for r in rows:
+                v = r[ci]
+                if v is None:
+                    continue
+                items = v if col.is_array else [v]
+                values.update(str(x) for x in items if x is not None)
             if col.case_insensitive:
                 values = {v.lower() for v in values}
             known = self.schema.enum_dict(table_name, col.name)
@@ -198,17 +205,33 @@ class Connector:
     def _convert(self, table_name: str, col, value: Any):
         if col.hll_config.is_hll_column:
             return _compute_hll_value(col.data_type, value)
-        if col.type in ("SmallEnum", "BigEnum"):
-            s = str(value)
-            if col.case_insensitive:
-                s = s.lower()
-            d = self.schema.enum_dict(table_name, col.name)
-            rank = d.get(s)
-            if rank is None:
-                # unseen + disableAutoExpand → default rank 0
-                return 0
-            return rank
+        if col.is_array:
+            if value is None:
+                return None
+            item_dt = dt.item_type(col.data_type)
+            out = []
+            for item in value:
+                if item is None:
+                    out.append(None)
+                elif col.is_enum_column():
+                    out.append(self._enum_rank(table_name, col, item))
+                else:
+                    out.append(dt.parse_value(item, item_dt))
+            return out
+        if col.is_enum_column():
+            return self._enum_rank(table_name, col, value)
         return dt.parse_value(value, col.data_type)
+
+    def _enum_rank(self, table_name: str, col, value: Any) -> int:
+        s = str(value)
+        if col.case_insensitive:
+            s = s.lower()
+        d = self.schema.enum_dict(table_name, col.name)
+        rank = d.get(s)
+        if rank is None:
+            # unseen + disableAutoExpand → default rank 0
+            return 0
+        return rank
 
     # ------------------------------------------------------------------
 

@@ -96,7 +96,11 @@ _VALID_TYPES = frozenset(DATA_TYPE_NAME) - {Unknown}
 
 
 def data_type_from_string(name: str) -> int:
-    """Parse a schema type name ('Uint32', 'ArrayInt8', ...)."""
+    """Parse a schema type name: 'Uint32', 'ArrayInt8', or the reference's
+    suffix form 'Int8[]' (memstore/common/data_type.go DataTypeFromString
+    accepts both spellings in schema JSON)."""
+    if name.endswith("[]"):
+        name = "Array" + name[:-2]
     try:
         return NAME_TO_DATA_TYPE[name]
     except KeyError:

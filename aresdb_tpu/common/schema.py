@@ -60,7 +60,22 @@ class Column:
         return dt.data_type_from_string(self.type)
 
     def is_enum_column(self) -> bool:
-        return self.type in ("SmallEnum", "BigEnum")
+        return self.base_type_name in ("SmallEnum", "BigEnum")
+
+    @property
+    def base_type_name(self) -> str:
+        """Type name with any array suffix stripped ('SmallEnum[]' /
+        'ArraySmallEnum' → 'SmallEnum')."""
+        t = self.type
+        if t.endswith("[]"):
+            return t[:-2]
+        if t.startswith("Array"):
+            return t[len("Array"):]
+        return t
+
+    @property
+    def is_array(self) -> bool:
+        return self.type.endswith("[]") or self.type.startswith("Array")
 
     def to_json(self) -> Dict[str, Any]:
         out: Dict[str, Any] = {"name": self.name, "type": self.type}

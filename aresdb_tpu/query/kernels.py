@@ -46,7 +46,6 @@ SENTINEL64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 # aggregation identities (match reference get_identity_value)
 _F32_MAX = np.float32(np.finfo(np.float32).max)
-_I64_MAX = np.int64(np.iinfo(np.int64).max)
 
 
 # ---------------------------------------------------------------------------

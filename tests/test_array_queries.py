@@ -123,3 +123,21 @@ def test_bare_array_column_rejected(service):
         "measures": [{"sqlExpression": "sum(tags)"}],
         "now": NOW}]})
     assert resp["errors"][0]
+
+
+def test_reference_integration_array_queries():
+    """The reference's integration array queries (integration/test-data)
+    run verbatim against generator-rule data and match a host oracle.
+    Also covers 'Type[]' schema spellings and array-of-enum ingestion."""
+    import json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/drive_arraytest.py"],
+        capture_output=True, text=True, timeout=500,
+        cwd=__import__("os").path.dirname(__import__("os").path.dirname(
+            __import__("os").path.abspath(__file__))))
+    out = r.stdout + r.stderr
+    assert r.returncode == 0, out[-800:]
+    assert out.count("match=True") == 3, out[-800:]
