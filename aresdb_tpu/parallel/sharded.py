@@ -105,9 +105,18 @@ def make_sharded_agg_kernel(plan: CompiledQuery, rows_per_device: int,
     col_spec = jax.tree_util.tree_map(lambda _: P(SHARD_AXIS), {})
 
     def fn(columns, foreign, n_valid, live_cutoff):
-        # columns: {key: (values[n_dev*rows], valid[n_dev*rows])}
+        # columns: {key: (values[n_dev*rows], valid[n_dev*rows])} — ONLY
+        # main-table entries (key[0] == 0) shard by rows; joined foreign
+        # columns are whole-table lookups and must stay replicated
+        # (sharding them silently corrupts the join when the table length
+        # happens to divide the mesh, and errors otherwise)
+        col_specs = {
+            k: jax.tree_util.tree_map(
+                lambda _: P(SHARD_AXIS) if k[0] == 0 else P(), v)
+            for k, v in columns.items()
+        }
         in_specs = (
-            jax.tree_util.tree_map(lambda _: P(SHARD_AXIS), columns),
+            col_specs,
             jax.tree_util.tree_map(lambda _: P(), foreign),
             P(SHARD_AXIS),
             P(),
