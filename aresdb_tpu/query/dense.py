@@ -46,6 +46,9 @@ class DimDomain:
     def decode(self, idx: np.ndarray) -> np.ndarray:
         if self.kind == "lookup":
             return self.values[np.clip(idx, 0, self.size - 1)]
+        if isinstance(self.step, float) or isinstance(self.base, float):
+            return (np.float32(self.base)
+                    + idx.astype(np.float32) * np.float32(self.step))
         v = self.base + idx.astype(np.int64) * self.step
         if self.post_div:
             return (v / self.post_div).astype(np.float32)
@@ -192,6 +195,24 @@ def dimension_domain(plan: CompiledQuery, dim: DimensionPlan,
             isinstance(ast.rhs, E.NumberLiteral):
         if ast.rhs.int_val <= DENSE_MAX_SLOTS:
             return DimDomain(size=ast.rhs.int_val)
+        return None
+
+    # numeric width bucketizer: floor(x/w)*w — affine float domain from
+    # the underlying column's batch (min, max) stats
+    if isinstance(ast, E.Call) and ast.name == "__numeric_bucket":
+        b = getattr(ast, "bucketizer", None)
+        if b is not None and b.bucket_width and stats is not None:
+            key = _underlying_column_key(ast.args[0])
+            st = stats.get(key) if key is not None else None
+            if st is not None:
+                import math
+
+                w = float(b.bucket_width)
+                lo = math.floor(float(st[0]) / w)
+                hi = math.floor(float(st[1]) / w)
+                size = hi - lo + 1
+                if 0 < size <= DENSE_MAX_SLOTS:
+                    return DimDomain(size=int(size), base=lo * w, step=w)
         return None
 
     if isinstance(ast, E.UnaryExpr) and ast.op.startswith("GET_"):

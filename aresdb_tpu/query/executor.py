@@ -339,6 +339,11 @@ class ShardExecutor:
                 key = _underlying_column_key(e.lhs)
                 if key is not None:
                     keys.add(key)
+            elif isinstance(e, _E.Call) and e.name == "__numeric_bucket":
+                from aresdb_tpu.query.dense import _underlying_column_key
+                key = _underlying_column_key(e.args[0])
+                if key is not None:
+                    keys.add(key)
         return keys
 
     # -- batch iteration + staging --
@@ -437,9 +442,9 @@ class ShardExecutor:
         key = (getattr(vp, "uid", None), getattr(vp, "version", 0), n_key)
         if key[0] is not None and key in self._stat_memo:
             return self._stat_memo[key]
-        if len(validity) and validity.any():
+        if len(validity) and validity.any() and values.ndim == 1:
             sel = values[validity]
-            out = (int(np.min(sel)), int(np.max(sel)))
+            out = (np.min(sel).item(), np.max(sel).item())
         else:
             out = None
         if key[0] is not None:

@@ -986,6 +986,14 @@ def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
                 idx = jnp.clip(jnp.searchsorted(table, v), 0, dom.size - 1)
                 in_range = table[idx] == v
                 idx = idx.astype(jnp.int32)
+            elif isinstance(dom.step, float) or isinstance(dom.base, float):
+                # float affine (numeric width buckets): values are exact
+                # f32 multiples of step, so rounding recovers the index
+                vf = v.astype(jnp.float32)
+                idxw = jnp.round((vf - jnp.float32(dom.base))
+                                 / jnp.float32(dom.step)).astype(jnp.int32)
+                in_range = (idxw >= 0) & (idxw < dom.size)
+                idx = jnp.clip(idxw, 0, dom.size - 1)
             else:
                 if dom.post_div:
                     # value was divided by post_div on the float path; recover
