@@ -82,6 +82,18 @@ class AQLHandler(_Base):
         self.ctx.metrics.count(M.QUERY_RECEIVED)
         body = self.json_body()
         loop = tornado.ioloop.IOLoop.current()
+        # Accept: application/hll → binary register pass-through
+        # (api/query_handler.go:76,382 HLLQueryResponseWriter)
+        if "application/hll" in self.request.headers.get("Accept", ""):
+            from aresdb_tpu.query import hll_wire as W
+
+            with self.ctx.metrics.timer(M.QUERY_LATENCY):
+                blob = await loop.run_in_executor(
+                    self.ctx.query_pool,
+                    self.ctx.query_service.handle_aql_hll, body)
+            self.ctx.metrics.count(M.QUERY_SUCCEEDED)
+            self.set_header("Content-Type", W.CONTENT_TYPE)
+            return self.finish(bytes(blob))
         with self.ctx.metrics.timer(M.QUERY_LATENCY):
             resp = await loop.run_in_executor(
                 self.ctx.query_pool,

@@ -10,7 +10,6 @@ broker/query_plan_non_agg.go (streaming limit push), result merge lattice
 
 from __future__ import annotations
 
-import base64
 import copy
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, List, Optional, Tuple
@@ -20,13 +19,24 @@ import requests
 
 from aresdb_tpu.cluster.topology import HealthTrackingTopology, TopologyView
 from aresdb_tpu.query import expr as E
-from aresdb_tpu.query import hll as H
+from aresdb_tpu.query import hll_wire as W
 
 RETRIES = 3
 
 
 class BrokerError(Exception):
     pass
+
+
+def _first_block(framed: bytes) -> bytes:
+    """First result payload of an HLLQueryResults response (skips the
+    magic+padding and the per-result 8-byte header)."""
+    import struct
+
+    if len(framed) < 16:
+        return b""
+    size = struct.unpack_from("<I", framed, 8)[0]
+    return framed[16:16 + size]
 
 
 def calculate_shard_assignment(view: TopologyView) -> Dict[str, Tuple]:
@@ -99,32 +109,18 @@ def merge_results(agg: str, results: List[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
-def merge_hll_results(results: List[Dict[str, Any]]) -> Dict[str, Any]:
-    """Merge base64-sparse HLL leaves, then estimate."""
+def merge_hll_results(scans: List[Tuple[Dict[str, Any],
+                                        List[W.HLLDimensionSpec]]]
+                      ) -> Tuple[Dict[str, Any], List[W.HLLDimensionSpec]]:
+    """Merge parsed binary HLLData trees by register max (reference
+    result_merge.go hllMergeFunc over HLL structs)."""
     merged: Dict[str, Any] = {}
-
-    def rec(dst, src):
-        for k, v in src.items():
-            if isinstance(v, dict) and "hll" not in v:
-                rec(dst.setdefault(k, {}), v)
-            else:
-                regs = H.decode_registers(base64.b64decode(v["hll"]))
-                if k in dst:
-                    dst[k] = H.merge_registers(dst[k], regs)
-                else:
-                    dst[k] = regs
-
-    def estimate(node):
-        for k, v in list(node.items()):
-            if isinstance(v, dict):
-                estimate(v)
-            else:
-                node[k] = H.compute_estimate(v)
-
-    for r in results:
-        rec(merged, r)
-    estimate(merged)
-    return merged
+    specs: List[W.HLLDimensionSpec] = []
+    for tree, meta in scans:
+        if meta:
+            specs = meta
+        W.merge_hll_trees(merged, tree)
+    return merged, specs
 
 
 class BrokerExecutor:
@@ -139,18 +135,37 @@ class BrokerExecutor:
     # -- datanode RPC --
 
     def _scan(self, host, shards: List[int], query: Dict[str, Any],
-              ctx_out: Optional[list] = None) -> Dict[str, Any]:
-        """One sub-query with retries + health marking (BlockingScanNode)."""
+              ctx_out: Optional[list] = None,
+              hll_binary: bool = False) -> Any:
+        """One sub-query with retries + health marking (BlockingScanNode).
+
+        hll_binary: request `application/hll` and return the parsed
+        (tree, dim_specs) pair (reference dataNodeQueryClient.QueryRaw +
+        ParseHLLQueryResults)."""
         sub = copy.deepcopy(query)
         sub["shards"] = shards
         last_err = None
+        headers = {"Accept": W.CONTENT_TYPE} if hll_binary else None
         for attempt in range(RETRIES):
             try:
                 r = self.session.post(
                     f"http://{host.address}/query/aql",
                     json={"queries": [sub], "verbose": ctx_out is not None},
-                    timeout=120)
+                    headers=headers, timeout=120)
                 r.raise_for_status()
+                if hll_binary:
+                    results, errors = W.parse_hll_query_results(r.content)
+                    if errors and errors[0]:
+                        raise BrokerError(errors[0])
+                    if not results:
+                        raise BrokerError("empty hll response")
+                    block_meta = W.parse_hll_block_meta(
+                        _first_block(r.content))
+                    self.topology.mark_healthy(host.name)
+                    if ctx_out is not None:
+                        ctx_out.append({"host": host.name, "shards": shards,
+                                        "stats": None})
+                    return results[0], block_meta
                 body = r.json()
                 errs = body.get("errors")
                 if errs and errs[0]:
@@ -161,14 +176,15 @@ class BrokerExecutor:
                         "host": host.name, "shards": shards,
                         "stats": (body.get("context") or [None])[0]})
                 return body["results"][0]
-            except (requests.RequestException, BrokerError) as e:
+            except (requests.RequestException, BrokerError, ValueError) as e:
                 last_err = e
                 self.topology.mark_unhealthy(host.name)
         raise BrokerError(
             f"datanode {host.address} failed after {RETRIES} tries: {last_err}")
 
     def _scatter(self, query: Dict[str, Any],
-                 ctx_out: Optional[list] = None) -> List[Dict[str, Any]]:
+                 ctx_out: Optional[list] = None,
+                 hll_binary: bool = False) -> List[Any]:
         view = self.topology.get()
         try:
             if not view.shards:
@@ -185,7 +201,8 @@ class BrokerExecutor:
                 raise BrokerError("empty topology")
             assignment = calculate_shard_assignment(view)
         futures = [
-            self.pool.submit(self._scan, host, shards, query, ctx_out)
+            self.pool.submit(self._scan, host, shards, query, ctx_out,
+                             hll_binary)
             for host, shards in assignment.values()
         ]
         return [f.result() for f in futures]
@@ -203,10 +220,22 @@ class BrokerExecutor:
         if agg == "avg":
             return self._execute_avg(query, ctx_out)
         if agg == "hll":
-            sub = copy.deepcopy(query)
-            sub["_hllData"] = True
-            return merge_hll_results(self._scatter(sub, ctx_out))
+            merged, _ = merge_hll_results(
+                self._scatter(query, ctx_out, hll_binary=True))
+            return W.compute_hll_result(merged)
         return merge_results(agg, self._scatter(query, ctx_out))
+
+    def execute_hll_binary(self, query: Dict[str, Any]) -> bytes:
+        """Broker-level `application/hll`: merge datanode registers and
+        re-serialize one HLLData block (reference broker result path via
+        BuildVectorsFromHLLResult, query/common/hll.go:1007)."""
+        agg = _agg_of(query)
+        if agg != "hll":
+            raise BrokerError("expect hll aggregate function when Accept "
+                              "is application/hll")
+        merged, specs = merge_hll_results(
+            self._scatter(query, None, hll_binary=True))
+        return W.serialize_from_tree(merged, specs)
 
     def _execute_avg(self, query: Dict[str, Any],
                      ctx_out: Optional[list] = None) -> Dict[str, Any]:

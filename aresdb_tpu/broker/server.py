@@ -58,6 +58,22 @@ class _Base(tornado.web.RequestHandler):
 class BrokerAQLHandler(_Base):
     async def post(self):
         body = self.body()
+        if "application/hll" in self.request.headers.get("Accept", ""):
+            # binary register pass-through (reference broker handles
+            # application/hll end-to-end; broker/query_compiler.go:305)
+            from aresdb_tpu.query import hll_wire as W
+
+            loop = tornado.ioloop.IOLoop.current()
+            out = W.HLLQueryResults()
+            for q in body.get("queries", []):
+                try:
+                    block = await loop.run_in_executor(
+                        self.pool, self.executor.execute_hll_binary, q)
+                    out.write_result(block)
+                except (BrokerError, ValueError, KeyError) as e:
+                    out.write_error(str(e))
+            self.set_header("Content-Type", W.CONTENT_TYPE)
+            return self.finish(out.get_bytes())
         resp = await self._run_queries(
             body.get("queries", []),
             verbose=bool(body.get("verbose") or body.get("debug")))

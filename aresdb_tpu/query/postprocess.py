@@ -94,14 +94,12 @@ def _measure_value(plan: CompiledQuery, agg_value, count: int) -> Optional[float
     return float(agg_value)
 
 
-def build_agg_result(plan: CompiledQuery, table,
-                     hll_data: bool = False) -> Dict[str, Any]:
+def build_agg_result(plan: CompiledQuery, table) -> Dict[str, Any]:
     """GroupTable → nested time-series result (AQLQueryResult.Set parity).
 
-    hll_data: distributed data-only mode — HLL leaves carry base64 sparse
-    registers for the broker to merge (stands in for the reference's
-    0xACED0101 binary HLLData pass-through, query/hll.go SerializeHLL).
-    """
+    HLL leaves are estimated here; the binary register pass-through for the
+    broker / application/hll clients lives in hll_wire.serialize_result_table
+    (reference query/hll.go SerializeHLL)."""
     result: Dict[str, Any] = {}
     n_dims = len(plan.dimensions)
     # memoize per-dimension formatting: group counts are typically much
@@ -124,13 +122,7 @@ def build_agg_result(plan: CompiledQuery, table,
 
     for key, (dims, dim_valids, agg, cnt) in table.groups.items():
         dim_strs = [fmt(i, dims[i], dim_valids[i]) for i in range(n_dims)]
-        if hll_data and plan.measure.agg == "hll":
-            import base64
-            from aresdb_tpu.query import hll as H
-            measure = {"hll": base64.b64encode(
-                H.encode_sparse(np.asarray(agg))).decode()}
-        else:
-            measure = _measure_value(plan, agg, cnt)
+        measure = _measure_value(plan, agg, cnt)
         if n_dims == 0:
             # no dimensions: single-value result under implicit empty key
             result[""] = measure

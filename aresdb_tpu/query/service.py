@@ -28,11 +28,9 @@ class QueryService:
         contexts: List[Any] = []
         verbose = bool(request.get("verbose") or request.get("debug"))
         for qd in request.get("queries", []):
-            hll_data = bool(qd.pop("_hllData", False)) if isinstance(qd, dict) \
-                else False
             try:
                 q = AQLQuery.from_json(qd)
-                result, plan = self._run(q, hll_data=hll_data)
+                result, plan = self._run(q)
                 results.append(result)
                 errors.append(None)
                 contexts.append(plan.stats)
@@ -47,6 +45,30 @@ class QueryService:
         if verbose:
             resp["context"] = contexts
         return resp
+
+    def handle_aql_hll(self, request: Dict[str, Any]) -> bytes:
+        """Process an AQLRequest with `Accept: application/hll` — binary
+        HLLQueryResults framing (api/query_handler.go:382
+        HLLQueryResponseWriter; every query must be an HLL query,
+        broker/query_compiler.go:305)."""
+        from aresdb_tpu.query import hll_wire as W
+
+        out = W.HLLQueryResults()
+        for qd in request.get("queries", []):
+            try:
+                q = AQLQuery.from_json(qd)
+                compiler = Compiler(self.memstore.get_schemas(),
+                                    timezone_table=self.timezone_table)
+                plan = compiler.compile(q)
+                if plan.is_non_agg or plan.measure.agg != "hll":
+                    raise QueryError(
+                        "expect hll aggregate function when Accept is "
+                        "application/hll")
+                table, _ = self.executor.execute(plan)
+                out.write_result(W.serialize_result_table(plan, table))
+            except (QueryError, KeyError, ValueError) as e:
+                out.write_error(str(e))
+        return out.get_bytes()
 
     def handle_sql(self, request: Dict[str, Any]) -> Dict[str, Any]:
         """Process {"queries": ["SELECT ..."]} (reference: /query/sql)."""
@@ -68,11 +90,10 @@ class QueryService:
             resp["errors"] = errors
         return resp
 
-    def handle_query(self, q: AQLQuery, hll_data: bool = False
-                     ) -> Dict[str, Any]:
-        return self._run(q, hll_data=hll_data)[0]
+    def handle_query(self, q: AQLQuery) -> Dict[str, Any]:
+        return self._run(q)[0]
 
-    def _run(self, q: AQLQuery, hll_data: bool = False):
+    def _run(self, q: AQLQuery):
         import time as _time
 
         compiler = Compiler(self.memstore.get_schemas(),
@@ -86,6 +107,6 @@ class QueryService:
         if plan.is_non_agg:
             result = build_non_agg_result(plan, rows)
         else:
-            result = build_agg_result(plan, table, hll_data=hll_data)
+            result = build_agg_result(plan, table)
         plan.stats["postprocess"] = _time.perf_counter() - t0
         return result, plan

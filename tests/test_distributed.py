@@ -308,6 +308,34 @@ def test_broker_hll_merge(cluster):
         assert "errors" not in resp, resp.get("errors")
         # 40 distinct city ids ingested across 4 shards (overlapping)
         assert resp["results"][0][""] == pytest.approx(40, abs=2)
+
+        # binary pass-through: Accept: application/hll on the broker returns
+        # a merged HLLData block byte-parseable by the client
+        from aresdb_tpu.client.query import QueryClient
+        qc = QueryClient(f"localhost:{bport}")
+        q = {"table": "trips",
+             "measures": [{"sqlExpression": "countdistincthll(city_id)"}],
+             "now": NOW}
+        raw, errs = qc.query_hll([q], compute=False)
+        assert errs == [None]
+        from aresdb_tpu.query import hll_wire as W
+        assert isinstance(raw[0][""], W.HLL)
+        est, errs = qc.query_hll([q])
+        assert est[0][""] == resp["results"][0][""]
+
+        # non-hll query under application/hll must error per query
+        bad = dict(q, measures=[{"sqlExpression": "count(*)"}])
+        res2, errs2 = qc.query_hll([bad, q])
+        assert errs2[0] and "hll" in errs2[0]
+        assert res2[0] is None and res2[1][""] == est[0][""]
+
+        # datanode-direct binary response parses too
+        view2 = topo.refresh()
+        host = view2.available_hosts(view2.shard_ids()[0])[0]
+        dq = QueryClient(host.address)
+        dres, derrs = dq.query_hll([dict(q, shards=[view2.shard_ids()[0]])],
+                                   compute=False)
+        assert derrs == [None] and isinstance(dres[0][""], W.HLL)
     finally:
         broker.stop()
 
