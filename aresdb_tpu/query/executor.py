@@ -720,12 +720,20 @@ class ShardExecutor:
             try:
                 if self._run_mesh_batch(plan, columns, foreign_idx, n_valid,
                                         n_padded, table, live_cutoff):
+                    M.root().count("query.mesh_batches")
                     return
+                M.root().count("query.mesh_ineligible_batches")
             except Exception:
-                # any mesh ineligibility (odd shapes, tz lanes, version
-                # quirks) falls back to the single-chip path — mesh mode
-                # must never change results or fail a query
-                pass
+                # an unexpected mesh failure falls back to the single-chip
+                # path — mesh mode must never fail a query — but it is a
+                # bug to investigate, so log + meter it loudly rather than
+                # silently degrading to single-chip forever
+                import logging
+
+                M.root().count("query.mesh_fallback_batches")
+                logging.getLogger("aresdb.executor").exception(
+                    "mesh batch execution failed; falling back to "
+                    "single-chip path")
 
         # fast path: dense slot aggregation when every dim is bounded
         dense_plan = plan_dense(plan, batch_stats)
