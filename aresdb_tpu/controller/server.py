@@ -122,7 +122,9 @@ class MembershipHandler(_Base):
 
 class HeartbeatHandler(_Base):
     def put(self, ns: str, name: str):
-        self.guard(lambda: (self.state.heartbeat(ns, name),
+        shard_rows = self.body().get("shardRows") if self.request.body \
+            else None
+        self.guard(lambda: (self.state.heartbeat(ns, name, shard_rows),
                             self.write_json({"message": "ok"}))[-1])
 
     def delete(self, ns: str, name: str):
@@ -162,6 +164,13 @@ class PlacementReplaceHandler(_Base):
         self.guard(lambda: (self.state.replace_instance(
             ns, kind, b["leaving"], b["joining"]),
             self.write_json({"message": "replacing"}))[-1])
+
+
+class PlacementRebalanceHandler(_Base):
+    """Skew-aware shard rebalance from heartbeat-reported row counts."""
+
+    def post(self, ns: str, kind: str):
+        self.guard(lambda: self.write_json(self.state.rebalance(ns, kind)))
 
 
 class PlacementAvailableHandler(_Base):
@@ -236,6 +245,7 @@ def make_app(state: ControllerState) -> tornado.web.Application:
         (r"/membership/([^/]+)/instances/([^/]+)", HeartbeatHandler, a),
         (r"/placement/([^/]+)/([^/]+)", PlacementHandler, a),
         (r"/placement/([^/]+)/([^/]+)/replace", PlacementReplaceHandler, a),
+        (r"/placement/([^/]+)/([^/]+)/rebalance", PlacementRebalanceHandler, a),
         (r"/placement/([^/]+)/([^/]+)/([^/]+)/available",
          PlacementAvailableHandler, a),
         (r"/assignment/([^/]+)/jobs", JobsHandler, a),

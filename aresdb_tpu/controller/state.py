@@ -35,6 +35,9 @@ class Instance:
     host: str
     port: int
     last_heartbeat: float = 0.0
+    # ephemeral per-shard row counts from the latest heartbeat (load stats
+    # for skew-aware rebalancing; not persisted)
+    shard_rows: Dict[int, int] = field(default_factory=dict)
 
 
 @dataclass
@@ -213,13 +216,17 @@ class ControllerState:
             n.instances[instance.name] = instance
             self._persist()
 
-    def heartbeat(self, namespace: str, name: str) -> None:
+    def heartbeat(self, namespace: str, name: str,
+                  shard_rows: Optional[Dict[int, int]] = None) -> None:
         with self.lock:
             n = self.ns(namespace)
             inst = n.instances.get(name)
             if inst is None:
                 raise KeyError(f"unknown instance {name!r}")
             inst.last_heartbeat = time.time()
+            if shard_rows is not None:
+                inst.shard_rows = {int(k): int(v)
+                                   for k, v in shard_rows.items()}
 
     def leave(self, namespace: str, name: str) -> None:
         with self.lock:
@@ -274,6 +281,73 @@ class ControllerState:
                                  if st == SHARD_LEAVING]:
                         del sa.instances[name]
             self._persist()
+
+    def rebalance(self, namespace: str, kind: str) -> Dict[str, object]:
+        """Skew-aware shard rebalance (BASELINE.md config 5).
+
+        Shard weight = max per-shard row count reported by any alive
+        replica's heartbeat. Greedy weighted reassignment: heaviest shard
+        first onto the least-loaded alive instances, with stickiness — a
+        current owner keeps its shard unless moving it would actually
+        reduce imbalance (load exceeds the lightest node by more than the
+        shard's own weight). Displaced owners go Leaving (bootstrap source)
+        and joiners Initializing, the same m3-style lifecycle as
+        replace_instance; datanodes converge via their placement poll.
+        """
+        with self.lock:
+            p = self.get_placement(namespace, kind)
+            n = self.ns(namespace)
+            cutoff = time.time() - self.heartbeat_timeout
+            alive = sorted(k for k, v in n.instances.items()
+                           if v.last_heartbeat >= cutoff)
+            if not alive:
+                raise ValueError("no alive instances to rebalance onto")
+            rf = min(p.replica_factor, len(alive))
+            weights: Dict[int, int] = {}
+            for sa in p.shards:
+                w = 1
+                for owner in sa.instances:
+                    inst = n.instances.get(owner)
+                    if inst is not None:
+                        w = max(w, inst.shard_rows.get(sa.shard_id, 0))
+                weights[sa.shard_id] = max(w, 1)
+
+            load = {name: 0 for name in alive}
+            chosen_by_shard: Dict[int, List[str]] = {}
+            for sa in sorted(p.shards, key=lambda s: -weights[s.shard_id]):
+                sid = sa.shard_id
+                current = [o for o, st in sa.instances.items()
+                           if st != SHARD_LEAVING and o in load]
+                chosen: List[str] = []
+                min_load = min(load.values())
+                for o in sorted(current, key=lambda x: load[x]):
+                    if len(chosen) < rf and \
+                            load[o] <= min_load + weights[sid]:
+                        chosen.append(o)
+                for o in sorted(alive, key=lambda x: (load[x], x)):
+                    if len(chosen) >= rf:
+                        break
+                    if o not in chosen:
+                        chosen.append(o)
+                chosen_by_shard[sid] = chosen
+                for o in chosen:
+                    load[o] += weights[sid]
+
+            moves = 0
+            for sa in p.shards:
+                chosen = set(chosen_by_shard[sa.shard_id])
+                for o in list(sa.instances):
+                    if o not in chosen:
+                        sa.instances[o] = SHARD_LEAVING
+                for o in chosen:
+                    if sa.instances.get(o) not in (SHARD_AVAILABLE,
+                                                   SHARD_INITIALIZING):
+                        sa.instances[o] = SHARD_INITIALIZING
+                        moves += 1
+            self._persist()
+            return {"moves": moves,
+                    "load": load,
+                    "weights": {str(k): v for k, v in weights.items()}}
 
     def replace_instance(self, namespace: str, kind: str, leaving: str,
                          joining: str) -> None:

@@ -125,9 +125,26 @@ class DataNode:
             try:
                 self.session.put(
                     f"{self.controller}/membership/{self.namespace}"
-                    f"/instances/{self.instance_name}", timeout=5)
+                    f"/instances/{self.instance_name}",
+                    json={"shardRows": self._shard_row_counts()}, timeout=5)
             except requests.RequestException:
                 pass
+
+    def _shard_row_counts(self) -> Dict[int, int]:
+        """Per-shard row totals (live + archive) across all tables — the
+        load stats the controller's skew-aware rebalance weighs shards by
+        (BASELINE.md config 5)."""
+        counts: Dict[int, int] = {}
+        for (table, shard_id) in list(self.memstore.list_shards()):
+            try:
+                shard = self.memstore.get_table_shard(table, shard_id)
+                rows = shard.live_store.rows_visible()
+                av = shard.archive_store.get_current_version()
+                rows += sum(b.size for b in av.batches.values())
+                counts[shard_id] = counts.get(shard_id, 0) + int(rows)
+            except KeyError:
+                continue
+        return counts
 
     def _schema_loop(self):
         while not self._stop.wait(self.poll_seconds * 3):

@@ -360,3 +360,64 @@ def test_job_config_crud(cluster):
     r = requests.delete(f"{base}/config/{NS}/jobs/etl1")
     assert r.status_code == 200
     assert requests.get(f"{base}/config/{NS}/jobs/etl1").status_code == 404
+
+
+def test_skew_aware_rebalance():
+    """Heavy shards spread across nodes by heartbeat-reported row counts."""
+    from aresdb_tpu.controller.state import Instance
+
+    st = ControllerState()
+    st.create_namespace("ns")
+    for name in ("a", "b"):
+        st.join("ns", Instance(name=name, host="h", port=1))
+    # both shards land on 'a' initially
+    st.init_placement("ns", "datanode", 4, 1, ["a"])
+    for s in range(4):
+        st.mark_available("ns", "datanode", "a", s)
+    # heartbeats report heavy skew: shard 0 dwarfs the rest
+    st.heartbeat("ns", "a", {0: 1_000_000, 1: 1000, 2: 1000, 3: 1000})
+    st.heartbeat("ns", "b", {})
+
+    out = st.rebalance("ns", "datanode")
+    p = st.get_placement("ns", "datanode")
+    owners = {sa.shard_id: [o for o, s2 in sa.instances.items()
+                            if s2 != "Leaving"] for sa in p.shards}
+    # the heavy shard moves alone; the three light shards balance the rest
+    loads = {"a": 0, "b": 0}
+    for sid, named in owners.items():
+        assert len(named) == 1
+        loads[named[0]] += {0: 1_000_000, 1: 1000, 2: 1000, 3: 1000}[sid]
+    heavy_owner = owners[0][0]
+    other = "b" if heavy_owner == "a" else "a"
+    assert loads[heavy_owner] == 1_000_000  # nothing else stacked on it
+    assert loads[other] == 3000
+    assert out["moves"] >= 1
+    # displaced replicas stay as Leaving bootstrap sources until the
+    # joiner marks Available (m3 lifecycle)
+    leaving = [(sa.shard_id, o) for sa in p.shards
+               for o, s2 in sa.instances.items() if s2 == "Leaving"]
+    assert leaving
+    for sid, _ in leaving:
+        joiner = owners[sid][0]
+        st.mark_available("ns", "datanode", joiner, sid)
+    p = st.get_placement("ns", "datanode")
+    assert not any(s2 == "Leaving" for sa in p.shards
+                   for s2 in sa.instances.values())
+
+
+def test_rebalance_sticky_when_balanced():
+    """A balanced placement does not churn shards on rebalance."""
+    from aresdb_tpu.controller.state import Instance
+
+    st = ControllerState()
+    st.create_namespace("ns")
+    for name in ("a", "b"):
+        st.join("ns", Instance(name=name, host="h", port=1))
+    st.init_placement("ns", "datanode", 4, 1, ["a", "b"])
+    for sa in st.get_placement("ns", "datanode").shards:
+        for o in sa.instances:
+            st.mark_available("ns", "datanode", o, sa.shard_id)
+    st.heartbeat("ns", "a", {0: 5000, 2: 5000})
+    st.heartbeat("ns", "b", {1: 5000, 3: 5000})
+    out = st.rebalance("ns", "datanode")
+    assert out["moves"] == 0
