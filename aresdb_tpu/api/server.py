@@ -778,9 +778,50 @@ class DebugUIHandler(_Base):
 # FetchTableShardMetaData + FetchVectorPartyRawData gRPC streaming; here the
 # same roles over HTTP chunked transfer) --
 
+class PeerSessionHandler(_Base):
+    """Peer-copy session: holds the shard's bootstrap token for the whole
+    copy (reference: bootstrap_server.go:76 StartSession + keep-alive).
+
+    POST   /peer/<table>/<shard>/session            -> {sessionId, ttl}
+    PUT    /peer/session/<sid>/keepalive            -> 200 | 410
+    DELETE /peer/session/<sid>                      -> 200
+    """
+
+    def post(self, table: str, shard: str):
+        from aresdb_tpu.memstore.common import GLOBAL_BOOTSTRAP_SESSIONS
+
+        sid = int(shard)
+        try:
+            self.ctx.memstore.get_table_shard(table, sid)
+        except KeyError as e:
+            return self.write_error_json(404, str(e))
+        try:
+            session_id = GLOBAL_BOOTSTRAP_SESSIONS.open(table, sid)
+        except TimeoutError as e:
+            return self.write_error_json(503, str(e))
+        self.write_json({"sessionId": session_id,
+                         "ttl": GLOBAL_BOOTSTRAP_SESSIONS.ttl})
+
+
+class PeerSessionKeepaliveHandler(_Base):
+    def put(self, session_id: str):
+        from aresdb_tpu.memstore.common import GLOBAL_BOOTSTRAP_SESSIONS
+
+        if not GLOBAL_BOOTSTRAP_SESSIONS.keepalive(session_id):
+            return self.write_error_json(410, "session expired")
+        self.write_json({"message": "ok"})
+
+    def delete(self, session_id: str):
+        from aresdb_tpu.memstore.common import GLOBAL_BOOTSTRAP_SESSIONS
+
+        GLOBAL_BOOTSTRAP_SESSIONS.close(session_id)
+        self.write_json({"message": "closed"})
+
+
 class PeerMetadataHandler(_Base):
     def get(self, table: str, shard: str):
-        from aresdb_tpu.memstore.common import GLOBAL_BOOTSTRAP_TOKEN
+        from aresdb_tpu.memstore.common import (GLOBAL_BOOTSTRAP_SESSIONS,
+                                                GLOBAL_BOOTSTRAP_TOKEN)
 
         ms = self.ctx.memstore
         sid = int(shard)
@@ -788,9 +829,16 @@ class PeerMetadataHandler(_Base):
             ms.get_table_shard(table, sid)
         except KeyError as e:
             return self.write_error_json(404, str(e))
-        # hold off data jobs while a peer snapshots this shard's metadata
-        GLOBAL_BOOTSTRAP_TOKEN.acquire(table, sid)
-        GLOBAL_BOOTSTRAP_TOKEN.release(table, sid)
+        session = self.get_query_argument("session", None)
+        if session is not None:
+            # session already holds the token for the whole copy
+            if not GLOBAL_BOOTSTRAP_SESSIONS.validate(session, table, sid):
+                return self.write_error_json(410, "session expired")
+        else:
+            # legacy single-shot: hold off data jobs only while snapshotting
+            # this shard's metadata
+            GLOBAL_BOOTSTRAP_TOKEN.acquire(table, sid)
+            GLOBAL_BOOTSTRAP_TOKEN.release(table, sid)
         meta = ms.metastore
         ds = ms.diskstore
         cutoff = meta.get_archiving_cutoff(table, sid)
@@ -843,8 +891,13 @@ class PeerRedologHandler(_Base):
             table, int(shard), int(creation_time))
         if not os.path.exists(p):
             return self.write_error_json(404, "no such redolog")
+        # ?offset=N serves only bytes past N — the client's post-copy delta
+        # catch-up re-fetches the tail that grew from concurrent ingest
+        # (reference: memstore/bootstrap.go:487 redolog replay after copy)
+        offset = int(self.get_query_argument("offset", "0"))
         self.set_header("Content-Type", "application/octet-stream")
         with open(p, "rb") as f:
+            f.seek(offset)
             while True:
                 chunk = f.read(1 << 20)
                 if not chunk:
@@ -884,6 +937,10 @@ def make_app(ctx: ServerContext) -> tornado.web.Application:
         (r"/swagger.json", SwaggerHandler, a),
         (r"/dbg/([^/]+)/(\d+)", ShardDebugHandler, a),
         (r"/metrics", MetricsHandler, a),
+        (r"/peer/([^/]+)/(\d+)/session", PeerSessionHandler, a),
+        (r"/peer/session/([0-9a-f]+)/keepalive",
+         PeerSessionKeepaliveHandler, a),
+        (r"/peer/session/([0-9a-f]+)", PeerSessionKeepaliveHandler, a),
         (r"/peer/([^/]+)/(\d+)/metadata", PeerMetadataHandler, a),
         (r"/peer/([^/]+)/(\d+)/archive/(-?\d+)/(\d+)/(\d+)/(\d+)",
          PeerArchiveFileHandler, a),

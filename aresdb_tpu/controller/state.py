@@ -321,8 +321,11 @@ class ControllerState:
                 chosen: List[str] = []
                 min_load = min(load.values())
                 for o in sorted(current, key=lambda x: load[x]):
+                    # strict <: at load == lightest + weight, moving the
+                    # shard balances the pair exactly (e.g. two equal
+                    # shards on one node + an empty joiner must split)
                     if len(chosen) < rf and \
-                            load[o] <= min_load + weights[sid]:
+                            load[o] < min_load + weights[sid]:
                         chosen.append(o)
                 for o in sorted(alive, key=lambda x: (load[x], x)):
                     if len(chosen) >= rf:

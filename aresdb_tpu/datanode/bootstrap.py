@@ -31,64 +31,150 @@ def find_bootstrap_source(view: TopologyView, shard_id: int,
     return random.choice(peers).address
 
 
+class _SessionKeepalive:
+    """Background keep-alive pings so the peer holds the shard's bootstrap
+    token for the whole copy (bootstrap_server.go keep-alive stream)."""
+
+    def __init__(self, s, peer_address: str, session_id: str, ttl: float):
+        import threading
+
+        self._s = s
+        self._url = (f"http://{peer_address}/peer/session/"
+                     f"{session_id}/keepalive")
+        self._interval = max(ttl / 3.0, 0.5)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="bootstrap-keepalive")
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop.wait(self._interval):
+            try:
+                self._s.put(self._url, timeout=5)
+            except requests.RequestException:
+                pass
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=2)
+
+
+def _copy_redolog(s, base: str, qs: str, diskstore, table: str,
+                  shard_id: int, creation_time: int, offset: int) -> int:
+    """Fetch redolog bytes past `offset` and append locally; returns the
+    new local size."""
+    fr = s.get(f"{base}/redolog/{creation_time}?offset={offset}{qs}",
+               stream=True, timeout=600)
+    fr.raise_for_status()
+    written = offset
+    with diskstore.open_log_for_append(table, shard_id,
+                                       creation_time) as f:
+        f.seek(0, 2)
+        if f.tell() > offset:
+            f.truncate(offset)
+        f.seek(offset)
+        for chunk in fr.iter_content(1 << 20):
+            f.write(chunk)
+            written += len(chunk)
+    return written
+
+
 def bootstrap_shard(peer_address: str, table: str, shard_id: int,
                     diskstore, metastore, session=None) -> dict:
-    """Copy archive batches, snapshots, and redologs from the peer.
+    """Copy archive batches, snapshots, and redologs from the peer, under a
+    peer-copy session that holds the shard's bootstrap token end to end.
+
+    The session guarantees archiving/backfill/snapshot/purge cannot swap or
+    delete the peer's files mid-copy (bootstrap_server.go:76-463). After
+    the file copy a second metadata fetch drives a redolog DELTA catch-up
+    (memstore/bootstrap.go:487): rows the peer ingested during the copy are
+    appended from each log's previously-copied offset, so recovery replays
+    them and nothing is silently lost.
 
     After this, the normal recovery path (MemStore._recover_shard) replays
     the copied state exactly as a local restart would.
     """
     s = session or requests.Session()
     base = f"http://{peer_address}/peer/{table}/{shard_id}"
-    r = s.get(f"{base}/metadata", timeout=30)
+
+    r = s.post(f"{base}/session", timeout=60)
     if r.status_code == 404:
         raise BootstrapError(f"peer has no shard {table}/{shard_id}")
+    if r.status_code == 503:
+        raise BootstrapError(f"peer busy: {r.text}")
     r.raise_for_status()
-    meta = r.json()
+    sess = r.json()
+    session_id = sess["sessionId"]
+    qs = f"&session={session_id}"
+    keepalive = _SessionKeepalive(s, peer_address, session_id,
+                                  float(sess.get("ttl", 30)))
+    try:
+        r = s.get(f"{base}/metadata?session={session_id}", timeout=30)
+        if r.status_code == 410:
+            raise BootstrapError("bootstrap session expired mid-copy")
+        r.raise_for_status()
+        meta = r.json()
 
-    copied = {"archive": 0, "snapshot": 0, "redolog": 0}
+        copied = {"archive": 0, "snapshot": 0, "redolog": 0, "delta": 0}
 
-    # archive batches
-    for bid_s, (version, seq, size) in meta["batches"].items():
-        bid = int(bid_s)
-        cols = meta["archiveColumns"].get(f"{bid}_{version}_{seq}", [])
-        for col in cols:
-            fr = s.get(f"{base}/archive/{bid}/{version}/{seq}/{col}",
-                       timeout=300)
-            fr.raise_for_status()
-            diskstore.write_archive_column(
-                table, shard_id, bid, version, seq, col, fr.content)
-            copied["archive"] += 1
-        metastore.add_archive_batch_version(
-            table, shard_id, bid, version, seq, size)
+        # archive batches
+        for bid_s, (version, seq, size) in meta["batches"].items():
+            bid = int(bid_s)
+            cols = meta["archiveColumns"].get(f"{bid}_{version}_{seq}", [])
+            for col in cols:
+                fr = s.get(f"{base}/archive/{bid}/{version}/{seq}/{col}"
+                           f"?session={session_id}", timeout=300)
+                fr.raise_for_status()
+                diskstore.write_archive_column(
+                    table, shard_id, bid, version, seq, col, fr.content)
+                copied["archive"] += 1
+            metastore.add_archive_batch_version(
+                table, shard_id, bid, version, seq, size)
 
-    # snapshots (dimension tables)
-    srf, soff, sbid, sidx = meta["snapshotProgress"]
-    for bid_s, cols in meta.get("snapshotBatches", {}).items():
-        for col in cols:
-            fr = s.get(f"{base}/snapshot/{srf}/{soff}/{bid_s}/{col}",
-                       timeout=300)
-            fr.raise_for_status()
-            diskstore.write_snapshot_column(
-                table, shard_id, srf, soff, int(bid_s), col, fr.content)
-            copied["snapshot"] += 1
-    if (srf, soff) != (0, 0):
-        metastore.update_snapshot_progress(
-            table, shard_id, srf, soff, sbid, sidx)
+        # snapshots (dimension tables)
+        srf, soff, sbid, sidx = meta["snapshotProgress"]
+        for bid_s, cols in meta.get("snapshotBatches", {}).items():
+            for col in cols:
+                fr = s.get(f"{base}/snapshot/{srf}/{soff}/{bid_s}/{col}"
+                           f"?session={session_id}", timeout=300)
+                fr.raise_for_status()
+                diskstore.write_snapshot_column(
+                    table, shard_id, srf, soff, int(bid_s), col, fr.content)
+                copied["snapshot"] += 1
+        if (srf, soff) != (0, 0):
+            metastore.update_snapshot_progress(
+                table, shard_id, srf, soff, sbid, sidx)
 
-    # redo logs (catch-up replay source)
-    for creation_time in meta["redologs"]:
-        fr = s.get(f"{base}/redolog/{creation_time}", stream=True, timeout=600)
-        fr.raise_for_status()
-        with diskstore.open_log_for_append(table, shard_id,
-                                           creation_time) as f:
-            f.truncate(0)
-            for chunk in fr.iter_content(1 << 20):
-                f.write(chunk)
-        copied["redolog"] += 1
+        # redo logs (catch-up replay source)
+        log_sizes = {}
+        for creation_time in meta["redologs"]:
+            log_sizes[creation_time] = _copy_redolog(
+                s, base, qs, diskstore, table, shard_id, creation_time, 0)
+            copied["redolog"] += 1
 
-    metastore.update_archiving_cutoff(
-        table, shard_id, meta["archivingCutoff"])
-    rf, off = meta["backfillProgress"]
-    metastore.update_backfill_progress(table, shard_id, rf, off)
-    return copied
+        # delta catch-up: rows ingested on the peer while the files were
+        # copying live in redolog tails (archive/snapshot files cannot have
+        # changed — the session holds the bootstrap token). Fetch metadata
+        # again and append only the new bytes of each log.
+        r = s.get(f"{base}/metadata?session={session_id}", timeout=30)
+        r.raise_for_status()
+        meta2 = r.json()
+        for creation_time in meta2["redologs"]:
+            prev = log_sizes.get(creation_time, 0)
+            new_size = _copy_redolog(s, base, qs, diskstore, table,
+                                     shard_id, creation_time, prev)
+            if new_size > prev:
+                copied["delta"] += new_size - prev
+
+        metastore.update_archiving_cutoff(
+            table, shard_id, meta2["archivingCutoff"])
+        rf, off = meta2["backfillProgress"]
+        metastore.update_backfill_progress(table, shard_id, rf, off)
+        return copied
+    finally:
+        keepalive.stop()
+        try:
+            s.delete(f"http://{peer_address}/peer/session/{session_id}",
+                     timeout=10)
+        except requests.RequestException:
+            pass

@@ -140,10 +140,10 @@ class DataNode:
                 shard = self.memstore.get_table_shard(table, shard_id)
                 rows = shard.live_store.rows_visible()
                 av = shard.archive_store.get_current_version()
-                rows += sum(b.size for b in av.batches.values())
+                rows += sum(b.size for b in list(av.batches.values()))
                 counts[shard_id] = counts.get(shard_id, 0) + int(rows)
-            except KeyError:
-                continue
+            except Exception:  # noqa: BLE001 — stats must never kill
+                continue      # the heartbeat loop (e.g. racing a version swap)
         return counts
 
     def _schema_loop(self):
@@ -183,22 +183,46 @@ class DataNode:
         for sid in sorted(removed):
             self._remove_shard(sid)
 
+    BOOTSTRAP_RETRIES = 4
+    BOOTSTRAP_BACKOFF_S = 0.5
+
     def _add_shard(self, shard_id: int) -> None:
+        """Bootstrap every table of the shard from peers, with retry +
+        exponential backoff per table (reference:
+        datanode/bootstrap_manager.go:172 m3 retry). Each attempt re-picks
+        a peer so a single dead/busy source doesn't wedge the add."""
         import logging
 
-        view = self.topology.refresh()
+        log = logging.getLogger("aresdb.datanode")
         for table in sorted(self.memstore.get_schemas()):
-            peer = find_bootstrap_source(view, shard_id, self.instance_name)
-            if peer is not None:
+            backoff = self.BOOTSTRAP_BACKOFF_S
+            for attempt in range(self.BOOTSTRAP_RETRIES):
+                view = self.topology.refresh()
+                peer = find_bootstrap_source(view, shard_id,
+                                             self.instance_name)
+                if peer is None:
+                    break  # no peer owns the shard: fresh/empty start
                 try:
                     bootstrap_shard(peer, table, shard_id,
                                     self.memstore.diskstore,
                                     self.memstore.metastore,
                                     session=self.session)
+                    break
                 except Exception as e:
-                    logging.getLogger("aresdb.datanode").warning(
-                        "bootstrap of %s/%s from %s failed: %s — starting "
-                        "empty", table, shard_id, peer, e)
+                    if attempt + 1 >= self.BOOTSTRAP_RETRIES:
+                        log.warning(
+                            "bootstrap of %s/%s failed after %d attempts "
+                            "(last peer %s): %s — starting empty",
+                            table, shard_id, self.BOOTSTRAP_RETRIES, peer, e)
+                    else:
+                        log.info(
+                            "bootstrap of %s/%s from %s failed (attempt "
+                            "%d/%d): %s — retrying in %.1fs", table,
+                            shard_id, peer, attempt + 1,
+                            self.BOOTSTRAP_RETRIES, e, backoff)
+                        if self._stop.wait(backoff):
+                            return
+                        backoff *= 2
             shard = self.memstore.add_table_shard(table, shard_id)
             self.memstore._recover_shard(shard)
         self.owned_shards.add(shard_id)

@@ -113,7 +113,8 @@ def _expand_archive_columns(batch, column_ids: List[int], schema):
 
 
 def _sort_and_compress(columns: Dict[int, Tuple[np.ndarray, np.ndarray]],
-                       sort_cols: List[int], n: int
+                       sort_cols: List[int], n: int,
+                       dtypes: Dict[int, int]
                        ) -> Dict[int, ArchiveVectorParty]:
     """Stable lexsort by sort columns, mode-3 compress the sorted prefix.
 
@@ -157,23 +158,15 @@ def _sort_and_compress(columns: Dict[int, Tuple[np.ndarray, np.ndarray]],
         counts = np.zeros(len(starts) + 1, np.uint32)
         counts[1:] = np.append(starts[1:], n)
         out[cid] = ArchiveVectorParty(
-            self_dt(values, cid, columns), values=sv[starts],
+            dtypes[cid], values=sv[starts],
             validity=sb[starts], counts=counts)
     for cid, (values, validity) in columns.items():
         if cid in out:
             continue
         out[cid] = ArchiveVectorParty(
-            self_dt(values, cid, columns), values=values[order],
+            dtypes[cid], values=values[order],
             validity=validity[order])
     return out
-
-
-_COLUMN_DTYPES: Dict[int, int] = {}
-
-
-def self_dt(values, cid, columns):
-    # data type resolved by caller via set_dtypes (kept simple: stored map)
-    return _COLUMN_DTYPES[cid]
 
 
 class Archiver:
@@ -202,8 +195,8 @@ class Archiver:
         if new_cutoff <= old_cutoff:
             return stats
 
-        _COLUMN_DTYPES.update({
-            i: c.data_type for i, c in enumerate(schema.table.columns)})
+        dtypes = {i: c.data_type
+                  for i, c in enumerate(schema.table.columns)}
         all_cols = [i for i, c in enumerate(schema.table.columns)
                     if not c.deleted]
         sort_cols = list(schema.table.archiving_sort_columns)
@@ -227,7 +220,6 @@ class Archiver:
             days = t[sel] // SECONDS_PER_DAY
             idx = np.nonzero(sel)[0]
             for day in np.unique(days):
-                day_idx = idx[days == day - 0]
                 day_rows.setdefault(int(day), []).append(
                     (bid, idx[days == day]))
 
@@ -254,7 +246,7 @@ class Archiver:
                 else:
                     merged[cid] = (pv, pb)
             n_total = n_base + n_patch
-            vps = _sort_and_compress(merged, sort_cols, n_total)
+            vps = _sort_and_compress(merged, sort_cols, n_total, dtypes)
 
             old = version.batches.get(day)
             seq = (old.seq + 1) if (old is not None and
@@ -303,8 +295,12 @@ class Archiver:
         """Apply queued pre-cutoff upserts into their day batches.
 
         Reference: memstore/backfill.go:30 — per-day patches; PK-matched rows
-        update in place (column update modes respected), new keys append;
-        the batch is then re-sorted/compressed and written as a new seq.
+        update in place, new keys append; the batch is then re-sorted/
+        compressed and written as a new seq. Vectorized: rows flatten into
+        per-column patch arrays, key matching is one void-dtype searchsorted
+        against the base, and dup-key last-valid-wins falls out of numpy
+        fancy-assignment ordering (backfill.go applies rows sequentially —
+        same result).
         """
         shard = self.shard
         schema = shard.schema
@@ -315,12 +311,20 @@ class Archiver:
         if not queued:
             return 0
 
-        _COLUMN_DTYPES.update({
-            i: c.data_type for i, c in enumerate(schema.table.columns)})
+        from aresdb_tpu.memstore.native_primary_key import build_key_matrix
+        from aresdb_tpu.memstore.primary_key import (
+            key_columns_from_batch_columns)
+
+        dtypes = {i: c.data_type
+                  for i, c in enumerate(schema.table.columns)}
         all_cols = [i for i, c in enumerate(schema.table.columns)
                     if not c.deleted]
         sort_cols = list(schema.table.archiving_sort_columns)
         key_ids = schema.table.primary_key_columns
+        array_cols = {cid for cid in all_cols
+                      if schema.table.columns[cid].is_array
+                      or dtypes[cid] == mdt.GeoShape}
+        scalar_cols = [cid for cid in all_cols if cid not in array_cols]
 
         # group queued rows by day
         day_groups: Dict[int, List[Tuple[object, np.ndarray]]] = {}
@@ -343,70 +347,109 @@ class Archiver:
         new_version.batches.update(version.batches)
         applied = 0
 
+        def _as_void(mat: np.ndarray) -> np.ndarray:
+            mat = np.ascontiguousarray(mat)
+            return mat.view(np.dtype((np.void, mat.shape[1]))).ravel()
+
         for day, groups in sorted(day_groups.items()):
             base_batch = version.batches.get(day)
             base_cols, n_base = _expand_archive_columns(
                 base_batch, all_cols, schema)
-            # host PK map for this day batch
-            key_cols = [base_cols[cid][0] for cid in key_ids]
-            base_keys = build_keys(key_cols, n_base)
-            key_to_row = {k: i for i, k in enumerate(base_keys)}
 
-            appends: Dict[int, list] = {cid: [] for cid in all_cols}
-            n_appends = 0
+            # -- flatten this day's queued rows into patch arrays (queue
+            #    order preserved: later rows override earlier on dup keys) --
+            m = sum(len(rows) for _, rows in groups)
+            pvals: Dict[int, np.ndarray] = {}
+            pvalid: Dict[int, np.ndarray] = {}
+            for cid in scalar_cols:
+                npdt = mdt.numpy_dtype(dtypes[cid])
+                shape = (m, 2) if mdt.lanes(dtypes[cid]) == 2 else (m,)
+                pvals[cid] = np.zeros(shape, npdt)
+                pvalid[cid] = np.zeros(m, bool)
+            for cid in array_cols:
+                pvals[cid] = np.empty(m, object)
+                pvalid[cid] = np.zeros(m, bool)
+            key_mats = []
+            kvalid_all = np.zeros(m, bool)
+            pos = 0
             for batch, rows in groups:
+                nb_rows = len(rows)
                 cols_by_id = {c.column_id: c for c in batch.columns}
-                kcols, kvalid = [], None
-                from aresdb_tpu.memstore.primary_key import (
-                    key_columns_from_batch_columns)
                 kcols, kvalid = key_columns_from_batch_columns(
                     key_ids, cols_by_id, batch.num_rows)
-                keys = build_keys(kcols, batch.num_rows)
-                for r in rows.tolist():
-                    if not kvalid[r]:
-                        continue
-                    row_key = keys[r]
-                    dest = key_to_row.get(row_key)
-                    if dest is not None:
-                        for col in batch.columns:
-                            if col.column_id in key_ids or col.is_array:
-                                continue
-                            bv, bb = base_cols[col.column_id]
+                key_mats.append(build_key_matrix(
+                    [np.ascontiguousarray(k[rows]) for k in kcols],
+                    nb_rows))
+                kvalid_all[pos:pos + nb_rows] = np.asarray(kvalid)[rows]
+                for cid in scalar_cols:
+                    col = cols_by_id.get(cid)
+                    if col is not None and col.values is not None:
+                        pvals[cid][pos:pos + nb_rows] = col.values[rows]
+                        pvalid[cid][pos:pos + nb_rows] = col.validity[rows]
+                for cid in array_cols:
+                    col = cols_by_id.get(cid)
+                    if col is not None and col.values is not None:
+                        for j, r in enumerate(rows.tolist()):
                             if col.validity[r]:
-                                bv[dest] = col.values[r]
-                                bb[dest] = True
-                    else:
-                        key_to_row[row_key] = n_base + n_appends
-                        for cid in all_cols:
-                            col = cols_by_id.get(cid)
-                            if col is None or col.values is None:
-                                appends[cid].append((None, False))
-                            else:
-                                appends[cid].append(
-                                    (col.values[r], bool(col.validity[r])))
-                        n_appends += 1
-                    applied += 1
+                                pvals[cid][pos + j] = col.values[r]
+                                pvalid[cid][pos + j] = True
+                pos += nb_rows
 
+            valid_idx = np.nonzero(kvalid_all)[0]
+            applied += int(valid_idx.size)
+            if valid_idx.size == 0:
+                continue
+            patch_keys = _as_void(np.vstack(key_mats)[valid_idx])
+
+            # -- match patch keys against the (unique-key) base --
+            if n_base:
+                base_keys = _as_void(build_key_matrix(
+                    [np.ascontiguousarray(base_cols[cid][0])
+                     for cid in key_ids], n_base))
+                base_order = np.argsort(base_keys)
+                sorted_base = base_keys[base_order]
+                loc = np.searchsorted(sorted_base, patch_keys)
+                loc_cl = np.minimum(loc, n_base - 1)
+                hit = sorted_base[loc_cl] == patch_keys
+                dest = np.where(hit, base_order[loc_cl], -1).astype(np.int64)
+            else:
+                hit = np.zeros(patch_keys.size, bool)
+                dest = np.full(patch_keys.size, -1, np.int64)
+
+            # appends: one slot per distinct new key, first-occurrence order
+            uniq_new, first_idx, inv = np.unique(
+                patch_keys[~hit], return_index=True, return_inverse=True)
+            slot_rank = np.empty(len(uniq_new), np.int64)
+            slot_rank[np.argsort(first_idx)] = np.arange(len(uniq_new))
+            dest[~hit] = n_base + slot_rank[inv]
+            n_appends = len(uniq_new)
+            n_total = n_base + n_appends
+
+            # -- apply per column: extend base, masked-assign in queue order
+            #    (duplicate dests: numpy keeps the LAST write, i.e. the
+            #    latest queued value — sequential upsert semantics) --
             merged = {}
             for cid in all_cols:
                 bv, bb = base_cols[cid]
-                if n_appends:
-                    colschema = schema.table.columns[cid]
-                    npdt = mdt.numpy_dtype(colschema.data_type)
-                    lanes = mdt.lanes(colschema.data_type)
-                    shape = (n_appends, 2) if lanes == 2 else (n_appends,)
-                    av = np.zeros(shape, npdt)
-                    ab = np.zeros(n_appends, bool)
-                    for i, (v, valid) in enumerate(appends[cid]):
-                        if valid:
-                            av[i] = v
-                            ab[i] = True
-                    merged[cid] = (np.concatenate([bv, av]),
-                                   np.concatenate([bb, ab]))
+                pv = pvals[cid][valid_idx]
+                pb = pvalid[cid][valid_idx]
+                if cid in array_cols:
+                    nv = np.empty(n_total, object)
+                    nv[:n_base] = bv[:n_base] if len(bv) >= n_base else None
                 else:
-                    merged[cid] = (bv, bb)
-            n_total = n_base + n_appends
-            vps = _sort_and_compress(merged, sort_cols, n_total)
+                    nv = np.zeros((n_total,) + bv.shape[1:], bv.dtype)
+                    nv[:n_base] = bv
+                nbv = np.zeros(n_total, bool)
+                nbv[:n_base] = bb
+                if cid in key_ids or cid in array_cols:
+                    # updates never touch key/array columns; appends do
+                    write = np.nonzero(pb & ~hit)[0]
+                else:
+                    write = np.nonzero(pb)[0]
+                nv[dest[write]] = pv[write]
+                nbv[dest[write]] = True
+                merged[cid] = (nv, nbv)
+            vps = _sort_and_compress(merged, sort_cols, n_total, dtypes)
 
             old = version.batches.get(day)
             ver = version.archiving_cutoff

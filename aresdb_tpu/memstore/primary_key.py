@@ -33,6 +33,9 @@ def build_keys(columns: List[np.ndarray], n: int) -> List[bytes]:
     """
     if not columns:
         return [b""] * n
+    if n == 0:
+        # reshape(0, -1) cannot infer the trailing dim of an empty array
+        return []
     buffers = []
     for col in columns:
         c = np.ascontiguousarray(col[:n])

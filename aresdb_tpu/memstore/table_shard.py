@@ -65,10 +65,11 @@ class BackfillManager:
 
     def append(self, batch: UpsertBatch, rows: np.ndarray,
                redo_file: int, batch_offset: int,
-               timeout: Optional[float] = None) -> bool:
+               timeout: Optional[float] = None, force: bool = False) -> bool:
         with self.not_full:
             est = int(rows.size) * max(1, len(batch.buffer) // max(1, batch.num_rows))
-            while (self.current_buffer_bytes + est > self.max_buffer_bytes
+            while (not force
+                   and self.current_buffer_bytes + est > self.max_buffer_bytes
                    and self.queue):
                 if not self.not_full.wait(timeout=timeout):
                     return False
@@ -285,10 +286,15 @@ class TableShard:
         stats.updated = len(update_rows)
         stats.backfilled = len(backfill_rows)
 
-        if backfill_rows and self.backfill_manager is not None and not recovery:
+        if backfill_rows and self.backfill_manager is not None:
+            # During recovery, replay starts at the backfill-progress
+            # checkpoint, so every late row seen here was NOT yet backfilled
+            # — it must be re-queued or it is silently lost (reference:
+            # memstore/recovery.go replays into the backfill manager).
+            # force=True: no backfill job consumes the queue mid-replay.
             self.backfill_manager.append(
                 batch, np.asarray(backfill_rows, dtype=np.int64),
-                redo_file, batch_offset)
+                redo_file, batch_offset, force=recovery)
         return stats
 
     def _apply_native(self, batch: UpsertBatch, cols_by_id, key_cols,
@@ -323,11 +329,11 @@ class TableShard:
                                 dest_i[update_rows], inserts=False)
 
         backfill_rows = np.nonzero(actions == 3)[0]
-        if len(backfill_rows) and self.backfill_manager is not None \
-                and not recovery:
+        if len(backfill_rows) and self.backfill_manager is not None:
+            # see apply_upsert_batch: recovery must re-queue late rows
             self.backfill_manager.append(
                 batch, backfill_rows.astype(np.int64), redo_file,
-                batch_offset)
+                batch_offset, force=recovery)
         return stats
 
     def _write_rows_arrays(self, batch: UpsertBatch, rows: np.ndarray,
