@@ -44,11 +44,27 @@ class _Base(tornado.web.RequestHandler):
 
 
 class ServerContext:
-    def __init__(self, memstore, scheduler=None, timezone_table: str = ""):
+    def __init__(self, memstore, scheduler=None, timezone_table: str = "",
+                 query_config=None):
+        from aresdb_tpu.query.admission import DeviceMemoryManager
+
         self.memstore = memstore
         self.scheduler = scheduler
+        util = 0.95
+        choose_timeout = 30.0
+        query_timeout = 0.0
+        if query_config is not None:
+            util = getattr(query_config, "device_memory_utilization", 0.95)
+            ct = getattr(query_config, "device_choosing_timeout", -1)
+            choose_timeout = float(ct) if ct and ct > 0 else 30.0
+            query_timeout = float(
+                getattr(query_config, "query_timeout", 0) or 0)
+        self.device_manager = DeviceMemoryManager(utilization=util,
+                                                  default_timeout=choose_timeout)
         self.query_service = QueryService(memstore,
-                                          timezone_table=timezone_table)
+                                          timezone_table=timezone_table,
+                                          device_manager=self.device_manager,
+                                          query_timeout=query_timeout)
         self.query_pool = ThreadPoolExecutor(max_workers=QUERY_WORKERS)
         self.metrics = M.root()
 
@@ -478,6 +494,14 @@ class HostMemoryDebugHandler(_Base):
 class MetricsHandler(_Base):
     def get(self):
         self.write_json(self.ctx.metrics.snapshot())
+
+
+class DeviceStatsHandler(_Base):
+    """Admission-gate state (reference: query/device_manager.go DeviceInfos
+    surfaced via /debug; here one logical device's byte budget)."""
+
+    def get(self):
+        self.write_json(self.ctx.device_manager.stats())
 
 
 class RedologBrowserHandler(_Base):
@@ -937,6 +961,7 @@ def make_app(ctx: ServerContext) -> tornado.web.Application:
         (r"/swagger.json", SwaggerHandler, a),
         (r"/dbg/([^/]+)/(\d+)", ShardDebugHandler, a),
         (r"/metrics", MetricsHandler, a),
+        (r"/dbg/device", DeviceStatsHandler, a),
         (r"/peer/([^/]+)/(\d+)/session", PeerSessionHandler, a),
         (r"/peer/session/([0-9a-f]+)/keepalive",
          PeerSessionKeepaliveHandler, a),
@@ -954,8 +979,9 @@ class ApiServer:
     """Embeddable server: used by cmd/aresd and by in-process tests."""
 
     def __init__(self, memstore, scheduler=None, port: int = 0,
-                 timezone_table: str = ""):
-        self.ctx = ServerContext(memstore, scheduler, timezone_table)
+                 timezone_table: str = "", query_config=None):
+        self.ctx = ServerContext(memstore, scheduler, timezone_table,
+                                 query_config=query_config)
         self.app = make_app(self.ctx)
         self.port = port
         self._loop: Optional[tornado.ioloop.IOLoop] = None

@@ -38,7 +38,8 @@ def build_server(cfg):
     stats_reporter.start()
 
     server = ApiServer(memstore, scheduler, port=cfg.port,
-                       timezone_table=cfg.query.timezone_table.table_name)
+                       timezone_table=cfg.query.timezone_table.table_name,
+                       query_config=cfg.query)
     return server, memstore, scheduler
 
 

@@ -25,6 +25,10 @@ class QueryConfig:
     device_choosing_timeout: int = -1
     timezone_table: TimezoneConfig = field(default_factory=TimezoneConfig)
     enable_hash_reduction: bool = False
+    # per-query execution deadline in seconds (0 = unlimited); extension
+    # beyond the reference's QueryConfig (common/config.go:29), which only
+    # bounds the wait for a device
+    query_timeout: int = 0
 
 
 @dataclass
@@ -87,6 +91,7 @@ class AresServerConfig:
                 "device_memory_utilization": "device_memory_utilization",
                 "device_choosing_timeout": "device_choosing_timeout",
                 "enable_hash_reduction": "enable_hash_reduction",
+                "query_timeout": "query_timeout",
             })
             tz = d["query"].get("timezone_table", {})
             cfg.query.timezone_table.table_name = tz.get("table_name", "")

@@ -1,0 +1,186 @@
+"""Query admission control: device-memory estimation + reservation gate.
+
+Reference: query/device_manager.go (DeviceManager.FindDevice waits on a
+condition variable until `requiredMem` fits under deviceMemoryUtilization ×
+device memory, or times out after DeviceChoosingTimeout) and
+query/aql_processor.go:985 calculateMemoryRequirement (max per-batch input
+bytes + intermediate vectors; HLL queries use a fixed 10 GiB budget slice).
+
+TPU adaptation: there is one logical accelerator per process (a chip, or a
+mesh the XLA runtime treats as one address space), so instead of choosing
+among N GPUs we gate admission on a byte budget for that one device.
+Reservations are granted FIFO-ish by a Condition; queries whose estimate
+exceeds the whole budget are rejected immediately, mirroring FindDevice's
+`requiredMem > MaxAvailableMemory` early exit. Peak usage is the largest
+single (batch × staged columns) working set — the executor stages one
+batch at a time and XLA frees per-batch inputs after each fused program —
+plus wholly-staged foreign (joined) tables.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from aresdb_tpu.common import data_types as mdt
+from aresdb_tpu.utils import metrics as M
+
+HLL_QUERY_REQUIRED_BYTES = 10 << 30  # aql_processor.go:34 (10 GiB, in MB)
+# pipeline fudge: deferred async dispatch keeps ~2 batches of device input
+# alive (previous batch may not be freed before the next is staged)
+PIPELINE_FACTOR = 2
+
+
+class AdmissionError(Exception):
+    """Raised when a query cannot be admitted (too big, or timed out)."""
+
+
+def _dtype_bytes(data_type: int) -> int:
+    try:
+        item = np.dtype(mdt.numpy_dtype(data_type)).itemsize
+    except ValueError:
+        item = 4
+    return item * mdt.lanes(data_type) + 1  # +1 validity byte per row
+
+
+def device_memory_budget(utilization: float = 0.95) -> int:
+    """Usable device bytes: `ARES_DEVICE_MEMORY` env override, else the
+    backend's reported limit, else 16 GiB (v5e-class HBM)."""
+    env = os.environ.get("ARES_DEVICE_MEMORY")
+    if env:
+        total = int(env)
+    else:
+        total = 0
+        try:
+            import jax
+
+            stats = jax.local_devices()[0].memory_stats() or {}
+            total = int(stats.get("bytes_limit", 0))
+        except Exception:  # noqa: BLE001 — CPU/older backends lack stats
+            total = 0
+        if total <= 0:
+            total = 16 << 30
+    if not (0.0 < utilization <= 1.0):
+        utilization = 0.95
+    return int(total * utilization)
+
+
+def estimate_query_memory(plan, memstore) -> int:
+    """Per-query device-memory estimate from the compiled plan and the
+    staged column footprint (aql_processor.go:985).
+
+    max over batches of (rows × bytes/row of used columns), × pipeline
+    factor, + foreign tables staged whole, + per-dim/measure intermediates.
+    """
+    if (plan.measure is not None and not plan.is_non_agg
+            and plan.measure.agg == "hll"):
+        return HLL_QUERY_REQUIRED_BYTES
+
+    schema = plan.main_schema
+    bytes_per_row = sum(
+        _dtype_bytes(schema.table.columns[cid].data_type)
+        for cid in plan.used_columns
+        if cid < len(schema.table.columns))
+    # intermediate vectors: dim values + measure + mask per row (f32-ish)
+    bytes_per_row += (len(plan.dimensions) + 2) * 5
+
+    max_batch_rows = 0
+    for shard_id in (plan.shards or [0]):
+        try:
+            shard = memstore.get_table_shard(schema.table.name, shard_id)
+        except KeyError:
+            continue
+        live = shard.live_store
+        with live.lock:
+            for bid in live.get_batch_ids():
+                b = live.batches.get(bid)
+                if b is not None:
+                    max_batch_rows = max(max_batch_rows, live.batch_size)
+        if schema.table.is_fact_table:
+            version = shard.archive_store.get_current_version()
+            for b in list(version.batches.values()):
+                max_batch_rows = max(max_batch_rows, b.size)
+
+    total = max_batch_rows * bytes_per_row * PIPELINE_FACTOR
+
+    # foreign (joined) tables are staged whole
+    for ft in plan.foreign_tables:
+        fschema = ft.schema
+        frows = 0
+        try:
+            fshard = memstore.get_table_shard(fschema.table.name, 0)
+            flive = fshard.live_store
+            with flive.lock:
+                frows = sum(flive.visible_rows_in_batch(bid)
+                            for bid in flive.get_batch_ids())
+        except KeyError:
+            pass
+        fbytes = sum(_dtype_bytes(c.data_type)
+                     for c in fschema.table.columns if not c.deleted)
+        total += frows * fbytes
+    return int(total)
+
+
+class DeviceMemoryManager:
+    """Byte-budget admission gate for the process's accelerator.
+
+    reserve() blocks (FIFO via Condition broadcast) until the estimate fits
+    or `timeout` elapses; over-budget estimates fail fast. Mirrors
+    device_manager.go FindDevice/ReleaseMemory.
+    """
+
+    def __init__(self, total_bytes: Optional[int] = None,
+                 utilization: float = 0.95,
+                 default_timeout: float = 30.0):
+        self.budget = (int(total_bytes * utilization)
+                       if total_bytes is not None
+                       else device_memory_budget(utilization))
+        self.default_timeout = default_timeout
+        self.in_use = 0
+        self.running = 0
+        self.waiting = 0
+        self._cond = threading.Condition()
+
+    def reserve(self, nbytes: int, timeout: Optional[float] = None) -> None:
+        if nbytes > self.budget:
+            raise AdmissionError(
+                f"query requires ~{nbytes >> 20} MiB device memory; "
+                f"budget is {self.budget >> 20} MiB")
+        if timeout is None or timeout <= 0:
+            timeout = self.default_timeout
+        start = time.perf_counter()
+        deadline = start + timeout
+        with self._cond:
+            while self.in_use + nbytes > self.budget:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    M.root().count(M.QUERY_FAILED, 1)
+                    raise AdmissionError(
+                        f"timed out after {timeout:.0f}s waiting for "
+                        f"{nbytes >> 20} MiB of device memory "
+                        f"({self.in_use >> 20} MiB in use by "
+                        f"{self.running} queries)")
+                self.waiting += 1
+                try:
+                    self._cond.wait(remaining)
+                finally:
+                    self.waiting -= 1
+            self.in_use += nbytes
+            self.running += 1
+        M.root().record_timer(M.QUERY_WAIT_FOR_MEMORY,
+                              time.perf_counter() - start)
+
+    def release(self, nbytes: int) -> None:
+        with self._cond:
+            self.in_use = max(0, self.in_use - nbytes)
+            self.running = max(0, self.running - 1)
+            self._cond.notify_all()
+
+    def stats(self) -> dict:
+        with self._cond:
+            return {"budgetBytes": self.budget, "inUseBytes": self.in_use,
+                    "running": self.running, "waiting": self.waiting}

@@ -35,6 +35,16 @@ from aresdb_tpu.query.kernels import GLOBAL_KERNEL_CACHE, round_up_pow2
 
 DEFAULT_GROUP_CAPACITY = 4096
 MAX_GROUP_CAPACITY = 1 << 22
+
+
+def _check_deadline(plan) -> None:
+    """Per-batch query-timeout check (reference: QueryConfig timeouts —
+    the wait-for-device timeout plus per-query cancellation)."""
+    import time as _time
+
+    dl = getattr(plan, "deadline", None)
+    if dl and _time.time() > dl:
+        raise QueryError("query timed out")
 DEVICE_CACHE_BYTES = 4 << 30  # HBM residency budget for staged columns
 
 
@@ -384,6 +394,7 @@ class ShardExecutor:
                             continue
                         if plan.to_ts and tmin >= plan.to_ts:
                             continue
+            _check_deadline(plan)
             yield self._stage_live_batch(schema, batch, n, used, stat_keys) \
                 + (live_cutoff,)
 
@@ -392,6 +403,7 @@ class ShardExecutor:
             day_ids = version.get_batch_ids_for_range(
                 plan.from_ts or 0, plan.to_ts or 0)
             for day in day_ids:
+                _check_deadline(plan)
                 ab = version.request_batch(day)
                 staged = self._stage_archive_batch(schema, ab, used, stat_keys,
                                                    plan)

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List
 
+from aresdb_tpu.query.admission import AdmissionError
 from aresdb_tpu.query.aql import AQLQuery
 from aresdb_tpu.query.compiler import Compiler, QueryError
 from aresdb_tpu.query.executor import ShardExecutor
@@ -15,10 +16,19 @@ from aresdb_tpu.query.postprocess import build_agg_result, build_non_agg_result
 
 
 class QueryService:
-    def __init__(self, memstore, timezone_table: str = ""):
+    def __init__(self, memstore, timezone_table: str = "",
+                 device_manager=None, admission_timeout: float = -1,
+                 query_timeout: float = 0):
+        """device_manager: optional DeviceMemoryManager admission gate
+        (query/device_manager.go FindDeviceForQuery). admission_timeout:
+        seconds to wait for device memory (device_choosing_timeout).
+        query_timeout: per-query execution deadline in seconds (0 = off)."""
         self.memstore = memstore
         self.timezone_table = timezone_table
         self.executor = ShardExecutor(memstore)
+        self.device_manager = device_manager
+        self.admission_timeout = admission_timeout
+        self.query_timeout = query_timeout
 
     def handle_aql(self, request: Dict[str, Any]) -> Dict[str, Any]:
         """Process an AQLRequest JSON dict; returns AQLResponse-shaped dict."""
@@ -34,7 +44,7 @@ class QueryService:
                 results.append(result)
                 errors.append(None)
                 contexts.append(plan.stats)
-            except (QueryError, KeyError, ValueError) as e:
+            except (QueryError, AdmissionError, KeyError, ValueError) as e:
                 results.append({})
                 errors.append(str(e))
                 contexts.append(None)
@@ -64,9 +74,10 @@ class QueryService:
                     raise QueryError(
                         "expect hll aggregate function when Accept is "
                         "application/hll")
-                table, _ = self.executor.execute(plan)
+                with self._admit(plan):
+                    table, _ = self.executor.execute(plan)
                 out.write_result(W.serialize_result_table(plan, table))
-            except (QueryError, KeyError, ValueError) as e:
+            except (QueryError, AdmissionError, KeyError, ValueError) as e:
                 out.write_error(str(e))
         return out.get_bytes()
 
@@ -81,7 +92,7 @@ class QueryService:
             try:
                 results.append(self.handle_query(parse_sql(stmt)))
                 errors.append(None)
-            except (QueryError, SQLParseError, KeyError, ValueError) as e:
+            except (QueryError, AdmissionError, SQLParseError, KeyError, ValueError) as e:
                 results.append({})
                 errors.append(str(e))
                 had_error = True
@@ -93,6 +104,32 @@ class QueryService:
     def handle_query(self, q: AQLQuery) -> Dict[str, Any]:
         return self._run(q)[0]
 
+    def _admit(self, plan):
+        """Reserve device memory for the plan's estimated footprint, for
+        the duration of execution (FindDeviceForQuery + deferred release).
+        Also stamps the query deadline. No-op without a device manager."""
+        import contextlib
+        import time as _time
+
+        if self.query_timeout > 0:
+            plan.deadline = _time.time() + self.query_timeout
+        if self.device_manager is None:
+            return contextlib.nullcontext()
+
+        from aresdb_tpu.query.admission import estimate_query_memory
+
+        reserved = estimate_query_memory(plan, self.memstore)
+        plan.memory_required = reserved
+        self.device_manager.reserve(reserved, timeout=self.admission_timeout)
+
+        @contextlib.contextmanager
+        def _held():
+            try:
+                yield
+            finally:
+                self.device_manager.release(reserved)
+        return _held()
+
     def _run(self, q: AQLQuery):
         import time as _time
 
@@ -101,8 +138,11 @@ class QueryService:
         t0 = _time.perf_counter()
         plan = compiler.compile(q)
         compile_s = _time.perf_counter() - t0
-        table, rows = self.executor.execute(plan)
+        with self._admit(plan):
+            table, rows = self.executor.execute(plan)
         plan.stats["compile"] = compile_s
+        if getattr(plan, "memory_required", None) is not None:
+            plan.stats["memoryRequired"] = plan.memory_required
         t0 = _time.perf_counter()
         if plan.is_non_agg:
             result = build_non_agg_result(plan, rows)

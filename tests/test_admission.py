@@ -1,0 +1,190 @@
+"""Query admission control tests.
+
+Parity targets: query/device_manager_test.go (FindDevice blocks until
+memory frees, times out, rejects over-budget queries) and
+aql_processor.go:985 calculateMemoryRequirement.
+"""
+
+import threading
+import time
+
+NOW = int(time.time())
+
+import pytest
+
+from aresdb_tpu.common import data_types as dt
+from aresdb_tpu.common.schema import Table
+from aresdb_tpu.common.upsert_batch import UpsertBatch, UpsertBatchBuilder
+from aresdb_tpu.diskstore.local_diskstore import LocalDiskStore
+from aresdb_tpu.memstore.memstore import MemStore
+from aresdb_tpu.metastore.disk_metastore import DiskMetaStore
+from aresdb_tpu.query.admission import (AdmissionError, DeviceMemoryManager,
+                                        estimate_query_memory)
+from aresdb_tpu.query.aql import AQLQuery
+from aresdb_tpu.query.compiler import Compiler
+from aresdb_tpu.query.service import QueryService
+
+FACT_SCHEMA = {
+    "name": "trips",
+    "columns": [
+        {"name": "request_at", "type": "Uint32"},
+        {"name": "id", "type": "Uint32"},
+        {"name": "fare", "type": "Float32"},
+    ],
+    "primaryKeyColumns": [1],
+    "isFactTable": True,
+    "config": {"batchSize": 64, "recordRetentionInDays": 0},
+}
+
+
+def make_store(root, n=100):
+    ms = MemStore(DiskMetaStore(root), LocalDiskStore(root))
+    ms.create_table(Table.from_json(FACT_SCHEMA))
+    ms.init_shards()
+    b = UpsertBatchBuilder()
+    b.add_column(0, dt.Uint32)
+    b.add_column(1, dt.Uint32)
+    b.add_column(2, dt.Float32)
+    for i in range(n):
+        b.add_row()
+        b.set_value(i, 0, NOW - 1000 + i)
+        b.set_value(i, 1, i)
+        b.set_value(i, 2, float(i))
+    ms.handle_ingestion("trips", 0, UpsertBatch(b.to_bytes()))
+    return ms
+
+
+COUNT_Q = {
+    "table": "trips",
+    "measures": [{"sqlExpression": "count(*)"}],
+    "timeFilter": {"column": "request_at", "from": "24 hours ago"},
+}
+
+
+# ---------------------------------------------------------------------------
+# estimator
+# ---------------------------------------------------------------------------
+
+def test_estimate_positive_and_scales(tmp_root):
+    ms = make_store(tmp_root)
+    plan = Compiler(ms.get_schemas()).compile(AQLQuery.from_json(COUNT_Q))
+    est = estimate_query_memory(plan, ms)
+    assert est > 0
+    # more used columns -> bigger estimate
+    q2 = dict(COUNT_Q)
+    q2["measures"] = [{"sqlExpression": "sum(fare)"}]
+    q2["dimensions"] = [{"sqlExpression": "id"}]
+    plan2 = Compiler(ms.get_schemas()).compile(AQLQuery.from_json(q2))
+    assert estimate_query_memory(plan2, ms) > est
+
+
+def test_estimate_hll_fixed(tmp_root):
+    ms = make_store(tmp_root)
+    q = dict(COUNT_Q)
+    q["measures"] = [{"sqlExpression": "countDistinctHLL(id)"}]
+    plan = Compiler(ms.get_schemas()).compile(AQLQuery.from_json(q))
+    from aresdb_tpu.query.admission import HLL_QUERY_REQUIRED_BYTES
+
+    assert estimate_query_memory(plan, ms) == HLL_QUERY_REQUIRED_BYTES
+
+
+# ---------------------------------------------------------------------------
+# reservation gate
+# ---------------------------------------------------------------------------
+
+def test_over_budget_rejected_immediately():
+    mgr = DeviceMemoryManager(total_bytes=1000, utilization=1.0)
+    t0 = time.perf_counter()
+    with pytest.raises(AdmissionError, match="budget"):
+        mgr.reserve(2000, timeout=30)
+    assert time.perf_counter() - t0 < 1.0  # FindDevice early-exit, no wait
+
+
+def test_reserve_blocks_until_release():
+    mgr = DeviceMemoryManager(total_bytes=1000, utilization=1.0)
+    mgr.reserve(800)
+    order = []
+
+    def second():
+        mgr.reserve(800, timeout=10)
+        order.append("admitted")
+        mgr.release(800)
+
+    t = threading.Thread(target=second)
+    t.start()
+    time.sleep(0.2)
+    assert order == []          # still waiting
+    assert mgr.stats()["waiting"] == 1
+    mgr.release(800)
+    t.join(timeout=5)
+    assert order == ["admitted"]
+    assert mgr.stats()["inUseBytes"] == 0
+
+
+def test_reserve_timeout():
+    mgr = DeviceMemoryManager(total_bytes=1000, utilization=1.0)
+    mgr.reserve(900)
+    with pytest.raises(AdmissionError, match="timed out"):
+        mgr.reserve(900, timeout=0.2)
+    mgr.release(900)
+
+
+def test_concurrent_oversized_queries_serialize(tmp_root):
+    """N queries each estimated at > budget/2 must queue, not fail: the
+    gate admits them one at a time (device_manager.go FindDevice wait)."""
+    ms = make_store(tmp_root)
+    plan = Compiler(ms.get_schemas()).compile(AQLQuery.from_json(COUNT_Q))
+    est = estimate_query_memory(plan, ms)
+    mgr = DeviceMemoryManager(total_bytes=int(est * 1.5), utilization=1.0,
+                              default_timeout=30)
+    svc = QueryService(ms, device_manager=mgr)
+    peak = []
+    results = []
+
+    def run():
+        r = svc.handle_aql({"queries": [COUNT_Q]})
+        peak.append(mgr.stats()["running"])
+        results.append(r)
+
+    threads = [threading.Thread(target=run) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert len(results) == 4
+    for r in results:
+        assert "errors" not in r, r
+        assert sum(r["results"][0].values()) == 100
+    assert max(peak) <= 1  # never two of these in flight together
+    assert mgr.stats()["inUseBytes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# query deadline
+# ---------------------------------------------------------------------------
+
+def test_query_timeout_expired(tmp_root):
+    ms = make_store(tmp_root)
+    svc = QueryService(ms, query_timeout=1e-9)  # expires before first batch
+    r = svc.handle_aql({"queries": [COUNT_Q]})
+    assert r.get("errors") and "timed out" in r["errors"][0]
+
+
+def test_query_timeout_generous_passes(tmp_root):
+    ms = make_store(tmp_root)
+    svc = QueryService(ms, query_timeout=300)
+    r = svc.handle_aql({"queries": [COUNT_Q]})
+    assert "errors" not in r
+    assert sum(r["results"][0].values()) == 100
+
+
+def test_admission_released_on_query_error(tmp_root):
+    ms = make_store(tmp_root)
+    mgr = DeviceMemoryManager(total_bytes=1 << 40, utilization=1.0)
+    svc = QueryService(ms, device_manager=mgr)
+    bad = dict(COUNT_Q)
+    bad["measures"] = [{"sqlExpression": "sum(no_such_col)"}]
+    r = svc.handle_aql({"queries": [bad]})
+    assert r.get("errors")
+    assert mgr.stats()["inUseBytes"] == 0
+    assert mgr.stats()["running"] == 0
