@@ -96,6 +96,22 @@ class Connector:
                update_modes: Optional[Sequence[int]] = None,
                shard_id: int = 0) -> Dict[str, int]:
         """Insert rows; returns ingestion stats from the server."""
+        payload = self.build_batch(table_name, column_names, rows,
+                                   update_modes)
+        resp = self.session.post(
+            f"http://{self.host}:{self.port}/data/{table_name}/{shard_id}",
+            data=payload,
+            headers={"Content-Type": "application/octet-stream"})
+        if resp.status_code != 200:
+            raise ConnectorError(f"ingestion failed: {resp.text}")
+        return resp.json()
+
+    def build_batch(self, table_name: str, column_names: Sequence[str],
+                    rows: Sequence[Sequence[Any]],
+                    update_modes: Optional[Sequence[int]] = None) -> bytes:
+        """Build the upsert-batch wire bytes without posting them —
+        shared by HTTP ingestion and the Kafka sink (which produces the
+        same bytes to the redolog topic, sink/kafka.go:46)."""
         if not column_names:
             raise ConnectorError("no columns")
         table = self.schema.table(table_name)
@@ -156,13 +172,7 @@ class Connector:
                 col = table.columns[col_ids[column_names[ci]]]
                 b.set_value(r_i, ci, self._convert(table_name, col, value))
 
-        resp = self.session.post(
-            f"http://{self.host}:{self.port}/data/{table_name}/{shard_id}",
-            data=b.to_bytes(),
-            headers={"Content-Type": "application/octet-stream"})
-        if resp.status_code != 200:
-            raise ConnectorError(f"ingestion failed: {resp.text}")
-        return resp.json()
+        return b.to_bytes()
 
     def insert_columns(self, table_name: str, columns: Dict[str, "np.ndarray"],
                        validity: Optional[Dict[str, "np.ndarray"]] = None,

@@ -23,11 +23,13 @@ from aresdb_tpu.redolog.manager import RedoLogManagerMaster
 
 class MemStore:
     def __init__(self, metastore: DiskMetaStore, diskstore: LocalDiskStore,
-                 total_memory_bytes: int = 0, redo_log_config=None):
+                 total_memory_bytes: int = 0, redo_log_config=None,
+                 kafka_transport=None, namespace: str = ""):
         self.metastore = metastore
         self.diskstore = diskstore
         self.redolog_master = RedoLogManagerMaster(
-            diskstore, metastore, redo_log_config)
+            diskstore, metastore, redo_log_config,
+            transport=kafka_transport, namespace=namespace)
         self.schemas: Dict[str, TableSchema] = {}
         self.shards: Dict[Tuple[str, int], TableShard] = {}
         self.host_memory_manager = HostMemoryManager(self, total_memory_bytes)
@@ -170,6 +172,10 @@ class MemStore:
                 shard.redolog_manager.update_max_event_time(max_et, rf)
             replayed += 1
         shard.live_store.advance_last_read_record()
+        # kafka-backed managers keep consuming the topic after replay
+        # (reference ingestion half of the kafka Iterator)
+        if hasattr(shard.redolog_manager, "start_streaming"):
+            shard.redolog_manager.start_streaming(shard)
 
     def _load_snapshot(self, shard: TableShard, redo_file: int,
                        offset: int) -> None:

@@ -150,6 +150,28 @@ class DiskMetaStore:
         rf, off = raw.split(",")
         return int(rf), int(off)
 
+    def update_kafka_commit_offset(self, table: str, shard: int,
+                                   offset: int) -> None:
+        """Last consumed kafka offset (reference metastore
+        UpdateRedoLogCommitOffset, metastore/common/types.go:80)."""
+        self._write_shard(table, shard, "kafka-commit-offset",
+                          str(offset).encode())
+
+    def get_kafka_commit_offset(self, table: str, shard: int) -> int:
+        return int(self._read_shard(table, shard, "kafka-commit-offset",
+                                    b"0"))
+
+    def update_kafka_checkpoint_offset(self, table: str, shard: int,
+                                       offset: int) -> None:
+        """First kafka offset NOT yet covered by archive/backfill progress
+        (UpdateRedoLogCheckpointOffset, types.go:86)."""
+        self._write_shard(table, shard, "kafka-checkpoint-offset",
+                          str(offset).encode())
+
+    def get_kafka_checkpoint_offset(self, table: str, shard: int) -> int:
+        return int(self._read_shard(table, shard, "kafka-checkpoint-offset",
+                                    b"0"))
+
     def update_snapshot_progress(self, table: str, shard: int, redo_file: int,
                                  offset: int, batch_id: int, index: int) -> None:
         self._write_shard(table, shard, "snapshot",

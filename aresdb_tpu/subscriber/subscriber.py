@@ -91,16 +91,44 @@ class FileConsumer(Consumer):
         self._f.close()
 
 
-class KafkaConsumer(Consumer):
-    """Gated: requires the confluent-kafka client (not in this image)."""
+class TransportConsumer(Consumer):
+    """Kafka consumer logic over the injectable transport
+    (`redolog/kafka.py`) — offset tracking, committed-offset resume,
+    poll batching. Tests drive it with FakeKafkaBroker; production wraps
+    ConfluentKafkaTransport (subscriber/common/consumer/kafka/kafka.go:66).
+    """
 
-    def __init__(self, brokers: List[str], topic: str, group: str):
-        try:
-            import confluent_kafka  # noqa: F401
-        except ImportError as e:
-            raise RuntimeError(
-                "Kafka support requires the confluent-kafka package, which "
-                "is not installed in this environment") from e
+    def __init__(self, transport, topic: str, partition: int = 0,
+                 start_offset: int = 0):
+        self.transport = transport
+        self.topic = topic
+        self.partition = partition
+        self._pos = start_offset
+        self.committed: Dict[int, int] = {}
+
+    def poll(self, max_messages: int, timeout: float) -> List[Message]:
+        msgs = self.transport.fetch(self.topic, self.partition, self._pos,
+                                    max_messages=max_messages,
+                                    timeout=timeout)
+        out = [Message(key=b"", value=v, topic=self.topic,
+                       partition=self.partition, offset=o)
+               for o, v in msgs]
+        if out:
+            self._pos = out[-1].offset + 1
+        return out
+
+    def commit(self, offsets: Dict[int, int]) -> None:
+        self.committed.update(offsets)
+
+
+def KafkaConsumer(brokers: List[str], topic: str, group: str
+                  ) -> TransportConsumer:
+    """Real-client consumer: the same TransportConsumer logic over the
+    confluent adapter (constructing it raises a clear error when the
+    client library is absent, mirroring the sarama gate)."""
+    from aresdb_tpu.redolog.kafka import ConfluentKafkaTransport
+
+    return TransportConsumer(ConfluentKafkaTransport(brokers), topic)
 
 
 # ---------------------------------------------------------------------------
@@ -217,6 +245,47 @@ class AresSink:
                 rules.table, rules.columns, shard_rows,
                 update_modes=rules.update_modes, shard_id=sid)
             total += stats.get("inserted", 0) + stats.get("updated", 0)
+        return total
+
+
+class KafkaSink:
+    """Publishes upsert batches to the per-table redolog topic instead of
+    posting over HTTP (reference subscriber/common/sink/kafka.go:46) —
+    the datanode's KafkaRedoLogManager consumes them as its WAL.
+
+    Batch bytes come from the same Connector.build_batch used for HTTP
+    ingestion, so both sinks emit the identical wire format; partition =
+    shard (sink.go Shard()).
+    """
+
+    def __init__(self, connector, transport, namespace: str = "",
+                 num_shards: int = 1,
+                 pk_positions: Optional[List[int]] = None):
+        from aresdb_tpu.redolog.kafka import redolog_topic as _topic
+
+        self.connector = connector
+        self.transport = transport
+        self.namespace = namespace
+        self.num_shards = num_shards
+        self.pk_positions = pk_positions or [0]
+        self._topic_fn = _topic
+
+    def save(self, rules: JobRules, rows: List[List[Any]]) -> int:
+        if not rows:
+            return 0
+        by_shard: Dict[int, List[List[Any]]] = {}
+        for row in rows:
+            sid = shard_of([row[i] for i in self.pk_positions],
+                           self.num_shards)
+            by_shard.setdefault(sid, []).append(row)
+        topic = self._topic_fn(self.namespace, rules.table)
+        total = 0
+        for sid, shard_rows in by_shard.items():
+            payload = self.connector.build_batch(
+                rules.table, rules.columns, shard_rows,
+                update_modes=rules.update_modes)
+            self.transport.produce(topic, sid, payload)
+            total += len(shard_rows)
         return total
 
 
