@@ -229,12 +229,32 @@ class Compiler:
         _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
         cand: Dict[int, List[tuple]] = {}
         for f in cq.filters:
+            # bool sort column used directly / negated counts as an
+            # equality prefilter (reference matchPrefilters bool case)
+            if isinstance(f, E.VarRef) and f.table_id == 0 and \
+                    f.data_type == mdt.Bool and f.column_id >= 0:
+                cand.setdefault(f.column_id, []).append(("=", 1))
+                continue
+            if isinstance(f, E.UnaryExpr) and f.op in ("NOT", "IS_FALSE") \
+                    and isinstance(f.expr, E.VarRef) \
+                    and f.expr.table_id == 0 \
+                    and f.expr.data_type == mdt.Bool \
+                    and f.expr.column_id >= 0:
+                cand.setdefault(f.expr.column_id, []).append(("=", 0))
+                continue
             if not isinstance(f, E.BinaryExpr) or \
                     f.op not in ("=", "<", "<=", ">", ">="):
                 continue
             lhs, rhs, op = f.lhs, f.rhs, f.op
-            if isinstance(lhs, E.NumberLiteral) and isinstance(rhs, E.VarRef):
+            if isinstance(lhs, (E.NumberLiteral, E.BooleanLiteral)) and \
+                    isinstance(rhs, E.VarRef):
                 lhs, rhs, op = rhs, lhs, _FLIP.get(op, op)
+            if op == "=" and isinstance(lhs, E.VarRef) and \
+                    isinstance(rhs, E.BooleanLiteral) and \
+                    lhs.table_id == 0 and lhs.column_id >= 0:
+                cand.setdefault(lhs.column_id, []).append(
+                    ("=", int(bool(rhs.val))))
+                continue
             if not (isinstance(lhs, E.VarRef) and
                     isinstance(rhs, E.NumberLiteral)):
                 continue
@@ -469,6 +489,7 @@ class Compiler:
                 if ed is not None:
                     node.enum_dict = ed.str_to_rank
                     node.enum_reverse_dict = ed.rank_to_str
+                    node.enum_ci = ed.case_insensitive
             return node
 
         e = E.transform(e, resolve_var)
@@ -567,7 +588,8 @@ class Compiler:
 
     @staticmethod
     def _translate_enum_literal(var: E.VarRef, lit: E.StringLiteral) -> None:
-        rank = var.enum_dict.get(lit.val)
+        key = lit.val.lower() if var.enum_ci else lit.val
+        rank = var.enum_dict.get(key)
         # unknown enum values get an out-of-range rank so equality never
         # matches (reference Rewrite translates unknown enums similarly)
         lit.type = E.UNSIGNED

@@ -111,6 +111,7 @@ class VarRef(Expr):
     data_type: int = 0      # memstore data type code
     enum_dict: Optional[dict] = None       # str -> rank (for enum columns)
     enum_reverse_dict: Optional[list] = None
+    enum_ci: bool = False                  # case-insensitive enum column
 
     def __str__(self) -> str:
         return self.val
