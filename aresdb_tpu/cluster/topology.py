@@ -79,11 +79,15 @@ class DynamicTopology:
     def __init__(self, controller_address: str, namespace: str,
                  kind: str = "datanode", poll_seconds: float = 5.0,
                  session=None):
-        self.base = f"http://{controller_address}"
+        from aresdb_tpu.cluster.failover import (
+            FailoverSession, parse_addresses)
+
+        addresses = parse_addresses(controller_address)
+        self.base = f"http://{addresses[0]}"
         self.namespace = namespace
         self.kind = kind
         self.poll_seconds = poll_seconds
-        self.session = session or requests.Session()
+        self.session = session or FailoverSession(addresses)
         self._view = TopologyView(num_shards=0)
         self._lock = threading.RLock()
         self._stop = threading.Event()

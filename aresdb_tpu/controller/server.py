@@ -19,8 +19,19 @@ from aresdb_tpu.controller.state import ControllerState, Instance, JobConfig
 
 
 class _Base(tornado.web.RequestHandler):
-    def initialize(self, state: ControllerState):
+    def initialize(self, state: ControllerState, elector=None):
         self.state = state
+        self.elector = elector
+
+    def prepare(self):
+        # HA mode: only the lease holder serves; followers answer 503 with
+        # the leader's address so FailoverSession retries there (reference
+        # leader_elector.go — only the elected controller runs tasks)
+        if self.elector is not None and not self.elector.is_leader:
+            lease = self.elector.current_leader()
+            self.write_json(
+                {"message": "not leader",
+                 "leader": lease["address"] if lease else None}, 503)
 
     def write_json(self, obj, status: int = 200):
         self.set_status(status)
@@ -232,9 +243,31 @@ class AssignmentHandler(_Base):
         self.guard(run)
 
 
-def make_app(state: ControllerState) -> tornado.web.Application:
-    a = {"state": state}
+class LeaderHandler(_Base):
+    """Election status — served by leaders AND followers."""
+
+    def prepare(self):
+        pass
+
+    def get(self):
+        e = self.elector
+        if e is None:
+            self.write_json({"mode": "single", "isLeader": True})
+            return
+        lease = e.current_leader()
+        self.write_json({
+            "mode": "ha",
+            "isLeader": e.is_leader,
+            "name": e.name,
+            "epoch": e.epoch,
+            "leader": lease["address"] if lease else None,
+        })
+
+
+def make_app(state: ControllerState, elector=None) -> tornado.web.Application:
+    a = {"state": state, "elector": elector}
     return tornado.web.Application([
+        (r"/leader", LeaderHandler, a),
         (r"/namespaces", NamespacesHandler, a),
         (r"/schema/([^/]+)/tables", SchemaHandler, a),
         (r"/schema/([^/]+)/hash", SchemaHashHandler, a),
@@ -257,9 +290,22 @@ def make_app(state: ControllerState) -> tornado.web.Application:
 
 class ControllerServer:
     def __init__(self, state: Optional[ControllerState] = None, port: int = 0,
-                 root_path: Optional[str] = None):
+                 root_path: Optional[str] = None, *,
+                 instance_name: str = "", advertise: str = "",
+                 elect: bool = False, lease_ttl: float = 3.0):
         self.state = state or ControllerState(root_path)
-        self.app = make_app(self.state)
+        self.elector = None
+        if elect:
+            from aresdb_tpu.controller.election import LeaderElector
+
+            if not self.state.root_path:
+                raise ValueError("HA election requires a shared root_path")
+            # a follower promoted to leader must pick up the previous
+            # leader's persisted mutations before serving
+            self.elector = LeaderElector(
+                self.state.root_path, instance_name or advertise, advertise,
+                ttl=lease_ttl, on_elected=self.state.reload)
+        self.app = make_app(self.state, self.elector)
         self.port = port
         self._loop = None
         self._thread = None
@@ -276,8 +322,8 @@ class ControllerServer:
             self._loop = tornado.ioloop.IOLoop.current()
             sockets = tornado.netutil.bind_sockets(self.port)
             self.port = sockets[0].getsockname()[1]
-            server = tornado.httpserver.HTTPServer(self.app)
-            server.add_sockets(sockets)
+            self._httpserver = tornado.httpserver.HTTPServer(self.app)
+            self._httpserver.add_sockets(sockets)
             self._started.set()
             self._loop.start()
 
@@ -285,10 +331,23 @@ class ControllerServer:
                                         name="ares-controller")
         self._thread.start()
         self._started.wait(timeout=10)
+        if self.elector is not None:
+            if not self.elector.address:
+                self.elector.address = f"localhost:{self.port}"
+            self.elector.start()
         return self.port
 
     def stop(self):
+        if self.elector is not None:
+            self.elector.stop()
         if self._loop is not None:
-            self._loop.add_callback(self._loop.stop)
+            def shutdown():
+                # close listening sockets too, or the port keeps accepting
+                # connections that nothing will ever serve
+                if getattr(self, "_httpserver", None) is not None:
+                    self._httpserver.stop()
+                self._loop.stop()
+
+            self._loop.add_callback(shutdown)
         if self._thread is not None:
             self._thread.join(timeout=5)

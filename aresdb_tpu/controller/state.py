@@ -96,6 +96,15 @@ class ControllerState:
         if root_path:
             self._load()
 
+    def reload(self) -> None:
+        """Re-read the disk snapshot, replacing in-memory state — called
+        when a follower is promoted to leader so it serves the previous
+        leader's persisted mutations."""
+        with self.lock:
+            if self.root_path:
+                self.namespaces = {}
+                self._load()
+
     # -- namespaces --
 
     def create_namespace(self, name: str) -> None:

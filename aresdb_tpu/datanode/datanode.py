@@ -26,13 +26,19 @@ class DataNode:
                  namespace: str, instance_name: str, host: str = "localhost",
                  port: int = 0, heartbeat_seconds: float = 5.0,
                  poll_seconds: float = 3.0, session=None):
+        from aresdb_tpu.cluster.failover import (
+            FailoverSession, parse_addresses)
+
         self.memstore = memstore
         self.scheduler = scheduler
-        self.controller = f"http://{controller_address}"
+        addresses = parse_addresses(controller_address)
+        self.controller = f"http://{addresses[0]}"
         self.namespace = namespace
         self.instance_name = instance_name
         self.host = host
-        self.session = session or requests.Session()
+        # failover across controller replicas (HA mode); single-address
+        # lists behave exactly like a plain session
+        self.session = session or FailoverSession(addresses)
         self.server = ApiServer(memstore, scheduler, port=port)
         self.topology = DynamicTopology(controller_address, namespace,
                                         poll_seconds=poll_seconds,

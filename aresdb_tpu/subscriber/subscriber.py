@@ -369,15 +369,17 @@ class SubscriberController:
     def __init__(self, controller_address: str, namespace: str, name: str,
                  make_processor: Callable[[Dict[str, Any]], StreamingProcessor],
                  poll_seconds: float = 5.0, session=None):
-        import requests
+        from aresdb_tpu.cluster.failover import (
+            FailoverSession, parse_addresses)
 
-        self.base = f"http://{controller_address}"
+        addresses = parse_addresses(controller_address)
+        self.base = f"http://{addresses[0]}"
         self.namespace = namespace
         self.name = name
         self.make_processor = make_processor
         self.driver = Driver()
         self.poll_seconds = poll_seconds
-        self.session = session or requests.Session()
+        self.session = session or FailoverSession(addresses)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
