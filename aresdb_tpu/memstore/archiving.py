@@ -5,11 +5,19 @@ createNewArchiveStoreVersion), memstore/merge.go (k-sorted merge with mode-3
 count compression), memstore/backfill.go, memstore/snapshot.go,
 memstore/purge.go.
 
-Design departure from the reference: instead of the 2-pass recursive
-k-sorted-column merge (merge.go:509 mergeRecursive), the whole day batch is
-rebuilt vectorized — expand base + concat patch + np.lexsort + run-length
-compress. This is O(n log n) numpy instead of hand-rolled merge, and the
-sorted/compressed output format is identical.
+Archive merge design (parity with merge.go's two-pass shape, vectorized):
+the base day batch is already sorted, so merging a day's patch never
+re-sorts the base. Pass 1 lexsorts the PATCH only, builds memcmp-orderable
+key bytes for both sides' SORT columns, and derives every row's merged
+position from two np.searchsorted calls (_merge_positions — ties keep base
+rows first, the reference merge's iteration order). Pass 2 materializes
+one column at a time (_StreamingDayMerge.merged_column), so transient
+memory is the patch + one expanded base column + the narrow key matrices
+instead of 2x the whole expanded base (merge.go:333,509). Run-length
+compression boundaries come from the merged key matrix and are identical
+to what a full re-sort would produce (differential-tested in
+tests/test_streaming_merge.py). Patch-only days (no base) still use the
+direct lexsort+compress path (_sort_and_compress).
 """
 
 from __future__ import annotations
@@ -73,9 +81,10 @@ def _gather_live_columns(shard, row_sel: List[Tuple[int, np.ndarray]],
     return out
 
 
-def _expand_archive_columns(batch, column_ids: List[int], schema):
+def _expand_archive_columns(batch, column_ids: List[int], schema,
+                            n_rows: Optional[int] = None):
     """Expanded (values, validity) per column of an archive batch ('' if empty)."""
-    n = 0
+    n = 0 if n_rows is None else n_rows
     vps = {}
     for cid in column_ids:
         vp = batch.request_column(cid) if batch is not None else None
@@ -169,6 +178,184 @@ def _sort_and_compress(columns: Dict[int, Tuple[np.ndarray, np.ndarray]],
     return out
 
 
+def _orderable_bytes(values: np.ndarray, validity: np.ndarray) -> np.ndarray:
+    """(n, w+1) uint8 whose memcmp order equals the archive sort order of
+    one sort-column lane: raw value ascending first, validity second
+    (matches _sort_and_compress's key construction exactly).
+
+    Signed ints flip the sign bit; floats use the IEEE total-order trick
+    (negatives bit-flipped, positives sign-bit set); everything lands in
+    big-endian unsigned so np.void memcmp == lexicographic compare.
+    """
+    v = np.ascontiguousarray(values)
+    n = len(v)
+    if v.dtype == np.bool_:
+        iv = v.astype(np.uint8)
+    elif v.dtype.kind == "f":
+        w = v.dtype.itemsize
+        v = v + v.dtype.type(0)  # -0.0 → +0.0: byte-equality == float ==
+        u = v.view(f"u{w}")
+        sign = np.uint64(1) << np.uint64(w * 8 - 1)
+        iv = np.where(u & u.dtype.type(sign), ~u, u | u.dtype.type(sign))
+    elif v.dtype.kind == "i":
+        w = v.dtype.itemsize
+        iv = (v.view(f"u{w}") ^ np.uint64(1 << (w * 8 - 1)).astype(f"u{w}"))
+    else:
+        iv = v
+    w = iv.dtype.itemsize
+    be = np.ascontiguousarray(iv.astype(f">u{w}")).view(np.uint8)
+    be = be.reshape(n, w)
+    out = np.empty((n, w + 1), np.uint8)
+    out[:, :w] = be
+    out[:, w] = validity.astype(np.uint8)
+    return out
+
+
+def _sort_key_matrix(columns: Dict[int, Tuple[np.ndarray, np.ndarray]],
+                     sort_cols: List[int]) -> np.ndarray:
+    """Concatenated orderable bytes over the sort columns — one (n, K)
+    uint8 matrix whose row-wise memcmp order is the archive sort order.
+    2-lane types contribute the high lane before the low lane (same
+    significance order as _sort_and_compress)."""
+    parts = []
+    for cid in sort_cols:
+        values, validity = columns[cid]
+        if values.ndim == 2:
+            parts.append(_orderable_bytes(values[:, 1], validity)[:, :-1])
+            parts.append(_orderable_bytes(values[:, 0], validity))
+        else:
+            parts.append(_orderable_bytes(values, validity))
+    return np.ascontiguousarray(np.concatenate(parts, axis=1))
+
+
+def _as_sortable_void(mat: np.ndarray) -> np.ndarray:
+    mat = np.ascontiguousarray(mat)
+    return mat.view(np.dtype((np.void, mat.shape[1]))).ravel()
+
+
+def _merge_positions(base_keys: np.ndarray, patch_keys: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Output row index for each base row and each (sorted) patch row when
+    merging two sorted runs; ties place base rows first (stable, matching
+    the reference merge's base-precedes-patch iteration, merge.go:333)."""
+    bk = _as_sortable_void(base_keys)
+    pk = _as_sortable_void(patch_keys)
+    base_pos = np.arange(len(bk), dtype=np.int64) + np.searchsorted(
+        pk, bk, side="left")
+    patch_pos = np.arange(len(pk), dtype=np.int64) + np.searchsorted(
+        bk, pk, side="right")
+    return base_pos, patch_pos
+
+
+class _StreamingDayMerge:
+    """Bounded-memory merge of a sorted base day batch with a day's patch.
+
+    The reference's two-pass trick (memstore/merge.go:333): pass 1 reads
+    only the SORT columns to compute the merged row placement; pass 2
+    materializes one column at a time. Peak transient memory is the patch
+    plus one expanded base column (+ the narrow key matrices), instead of
+    the whole expanded base times two that a full rebuild costs.
+    """
+
+    def __init__(self, base_batch, patch: Dict[int, tuple], n_patch: int,
+                 sort_cols: List[int], schema, dtypes: Dict[int, int]):
+        self.base_batch = base_batch
+        self.schema = schema
+        self.dtypes = dtypes
+        self.sort_cols = sort_cols
+        self.patch = patch
+        self.n_patch = n_patch
+
+        # pass 1a: sort the patch (patch-sized lexsort)
+        if sort_cols:
+            keys = []
+            for cid in sort_cols:
+                values, validity = patch[cid]
+                if values.ndim == 2:
+                    keys.append(values[:, 1])
+                    keys.append(values[:, 0])
+                else:
+                    keys.append(values)
+                keys.append(validity.astype(np.uint8))
+            self.order_p = np.lexsort(keys[::-1])
+        else:
+            self.order_p = np.arange(n_patch)
+
+        # pass 1b: placement from the sort columns only
+        base_sort_cols, self.n_base = _expand_archive_columns(
+            base_batch, sort_cols, schema,
+            n_rows=base_batch.size if base_batch is not None else 0)
+        if sort_cols:
+            base_keys = _sort_key_matrix(base_sort_cols, sort_cols)
+            patch_keys = _sort_key_matrix(
+                {c: (v[self.order_p], b[self.order_p])
+                 for c, (v, b) in ((c, patch[c]) for c in sort_cols)},
+                sort_cols)
+            self.base_pos, self.patch_pos = _merge_positions(
+                base_keys, patch_keys)
+            merged_keys = np.empty(
+                (self.n_base + n_patch, base_keys.shape[1]), np.uint8)
+            merged_keys[self.base_pos] = base_keys
+            merged_keys[self.patch_pos] = patch_keys
+        else:
+            self.base_pos = np.arange(self.n_base, dtype=np.int64)
+            self.patch_pos = self.n_base + np.arange(n_patch, dtype=np.int64)
+            merged_keys = None
+        self.n_total = self.n_base + n_patch
+
+        # run boundaries per sort column from the merged key matrix: the
+        # byte span of columns 0..k changes exactly where the (col_0..col_k)
+        # prefix changes — the same cumulative-prefix runs the full lexsort
+        # rebuild derives from re-sorted values
+        self.starts: Dict[int, np.ndarray] = {}
+        if sort_cols and self.n_total:
+            width = 0
+            change = np.zeros(self.n_total, bool)
+            change[0] = True
+            for cid in sort_cols:
+                values, _ = self.patch[cid]
+                # _sort_key_matrix widths: 1-lane = w+1 bytes (value +
+                # validity); 2-lane = w (hi) + w+1 (lo + validity)
+                w = values.dtype.itemsize
+                w_col = (2 * w + 1) if values.ndim == 2 else (w + 1)
+                change[1:] |= np.any(
+                    merged_keys[1:, width:width + w_col]
+                    != merged_keys[:-1, width:width + w_col], axis=1)
+                width += w_col
+                self.starts[cid] = np.nonzero(change)[0]
+        del merged_keys
+
+    def merged_column(self, cid: int) -> ArchiveVectorParty:
+        """Materialize ONE merged column (pass 2) and compress it if it is
+        a sort column."""
+        base_col, _ = _expand_archive_columns(
+            self.base_batch, [cid], self.schema, n_rows=self.n_base) \
+            if self.n_base else ({}, 0)
+        pv, pb = self.patch[cid]
+        pv = pv[self.order_p]
+        pb = pb[self.order_p]
+        if self.n_base:
+            bv, bb = base_col[cid]
+            out_v = np.zeros((self.n_total,) + bv.shape[1:], bv.dtype)
+            out_b = np.zeros(self.n_total, bool)
+            out_v[self.base_pos] = bv
+            out_b[self.base_pos] = bb
+        else:
+            out_v = np.zeros((self.n_total,) + pv.shape[1:], pv.dtype)
+            out_b = np.zeros(self.n_total, bool)
+        out_v[self.patch_pos] = pv
+        out_b[self.patch_pos] = pb
+        if cid in self.starts:
+            starts = self.starts[cid]
+            counts = np.zeros(len(starts) + 1, np.uint32)
+            counts[1:] = np.append(starts[1:], self.n_total)
+            return ArchiveVectorParty(
+                self.dtypes[cid], values=out_v[starts],
+                validity=out_b[starts], counts=counts)
+        return ArchiveVectorParty(self.dtypes[cid], values=out_v,
+                                  validity=out_b)
+
+
 class Archiver:
     """Runs archiving / backfill / snapshot / purge for one TableShard."""
 
@@ -233,35 +420,35 @@ class Archiver:
             patch = _gather_live_columns(shard, row_sel, all_cols)
             n_patch = sum(len(i) for _, i in row_sel)
             base_batch = version.batches.get(day)
-            base_cols, n_base = (
-                _expand_archive_columns(base_batch, all_cols, schema)
-                if base_batch is not None else ({}, 0))
-            merged = {}
-            for cid in all_cols:
-                pv, pb = patch[cid]
-                if n_base:
-                    bv, bb = base_cols[cid]
-                    merged[cid] = (np.concatenate([bv, pv]),
-                                   np.concatenate([bb, pb]))
-                else:
-                    merged[cid] = (pv, pb)
-            n_total = n_base + n_patch
-            vps = _sort_and_compress(merged, sort_cols, n_total, dtypes)
+            n_base = base_batch.size if base_batch is not None else 0
 
             old = version.batches.get(day)
             seq = (old.seq + 1) if (old is not None and
                                     old.version == new_cutoff) else 0
-            for cid, vp in vps.items():
+            n_total = n_base + n_patch
+            nb = ArchiveBatch(day, new_cutoff, seq, n_total,
+                              shard.archive_store)
+
+            def _emit(cid, vp):
                 self.diskstore.write_archive_column(
                     schema.table.name, shard.shard_id, day, new_cutoff, seq,
                     cid, vp.to_bytes())
+                nb.set_column(cid, vp)
+
+            if n_base:
+                # streaming two-pass merge: placement from sort columns,
+                # then one column materialized at a time (merge.go:333)
+                m = _StreamingDayMerge(base_batch, patch, n_patch,
+                                       sort_cols, schema, dtypes)
+                for cid in all_cols:
+                    _emit(cid, m.merged_column(cid))
+            else:
+                for cid, vp in _sort_and_compress(
+                        patch, sort_cols, n_patch, dtypes).items():
+                    _emit(cid, vp)
             self.metastore.add_archive_batch_version(
                 schema.table.name, shard.shard_id, day, new_cutoff, seq,
                 n_total)
-            nb = ArchiveBatch(day, new_cutoff, seq, n_total,
-                              shard.archive_store)
-            for cid, vp in vps.items():
-                nb.set_column(cid, vp)
             new_version.batches[day] = nb
             stats.days += 1
             stats.rows_archived += n_patch
