@@ -22,6 +22,7 @@ from dataclasses import asdict, dataclass, field
 from typing import Any, Dict, List, Optional
 
 from aresdb_tpu.common.schema import Table
+from aresdb_tpu.metastore.validator import validate_table
 from aresdb_tpu.utils.consistent_hashing import HashRing
 
 SHARD_INITIALIZING = "Initializing"
@@ -131,7 +132,7 @@ class ControllerState:
             n = self.ns(namespace)
             if table.name in n.tables:
                 raise ValueError(f"table {table.name!r} exists")
-            table.validate()
+            validate_table(table)
             n.tables[table.name] = table
             for col in table.columns:
                 if col.is_enum_column():
@@ -147,30 +148,11 @@ class ControllerState:
             n = self.ns(namespace)
             if table.name not in n.tables:
                 raise KeyError(f"unknown table {table.name!r}")
-            table.validate()
-            self._validate_update(n.tables[table.name], table)
+            validate_table(table, old=n.tables[table.name])
             table.version = n.tables[table.name].version + 1
             n.tables[table.name] = table
             n.bump_schema_hash()
             self._persist()
-
-    @staticmethod
-    def _validate_update(old: Table, new: Table) -> None:
-        """Safe schema evolution (reference metastore/validator.go:27)."""
-        if new.is_fact_table != old.is_fact_table:
-            raise ValueError("cannot change table type")
-        if new.primary_key_columns != old.primary_key_columns:
-            raise ValueError("cannot change primary key")
-        if len(new.columns) < len(old.columns):
-            raise ValueError("cannot remove columns (mark deleted instead)")
-        for i, oc in enumerate(old.columns):
-            nc = new.columns[i]
-            if oc.deleted and not nc.deleted:
-                raise ValueError(f"cannot undelete column {nc.name!r}")
-            if nc.name != oc.name or nc.type != oc.type:
-                if not oc.deleted:
-                    raise ValueError(
-                        f"cannot mutate column {i} ({oc.name!r})")
 
     def delete_table(self, namespace: str, name: str) -> None:
         with self.lock:

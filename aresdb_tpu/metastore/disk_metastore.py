@@ -49,8 +49,10 @@ class DiskMetaStore:
             if os.path.exists(os.path.join(self.root, t, "schema")))
 
     def create_table(self, table: Table) -> None:
+        from aresdb_tpu.metastore.validator import validate_table
+
         with self.lock:
-            table.validate()
+            validate_table(table)
             d = self._table_dir(table.name)
             if os.path.exists(os.path.join(d, "schema")):
                 raise ValueError(f"table {table.name!r} already exists")
@@ -61,11 +63,13 @@ class DiskMetaStore:
                 w(table)
 
     def update_table(self, table: Table) -> None:
+        from aresdb_tpu.metastore.validator import validate_table
+
         with self.lock:
-            table.validate()
             d = self._table_dir(table.name)
             if not os.path.exists(os.path.join(d, "schema")):
                 raise KeyError(f"table {table.name!r} does not exist")
+            validate_table(table, old=self.get_table(table.name))
             self._write(os.path.join(d, "schema"),
                         json.dumps(table.to_json()).encode())
             for w in self._schema_watchers:
