@@ -488,6 +488,12 @@ class HostMemoryDebugHandler(_Base):
         hmm = self.ctx.memstore.host_memory_manager
         self.write_json({
             "reserved": hmm.get_reserved_memory(),
+            "unmanaged": hmm.unmanaged_bytes,
+            "managed": hmm.managed_bytes,
+            "budget": hmm.total_memory_bytes,
+            # reference GetArchiveMemoryUsageByTableShard
+            # (host_memory_manager.go:271)
+            "usage": hmm.get_archive_memory_usage_by_table_shard(),
         })
 
 

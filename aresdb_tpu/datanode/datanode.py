@@ -109,8 +109,12 @@ class DataNode:
                     # present in metastore but not yet loaded
                     self.memstore.fetch_schema()
             elif existing.table.version < table.version:
+                old = existing.table
                 self.memstore.metastore.update_table(table)
                 existing.set_table(table)
+                hmm = self.memstore.host_memory_manager
+                if hmm is not None:
+                    hmm.handle_table_update(old, table)
             # sync enum dictionaries
             schema = self.memstore.get_schema(table.name)
             for col in table.columns:

@@ -39,21 +39,42 @@ class ArchiveBatch:
                     self.batch_id, self.version, self.seq, column_id)
                 if data is not None:
                     vp = ArchiveVectorParty.from_bytes(data)
-                    hmm = self.store.host_memory_manager
-                    if hmm is not None:
-                        hmm.report_managed_object(
-                            self.store.schema.table.name, self.store.shard_id,
-                            self.batch_id, column_id, vp.bytes_estimate())
-            self.columns[column_id] = vp
+            self.set_column(column_id, vp)
             return vp
+
+    def _report(self, column_id: int, nbytes: int) -> None:
+        """Account this column's host bytes with the HostMemoryManager.
+
+        All residency changes (lazy load, archiving set, eviction, purge)
+        flow through here so managed accounting can't drift (reference:
+        host_memory_manager.go ReportManagedObject callers)."""
+        hmm = self.store.host_memory_manager
+        if hmm is not None:
+            hmm.report_managed_object(
+                self.store.schema.table.name, self.store.shard_id,
+                self.batch_id, column_id, nbytes)
 
     def set_column(self, column_id: int, vp: Optional[ArchiveVectorParty]) -> None:
         with self.lock:
             self.columns[column_id] = vp
+        self._report(column_id, vp.bytes_estimate() if vp is not None else 0)
 
-    def evict_column(self, column_id: int) -> None:
+    def evict_column(self, column_id: int) -> bool:
+        """Drop one column; returns True if bytes were released."""
         with self.lock:
-            self.columns.pop(column_id, None)
+            present = self.columns.pop(column_id, None) is not None
+        if present:
+            self._report(column_id, 0)
+        return present
+
+    def release(self) -> None:
+        """Drop all loaded columns and zero their accounting (purge path)."""
+        with self.lock:
+            loaded = [cid for cid, vp in self.columns.items()
+                      if vp is not None]
+            self.columns.clear()
+        for cid in loaded:
+            self._report(cid, 0)
 
 
 class ArchiveStoreVersion:

@@ -728,6 +728,7 @@ class Archiver:
              if bid >= cutoff_day})
         shard.archive_store.swap_version(new_version)
         for bid in purged:
+            version.batches[bid].release()  # zero host-memory accounting
             self.diskstore.delete_archive_batch(
                 schema.table.name, shard.shard_id, bid)
         self.metastore.purge_archive_batches(

@@ -49,7 +49,12 @@ class MemStore:
                     ts = TableSchema(table)
                     self.schemas[name] = ts
                 else:
+                    old = ts.table
                     ts.set_table(table)
+                    # preload newly-configured preloading windows
+                    # (reference schema watcher -> TriggerPreload)
+                    if self.host_memory_manager is not None:
+                        self.host_memory_manager.handle_table_update(old, table)
                 for col in table.columns:
                     if col.is_enum_column():
                         cases = self.metastore.get_enum_cases(name, col.name)
@@ -135,15 +140,13 @@ class MemStore:
             M.root().record_timer(M.RECOVERY_LATENCY,
                                   _time.perf_counter() - t0,
                                   {"table": table, "shard": str(shard_id)})
-        # async preload of archive columns inside their preloading windows,
-        # like the reference's startup preloading goroutines
-        # (host_memory_manager.go) — queries work immediately either way
+        # start the host-memory workers and enqueue a startup preload sweep,
+        # like the reference's Start() + preloading goroutines
+        # (host_memory_manager.go:209) — queries work immediately either way
         # (lazy load), preloading just warms the host cache
         if self.host_memory_manager is not None:
-            import threading
-
-            threading.Thread(target=self.host_memory_manager.preload_all,
-                             daemon=True, name="ares-preload").start()
+            self.host_memory_manager.start()
+            self.host_memory_manager.trigger_preload_sweep()
 
     def _recover_shard(self, shard: TableShard) -> None:
         table = shard.schema.table.name

@@ -132,7 +132,8 @@ class Scheduler:
                           "cutoff": cutoff}
                 if st.rows_archived and \
                         self.memstore.host_memory_manager is not None:
-                    self.memstore.host_memory_manager.preload_all()
+                    # async: don't stall the job loop on disk reads
+                    self.memstore.host_memory_manager.trigger_preload_sweep()
             elif jobtype == "backfill":
                 result = {"rowsBackfilled": archiver.backfill()}
             elif jobtype == "snapshot":

@@ -324,3 +324,119 @@ def test_startup_preloads_archive_columns_in_window(tmp_root):
         assert 2 not in batch.columns
     finally:
         clock.reset_clock()
+
+
+def test_config_change_triggers_preload(tmp_root):
+    """Growing a column's preloadingDays after the fact loads its archive
+    batches asynchronously (reference: host_memory_manager.go:245
+    TriggerPreload via the schema-change watcher)."""
+    import copy
+    import time as _t
+
+    ms0 = make_memstore(tmp_root)
+    shard0 = ms0.get_table_shard("trips")
+    shard0.save_upsert_batch(fact_batch([
+        (BASE_T + 100, 1, 7, 1.0),
+        (BASE_T + 200, 2, 5, 2.0)]))
+    Archiver(shard0, ms0.metastore, ms0.diskstore).archive(BASE_T + DAY)
+
+    clock.set_current_time(BASE_T + 2 * DAY)
+    try:
+        # fresh memstore: archive columns start lazy (disk-backed)
+        ms = MemStore(DiskMetaStore(tmp_root), LocalDiskStore(tmp_root))
+        ms.fetch_schema()
+        ms.init_shards()
+        batch = ms.get_table_shard("trips").archive_store \
+            .get_current_version().batches[BASE_T // DAY]
+        assert batch.columns.get(3) is None
+
+        updated = copy.deepcopy(FACT)
+        updated["columns"][3]["config"] = {"preloadingDays": 30}
+        ms.metastore.update_table(Table.from_json(updated))
+        ms.fetch_schema()  # diffs configs -> trigger_preload(fare)
+        deadline = _t.time() + 10
+        while batch.columns.get(3) is None and _t.time() < deadline:
+            _t.sleep(0.05)
+        assert batch.columns.get(3) is not None
+        # city_id's config did not change: still lazy
+        assert batch.columns.get(2) is None
+    finally:
+        clock.reset_clock()
+
+
+def test_archive_memory_usage_report(tmp_root):
+    """get_archive_memory_usage_by_table_shard groups bytes per
+    table.shard -> column -> preloaded/nonPreloaded/live (reference:
+    host_memory_manager.go:271)."""
+    ms = make_memstore(tmp_root)
+    shard = ms.get_table_shard("trips")
+    shard.save_upsert_batch(fact_batch([
+        (BASE_T + 100, 1, 7, 1.0),
+        (BASE_T + 200, 2, 5, 2.0),
+        (BASE_T + DAY + 50, 3, 9, 3.0)]))  # stays live (within cutoff day)
+    Archiver(shard, ms.metastore, ms.diskstore).archive(BASE_T + DAY)
+    # force-load an archive column through the query lazy-load path
+    batch = shard.archive_store.get_current_version().batches[BASE_T // DAY]
+    assert batch.request_column(3) is not None
+
+    usage = ms.host_memory_manager.get_archive_memory_usage_by_table_shard()
+    cols = usage["trips"]["trips_0"]
+    assert cols["fare"]["nonPreloaded"] > 0
+    assert cols["fare"]["preloaded"] == 0
+    assert cols["__live__"]["live"] > 0
+
+
+def test_eviction_respects_budget_and_policy(tmp_root):
+    """Over-budget archive columns are evicted lowest-priority /
+    outside-preloading-zone / oldest-batch first, and accounting stays
+    balanced (reference: host_memory_manager.go:406 globalPriorityComparator
+    + eviction goroutine)."""
+    import copy
+    import time as _t
+
+    FACT_P = copy.deepcopy(FACT)
+    FACT_P["columns"][3]["config"] = {"preloadingDays": 30, "priority": 5}
+    ms = MemStore(DiskMetaStore(tmp_root), LocalDiskStore(tmp_root))
+    ms.create_table(Table.from_json(FACT_P))
+    ms.init_shards()
+    shard = ms.get_table_shard("trips")
+    shard.save_upsert_batch(fact_batch([
+        (BASE_T + 100, 1, 7, 1.0),
+        (BASE_T + DAY + 100, 2, 5, 2.0),
+        (BASE_T + 2 * DAY + 100, 3, 9, 3.0)]))
+    clock.set_current_time(BASE_T + 3 * DAY)
+    try:
+        Archiver(shard, ms.metastore, ms.diskstore).archive(BASE_T + 2 * DAY)
+        hmm = ms.host_memory_manager
+        batches = shard.archive_store.get_current_version().batches
+        assert hmm.managed_bytes > 0  # archiving reported residency
+
+        # accounting matches reality
+        total = sum(vp.bytes_estimate()
+                    for b in batches.values()
+                    for vp in b.columns.values() if vp is not None)
+        assert hmm.managed_bytes == total
+
+        # budget below managed: must evict something, oldest batch's
+        # low-priority columns first; high-priority preloading 'fare' last
+        oldest = batches[BASE_T // DAY]
+        target = hmm.unmanaged_bytes + hmm.managed_bytes \
+            - oldest.columns[2].bytes_estimate()
+        hmm.total_memory_bytes = target
+        hmm.trigger_eviction()
+        deadline = _t.time() + 10
+        while hmm.get_reserved_memory() > target and _t.time() < deadline:
+            _t.sleep(0.05)
+        assert hmm.get_reserved_memory() <= target
+        # fare (priority 5, preloading) survived everywhere
+        assert all(3 in b.columns and b.columns[3] is not None
+                   for b in batches.values())
+        # something from the oldest batch went first
+        assert any(cid not in oldest.columns for cid in (0, 1, 2))
+        # accounting still balances after eviction
+        total = sum(vp.bytes_estimate()
+                    for b in batches.values()
+                    for vp in b.columns.values() if vp is not None)
+        assert hmm.managed_bytes == total
+    finally:
+        clock.reset_clock()
