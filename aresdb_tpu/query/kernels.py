@@ -43,9 +43,22 @@ from aresdb_tpu.query import expr as E
 from aresdb_tpu.query.compiler import CompiledQuery, QueryError
 
 SENTINEL64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+SENTINEL32 = np.uint32(0xFFFFFFFF)
 
 # aggregation identities (match reference get_identity_value)
 _F32_MAX = np.float32(np.finfo(np.float32).max)
+
+
+def _sentinel_of(keys):
+    return SENTINEL32 if keys.dtype == jnp.uint32 else SENTINEL64
+
+
+def _prefix_enabled() -> bool:
+    """Sorted-contiguity prefix reduction (ARES_PREFIX=0 restores the
+    factored/scatter segment path for A/B testing)."""
+    import os
+
+    return os.environ.get("ARES_PREFIX", "") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -602,9 +615,15 @@ def _packing_type(d) -> int:
 
 
 def pack_dim_keys(dim_vals: List[_Val], dim_types: List[int], mask):
-    """Per-row uint64 group key; filtered rows get the sentinel."""
+    """Per-row group key; filtered rows get the sentinel.
+
+    Emits uint32 keys when the packed dims fit 31 bits (a u32 sort network
+    runs ~1.4x the u64 one on v5e) and uint64 otherwise; reduce_by_key
+    widens group keys back to the canonical u64 space on output.
+    """
     total_bits = sum(min(_dim_bits(t), 64) + 1 for t in dim_types)
     n = mask.shape[0]
+    narrow = total_bits <= 31 and not any(t == mdt.UUID for t in dim_types)
     if not dim_vals:
         key = jnp.zeros(n, jnp.uint64)
     elif total_bits <= 63 and not any(t == mdt.UUID for t in dim_types):
@@ -630,6 +649,11 @@ def pack_dim_keys(dim_vals: List[_Val], dim_types: List[int], mask):
         key = acc
         # avoid accidental sentinel
         key = jnp.where(key == SENTINEL64, jnp.uint64(0), key)
+        narrow = False
+    if narrow:
+        # real keys < 2^31 < the u32 sentinel, so the downcast is lossless
+        # and u64(key32) reproduces the exact u64 packing for merges
+        return jnp.where(mask, key.astype(jnp.uint32), SENTINEL32)
     return jnp.where(mask, key, SENTINEL64)
 
 
@@ -705,6 +729,82 @@ def _measure_lane(plan: CompiledQuery, ctx: _EvalCtx):
     return _Val(mv.value.astype(dtype), mv.valid)
 
 
+_PREFIX_BLOCK = 512
+
+
+def sorted_starts(seg_c, num: int):
+    """starts[k] = first index with seg_c >= k, for MONOTONE seg_c.
+
+    A flat `searchsorted` binary search over n=4M rows costs ~7ms on one
+    v5e chip (22 rounds, each a full-HBM gather). Two-level search — binary
+    search over the [n/512] block-first values, then a vectorized count
+    inside the one candidate block per needle — measures ~1.5ms. Falls back
+    to the flat search when n is not block-aligned or the [num, 512] gather
+    window would exceed the win (large num).
+    """
+    n = seg_c.shape[0]
+    L = _PREFIX_BLOCK
+    if n % L != 0 or n < 2 * L or num > (1 << 16):
+        return jnp.searchsorted(
+            seg_c, jnp.arange(num, dtype=seg_c.dtype)).astype(jnp.int32)
+    nb = n // L
+    blk_first = seg_c.reshape(nb, L)[:, 0]
+    needles = jnp.arange(num, dtype=seg_c.dtype)
+    bb = jnp.searchsorted(blk_first, needles).astype(jnp.int32)
+    cand = jnp.maximum(bb - 1, 0)
+    # lower bound lies in block `cand`, or is exactly bb*L when the whole
+    # candidate block is < k (then the in-block count is L)
+    window = seg_c.reshape(nb, L)[cand]                       # [num, L]
+    within = jnp.sum((window < needles[:, None]).astype(jnp.int32), axis=1)
+    return jnp.minimum(cand * L + within, n).astype(jnp.int32)
+
+
+def sorted_segment_sum(values, num: int, starts, ends):
+    """Segment sums for MONOTONE segment ids via block decomposition and
+    boundary gathers — the sorted-data replacement for scatter/factored
+    reductions (values must already be zeroed on invalid rows).
+
+    Each slot's span [start, end) decomposes into a partial head block, a
+    partial tail block, and the full 512-row blocks strictly between: the
+    partials are masked f32 sums over the slot's OWN rows (error relative
+    to the group's magnitude, like the scatter path) and the middle is an
+    exact f64 difference of the running block-total prefix. No scatter, no
+    full-length cumsum, and counts stay exact. Measured at n=4M, K=32k on
+    one v5e chip: ~2ms vs 13.7ms for the factored MXU reduction and ~37ms
+    for XLA's sorted segment_sum. Reference role: sort_reduce.cu
+    ReduceByKey (query/sort_reduce.cu:117).
+    """
+    n, c = values.shape
+    L = _PREFIX_BLOCK
+    n_pad = ((n + L - 1) // L) * L
+    if n_pad != n:
+        values = jnp.concatenate(
+            [values, jnp.zeros((n_pad - n, c), values.dtype)])
+    nb = n_pad // L
+    v3 = values.reshape(nb, L, c)
+    blk = jnp.sum(v3, axis=1).astype(jnp.float64)             # [nb, c]
+    # bpref[i] = exact sum of blocks < i
+    bpref = jnp.concatenate(
+        [jnp.zeros((1, c), jnp.float64), jnp.cumsum(blk, axis=0)])
+
+    last = jnp.clip(ends - 1, 0, n_pad - 1)                   # inclusive end
+    hb = jnp.clip(starts, 0, n_pad - 1) // L
+    tb = last // L
+    same = hb == tb
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    so = (starts % L)[:, None]
+    eo = (last % L)[:, None]
+    hmask = (pos >= so) & (pos <= jnp.where(same[:, None], eo, L - 1))
+    tmask = (pos <= eo) & (~same)[:, None]
+    head = jnp.sum(v3[hb] * hmask[..., None], axis=1)         # [num, c] f32
+    tail = jnp.sum(v3[tb] * tmask[..., None], axis=1)
+    mid = jnp.where(same[:, None], jnp.float64(0),
+                    bpref[tb] - bpref[jnp.minimum(hb + 1, nb)])
+    out = head.astype(jnp.float64) + tail.astype(jnp.float64) + mid
+    out = jnp.where((starts < ends)[:, None], out, jnp.float64(0))
+    return out.astype(values.dtype)
+
+
 def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
                   k_groups: int, dim_vals: Optional[List[_Val]] = None):
     """Sort + segment-reduce rows (or partial tables) by 64-bit group key.
@@ -730,6 +830,7 @@ def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
 
     n = keys.shape[0]
     num = k_groups + 1
+    sent = _sentinel_of(keys)
     iota = jnp.arange(n, dtype=jnp.int32)
     minmax = agg in ("min", "max")
     if minmax:
@@ -752,12 +853,13 @@ def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
     mvalid = mvalid_i8.astype(jnp.bool_)
     first = jnp.concatenate([jnp.ones(1, jnp.bool_), skeys[1:] != skeys[:-1]])
     seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-    live = skeys != SENTINEL64
+    live = skeys != sent
     # sentinel rows sort last and seg ascends, so the clipped ids stay
     # monotone — each slot owns one contiguous sorted span
     seg_c = jnp.where(live & (seg < k_groups), seg, k_groups)
-    starts = jnp.searchsorted(seg_c, jnp.arange(num, dtype=jnp.int32)
-                              ).astype(jnp.int32)
+    prefix = _prefix_enabled()
+    starts = sorted_starts(seg_c, num) if prefix else jnp.searchsorted(
+        seg_c, jnp.arange(num, dtype=jnp.int32)).astype(jnp.int32)
     ends = jnp.concatenate([starts[1:], jnp.array([n], jnp.int32)])
 
     ones = jnp.where(mvalid, jnp.float32(1), jnp.float32(0))
@@ -765,7 +867,9 @@ def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
         contrib = jnp.where(mvalid, mval, jnp.zeros((), mval.dtype))
         if contrib.dtype == jnp.float32:
             stacked = jnp.stack([contrib, ones], axis=1)
-            if P.use_factored(num):
+            if prefix:
+                both = sorted_segment_sum(stacked, num, starts, ends)
+            elif P.use_factored(num):
                 both = P.factored_segment_sum(seg_c, stacked, num)
             else:
                 both = jax.ops.segment_sum(stacked, seg_c, num_segments=num)
@@ -775,14 +879,21 @@ def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
             # integer sums keep their wide accumulator (scatter path)
             aggv = jax.ops.segment_sum(contrib, seg_c,
                                        num_segments=num)[:k_groups]
-            cnt = jax.ops.segment_sum(ones, seg_c,
-                                      num_segments=num)[:k_groups]
+            if prefix:
+                cnt = sorted_segment_sum(ones[:, None], num, starts,
+                                         ends)[:k_groups, 0]
+            else:
+                cnt = jax.ops.segment_sum(ones, seg_c,
+                                          num_segments=num)[:k_groups]
     elif minmax:
         at = starts if agg == "min" else jnp.maximum(ends - 1, 0)
         aggv = contrib[jnp.clip(at[:k_groups], 0, n - 1)]
         empty = starts[:k_groups] >= ends[:k_groups]
         aggv = jnp.where(empty, ident, aggv)
-        if P.use_factored(num):
+        if prefix:
+            cnt = sorted_segment_sum(ones[:, None], num, starts,
+                                     ends)[:k_groups, 0]
+        elif P.use_factored(num):
             cnt = P.factored_segment_sum(seg_c, ones[:, None], num)[:k_groups, 0]
         else:
             cnt = jax.ops.segment_sum(ones, seg_c, num_segments=num)[:k_groups]
@@ -796,12 +907,14 @@ def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
     gkeys = skeys[start_pos]
     n_live_groups = jnp.sum(first & live).astype(jnp.int32)
     slot_used = (jnp.arange(k_groups, dtype=jnp.int32) < n_live_groups) & \
-        (gkeys != SENTINEL64)
+        (gkeys != sent)
     # unused slots would otherwise repeat a REAL key (the clipped boundary
     # gather lands on the last row): when partial tables are merged again
     # (mesh all_gather, cross-batch reduce), such ghosts can be picked as
-    # group representatives and corrupt dim validity — sentinel them out
-    gkeys = jnp.where(slot_used, gkeys, SENTINEL64)
+    # group representatives and corrupt dim validity — sentinel them out.
+    # u32-packed keys widen back to the canonical u64 key space here so
+    # cross-batch/mesh merges see one key type regardless of packing.
+    gkeys = jnp.where(slot_used, gkeys.astype(jnp.uint64), SENTINEL64)
     n_groups = n_live_groups
 
     dim_values = []
@@ -899,6 +1012,7 @@ def make_hll_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
         # co-sort the per-row HLL lanes with the keys (post-hoc gathers by
         # the argsort permutation cost ~3x the sort — see reduce_by_key)
         iota = jnp.arange(n_rows, dtype=jnp.int32)
+        sent = _sentinel_of(keys)
         skeys, sreg, srho, svalid_i8, order = jax.lax.sort(
             (keys, reg, rho, hv.valid.astype(jnp.int8), iota),
             num_keys=1, is_stable=False)
@@ -906,7 +1020,7 @@ def make_hll_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
         first = jnp.concatenate(
             [jnp.ones(1, jnp.bool_), skeys[1:] != skeys[:-1]])
         seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-        live = skeys != SENTINEL64
+        live = skeys != sent
         seg_c = jnp.where(live & (seg < k_groups), seg, k_groups)
 
         valid_m = svalid & (seg_c < k_groups)
@@ -923,10 +1037,16 @@ def make_hll_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
 
         # slot boundaries from sorted contiguity (no scatters)
         num = k_groups + 1
-        starts = jnp.searchsorted(seg_c, jnp.arange(num, dtype=jnp.int32)
-                                  ).astype(jnp.int32)
+        prefix = _prefix_enabled()
+        starts = sorted_starts(seg_c, num) if prefix else jnp.searchsorted(
+            seg_c, jnp.arange(num, dtype=jnp.int32)).astype(jnp.int32)
         ones = jnp.where(svalid, jnp.float32(1), jnp.float32(0))
-        if P.use_factored(num):
+        if prefix:
+            ends = jnp.concatenate([starts[1:],
+                                    jnp.array([n_rows], jnp.int32)])
+            cnt = sorted_segment_sum(ones[:, None], num, starts,
+                                     ends)[:k_groups, 0]
+        elif P.use_factored(num):
             cnt = P.factored_segment_sum(seg_c, ones[:, None],
                                          num)[:k_groups, 0]
         else:
@@ -937,8 +1057,8 @@ def make_hll_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
         gkeys = skeys[start_pos]
         n_live_groups = jnp.sum(first & live).astype(jnp.int32)
         slot_used = (jnp.arange(k_groups, dtype=jnp.int32) < n_live_groups)
-        gkeys = jnp.where(slot_used & (gkeys != SENTINEL64), gkeys,
-                          SENTINEL64)
+        gkeys = jnp.where(slot_used & (gkeys != sent),
+                          gkeys.astype(jnp.uint64), SENTINEL64)
 
         dim_values = []
         dim_valids = []
