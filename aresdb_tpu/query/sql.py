@@ -171,14 +171,36 @@ def _split_as_alias(item: str) -> Tuple[str, str]:
 
 
 def parse_sql(sql: str) -> AQLQuery:
-    """Parse one SQL statement into an AQLQuery JSON-equivalent object."""
+    """Parse one SQL statement into an AQLQuery JSON-equivalent object.
+
+    Supports the reference's one-level WITH / FROM-subquery flattening
+    (sql_parser.go mergeWithOrSubQueries): inner SELECTs share one FROM /
+    GROUP BY / ORDER BY and flatten into a single AQL where inner WHERE
+    clauses become measure-level rowFilters.
+    """
+    stripped = sql.lstrip()
+    if stripped.lower().startswith("with"):
+        return AQLQuery.from_json(_parse_with(sql))
+    clauses = _find_clauses(sql)
+    from_items = _split_top_level(clauses["from"], r",")
+    if any(it.strip().startswith("(") for it in from_items):
+        return AQLQuery.from_json(_parse_from_subquery(sql, clauses))
+    return AQLQuery.from_json(_parse_plain(sql))
+
+
+def _parse_plain(sql: str, depth: int = 0) -> Dict:
+    """Parse a plain (no WITH/subquery) statement into the AQL JSON dict."""
     # constructs AQL cannot express are rejected up front (reference:
-    # sql_parser.go "having not yet supported"; WITH/subqueries and
-    # DISTINCT have no AQL mapping either) — silently misparsing them
-    # would return wrong results
+    # sql_parser.go "having not yet supported"; DISTINCT has no AQL
+    # mapping either) — silently misparsing them would return wrong results
     if sql.lstrip().lower().startswith("with"):
+        if depth:
+            raise SQLParseError("only 1 level of WITH/subquery is supported")
         raise SQLParseError("WITH / subqueries are not supported")
     clauses = _find_clauses(sql)
+    if depth and any(it.strip().startswith("(")
+                     for it in _split_top_level(clauses["from"], r",")):
+        raise SQLParseError("only 1 level of WITH/subquery is supported")
     if "having" in clauses:
         raise SQLParseError("HAVING is not supported")
     if clauses["select"].lower().lstrip().startswith("distinct"):
@@ -311,7 +333,9 @@ def parse_sql(sql: str) -> AQLQuery:
     elif select_dims:
         # selected non-grouped expressions are additional dimensions
         q["dimensions"] = q["dimensions"] + select_dims
-    if len(q["measures"]) > 1:
+    # inner (depth>0) queries may carry several aggregates — the outer
+    # selection narrows to one and the rest become supporting measures
+    if len(q["measures"]) > 1 and depth == 0:
         raise SQLParseError("exactly one aggregate measure supported")
 
     # ORDER BY / LIMIT
@@ -336,4 +360,261 @@ def parse_sql(sql: str) -> AQLQuery:
     if timezone:
         q["timezone"] = timezone
     q["sql"] = sql
-    return AQLQuery.from_json(q)
+    return q
+
+
+# ---------------------------------------------------------------------------
+# one-level WITH / FROM-subquery flattening
+# (reference: sql_parser.go VisitWith, isValidWithOrSubQuery,
+#  mergeWithOrSubQueries — maxLevelQuery/maxlevelWith are both 1)
+# ---------------------------------------------------------------------------
+
+def _parse_with(sql: str) -> Dict:
+    """'WITH a AS (q) [, b AS (q)] SELECT ...' → flattened AQL dict."""
+    s = sql.strip().rstrip(";")
+    m = re.match(r"\s*with\b(\s+recursive\b)?", s, re.IGNORECASE)
+    if m.group(1):
+        raise SQLParseError("RECURSIVE not yet supported")
+    i = m.end()
+    named: Dict[str, Dict] = {}
+    while True:
+        nm = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+as\s*\(",
+                        re.IGNORECASE).match(s, i)
+        if not nm:
+            raise SQLParseError("WITH requires 'name AS (query)'")
+        name = nm.group(1)
+        if name in named:
+            raise SQLParseError(
+                f"subquery/withQuery identifier: {name} already exist")
+        start = nm.end()
+        depth = 1
+        j = start
+        while j < len(s) and depth:
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise SQLParseError("unbalanced parentheses in WITH query")
+        named[name] = _parse_inner(s[start:j - 1])
+        i = j
+        comma = re.compile(r"\s*,").match(s, i)
+        if not comma:
+            break
+        i = comma.end()
+    outer_sql = s[i:].strip()
+    if not outer_sql:
+        raise SQLParseError("missing query body after WITH")
+    clauses = _find_clauses(outer_sql)
+    inners = []
+    for item in _split_top_level(clauses["from"], r","):
+        ident = _strip_quote(item.strip())
+        if ident not in named:
+            raise SQLParseError(
+                f"cannot find withQuery identifier: {ident}")
+        inners.append(named[ident])
+    return _merge_subqueries(outer_sql, clauses, inners, sql)
+
+
+def _parse_from_subquery(sql: str, clauses: Dict[str, str]) -> Dict:
+    """'SELECT ... FROM (SELECT ...) [alias]' → flattened AQL dict."""
+    inners = []
+    for item in _split_top_level(clauses["from"], r","):
+        item = item.strip()
+        if not item.startswith("("):
+            raise SQLParseError(
+                "from clause cannot mix tables with subqueries")
+        depth = 0
+        for j, c in enumerate(item):
+            depth += (c == "(") - (c == ")")
+            if depth == 0:
+                break
+        inners.append(_parse_inner(item[1:j]))
+    return _merge_subqueries(sql, clauses, inners, sql)
+
+
+def _parse_inner(sql: str) -> Dict:
+    q = _parse_plain(sql, depth=1)
+    if "limit" in q:
+        # reference sql_parser.go:390
+        raise SQLParseError("limit on query level > 0 not supported")
+    return q
+
+
+def _merge_subqueries(outer_sql: str, clauses: Dict[str, str],
+                      inners: List[Dict], full_sql: str) -> Dict:
+    """Flatten one-level subqueries per the reference's AQL merge rules."""
+    if not inners:
+        raise SQLParseError("missing subquery in from clause")
+    first = inners[0]
+    # all inner from/group-by/order-by clauses must agree
+    # (reference isSameFromTables/isSameGroupBy/isSameOrderBy)
+    import json as _json
+
+    def sig(q, key):
+        return _json.dumps(q.get(key, []), sort_keys=True)
+
+    for q in inners[1:]:
+        if (q.get("table"), sig(q, "joins")) != (first.get("table"),
+                                                 sig(first, "joins")):
+            raise SQLParseError(
+                "all subquery/withQuery from clauses must be the same")
+        if sig(q, "dimensions") != sig(first, "dimensions"):
+            raise SQLParseError(
+                "all subquery/withQuery group by clauses must be the same")
+        if sig(q, "sorts") != sig(first, "sorts"):
+            raise SQLParseError(
+                "all subquery/withQuery order by clauses must be the same")
+
+    if "having" in clauses:
+        raise SQLParseError("HAVING is not supported")
+    inner_dims = list(first.get("dimensions", []))
+    # outer GROUP BY conflicts with an aggregated inner (reference
+    # sql_parser.go:483)
+    outer_groupby = clauses.get("group by", "").strip()
+    inner_is_agg = any(m.get("sqlExpression") != "1"
+                       for m in first.get("measures", []))
+    if outer_groupby and inner_is_agg and inner_dims:
+        raise SQLParseError(
+            "group by is not allowed since with/subQuery already has "
+            "group by")
+
+    # index inner output columns by alias and expression
+    inner_measures = [m for m in first.get("measures", [])
+                      if m.get("sqlExpression") != "1"]
+    by_alias: Dict[str, Tuple[str, Dict]] = {}
+    for m in inner_measures:
+        if m.get("alias"):
+            by_alias[m["alias"]] = ("measure", m)
+        by_alias.setdefault(m["sqlExpression"], ("measure", m))
+    for d in inner_dims:
+        if d.get("alias"):
+            by_alias[d["alias"]] = ("dim", d)
+        by_alias.setdefault(d["sqlExpression"], ("dim", d))
+
+    q: Dict = {"table": first.get("table", ""),
+               "joins": list(first.get("joins", [])),
+               "measures": [], "dimensions": [], "rowFilters": []}
+    inner_filters = list(first.get("rowFilters", []))
+    used_measures = []
+
+    select_body = clauses["select"].strip()
+    if select_body.lower().startswith("distinct"):
+        raise SQLParseError("DISTINCT is not supported")
+    if select_body == "*":
+        # adopt the inner query wholesale
+        q["dimensions"] = inner_dims
+        for m in inner_measures:
+            q["measures"].append(dict(m, rowFilters=inner_filters))
+            used_measures.append(m["sqlExpression"])
+    else:
+        for item in _split_top_level(select_body, r","):
+            item = item.strip()
+            if not item:
+                continue
+            expr_text, alias = _split_as_alias(item)
+            hit = by_alias.get(expr_text) or by_alias.get(
+                _strip_quote(expr_text))
+            if hit is None:
+                raise SQLParseError(
+                    f"{expr_text!r} does not name an output column of the "
+                    "subquery/withQuery")
+            kind, obj = hit
+            if kind == "measure":
+                # inner WHERE becomes a measure-level filter
+                q["measures"].append({
+                    "sqlExpression": obj["sqlExpression"],
+                    "alias": alias or obj.get("alias", ""),
+                    "rowFilters": inner_filters,
+                })
+                used_measures.append(obj["sqlExpression"])
+            else:
+                d = dict(obj)
+                if alias:
+                    d["alias"] = alias
+                q["dimensions"].append(d)
+
+    # outer GROUP BY over a non-aggregated inner re-groups its columns
+    for item in _split_top_level(outer_groupby, r","):
+        item = item.strip()
+        if not item:
+            continue
+        hit = by_alias.get(item)
+        if hit is None or hit[0] != "dim":
+            raise SQLParseError(
+                f"group by {item!r} does not name a dimension of the "
+                "subquery/withQuery")
+        if hit[1] not in q["dimensions"]:
+            q["dimensions"].append(dict(hit[1]))
+
+    # unselected inner measures ride along as supporting measures
+    # (reference mergeWithOrSubQuery case2)
+    supporting = [dict(m, rowFilters=inner_filters) for m in inner_measures
+                  if m["sqlExpression"] not in used_measures]
+    if supporting:
+        q["supportingMeasures"] = supporting
+
+    # outer with no selected/grouped dims inherits the inner group by
+    # (reference mergeWithOrSubQuery: MapDimensions[0] <- MapDimensions[key])
+    if not q["dimensions"] and not outer_groupby:
+        q["dimensions"] = inner_dims
+    if not q["measures"]:
+        q["measures"] = [{"sqlExpression": "1"}]
+    if len(q["measures"]) > 1:
+        raise SQLParseError("exactly one aggregate measure supported")
+
+    # outer WHERE stays query-level; time filter prefers the outer one
+    timezone = first.get("timezone", "")
+    for conj in _split_top_level(clauses.get("where", ""), r"\band\b"):
+        conj = conj.strip()
+        if not conj:
+            continue
+        call = _parse_call(conj)
+        if call and call[0] == "aql_time_filter":
+            if len(call[1]) != 4:
+                raise SQLParseError("aql_time_filter requires 4 arguments")
+            col, frm, to, tz = call[1]
+            q["timeFilter"] = {"column": _strip_quote(col),
+                               "from": _strip_quote(frm),
+                               "to": _strip_quote(to)}
+            tz = _strip_quote(tz)
+            if tz and tz.lower() != "null":
+                timezone = tz
+            continue
+        if call and call[0] == "aql_now":
+            if len(call[1]) != 2:
+                raise SQLParseError("aql_now requires 2 arguments")
+            q["now"] = int(_strip_quote(call[1][1]))
+            continue
+        q["rowFilters"].append(conj)
+    if "timeFilter" not in q and first.get("timeFilter"):
+        q["timeFilter"] = first["timeFilter"]
+    if "now" not in q and first.get("now") is not None and "now" in first:
+        q["now"] = first["now"]
+
+    # ORDER BY / LIMIT from the outer level, else the inner one
+    sorts = []
+    for item in _split_top_level(clauses.get("order by", ""), r","):
+        item = item.strip()
+        if not item:
+            continue
+        toks = item.split()
+        order = "asc"
+        if toks[-1].lower() in ("asc", "desc"):
+            order = toks[-1].lower()
+            item = " ".join(toks[:-1])
+        sorts.append({"name": _strip_quote(item), "order": order})
+    if sorts:
+        q["sorts"] = sorts
+    elif first.get("sorts"):
+        q["sorts"] = first["sorts"]
+    if "limit" in clauses:
+        try:
+            q["limit"] = int(clauses["limit"].strip())
+        except ValueError:
+            raise SQLParseError(f"invalid LIMIT {clauses['limit']!r}")
+    if timezone:
+        q["timezone"] = timezone
+    q["sql"] = full_sql
+    return q

@@ -185,7 +185,8 @@ def test_sql_rejects_unsupported_clauses():
     for frag, kw in [
         ("SELECT count(*) FROM trips GROUP BY city_id HAVING count(*) > 1",
          "HAVING"),
-        ("WITH x AS (SELECT 1) SELECT count(*) FROM trips", "WITH"),
+        ("WITH RECURSIVE x AS (SELECT count(*) FROM trips) SELECT c FROM x",
+         "RECURSIVE"),
         ("SELECT DISTINCT city_id FROM trips", "DISTINCT"),
     ]:
         with pytest.raises(Exception, match=kw):

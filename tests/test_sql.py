@@ -96,7 +96,7 @@ def test_sql_end_to_end():
 
 def test_unsupported_sql_constructs_rejected():
     """Reference parity: HAVING errors (sql_parser.go 'having not yet
-    supported'); WITH/subqueries and DISTINCT have no AQL mapping."""
+    supported'); RECURSIVE and DISTINCT likewise."""
     import pytest as _pt
 
     from aresdb_tpu.query.sql import SQLParseError, parse_sql
@@ -104,10 +104,128 @@ def test_unsupported_sql_constructs_rejected():
     for stmt, msg in [
             ("SELECT count(*) FROM t GROUP BY c HAVING count(*) > 5",
              "HAVING"),
-            ("WITH x AS (SELECT 1) SELECT count(*) FROM t", "WITH"),
+            ("WITH RECURSIVE x AS (SELECT count(*) FROM t) SELECT c FROM x",
+             "RECURSIVE"),
             ("SELECT DISTINCT c FROM t", "DISTINCT")]:
         with _pt.raises(SQLParseError, match=msg):
             parse_sql(stmt)
     # the words remain fine inside string literals
     q = parse_sql("SELECT count(*) FROM t WHERE name = 'with distinct'")
     assert q.filters == ["name = 'with distinct'"]
+
+
+# ---------------------------------------------------------------------------
+# one-level WITH / FROM-subquery flattening
+# (reference: sql_parser.go mergeWithOrSubQueries + isValidWithOrSubQuery)
+# ---------------------------------------------------------------------------
+
+def test_with_query_flattens():
+    q = parse_sql(
+        "WITH t1 AS (SELECT count(*) AS c, city_id FROM trips "
+        "WHERE status='completed' GROUP BY city_id) "
+        "SELECT city_id, c FROM t1")
+    assert q.table == "trips"
+    assert len(q.measures) == 1
+    assert q.measures[0].expr == "count(*)"
+    # inner WHERE becomes a measure-level rowFilter
+    assert q.measures[0].filters == ["status='completed'"]
+    assert [d.expr for d in q.dimensions] == ["city_id"]
+    assert q.filters == []
+
+
+def test_from_subquery_flattens():
+    q = parse_sql(
+        "SELECT s FROM (SELECT sum(fare) AS s, status FROM trips "
+        "WHERE fare > 2 GROUP BY status) LIMIT 10")
+    assert q.table == "trips"
+    assert q.measures[0].expr == "sum(fare)"
+    assert q.measures[0].filters == ["fare > 2"]
+    assert [d.expr for d in q.dimensions] == ["status"]
+    assert q.limit == 10
+
+
+def test_subquery_star_adopts_inner():
+    q = parse_sql("SELECT * FROM (SELECT avg(fare) AS a, city_id "
+                  "FROM trips GROUP BY city_id)")
+    assert q.measures[0].expr == "avg(fare)"
+    assert [d.expr for d in q.dimensions] == ["city_id"]
+
+
+def test_subquery_outer_where_and_orderby():
+    q = parse_sql(
+        "SELECT c FROM (SELECT count(*) AS c, status FROM trips "
+        "GROUP BY status ORDER BY status) WHERE aql_now(request_at, '99') "
+        "ORDER BY c DESC")
+    assert q.now == 99
+    assert q.sorts[0].name == "c" and q.sorts[0].order == "desc"
+
+
+def test_with_inherits_inner_time_filter_and_sorts():
+    q = parse_sql(
+        "WITH t1 AS (SELECT count(*) AS c, status FROM trips WHERE "
+        'aql_time_filter(request_at, "-1d", "now", null) '
+        "GROUP BY status ORDER BY status) SELECT c FROM t1")
+    assert q.time_filter.column == "request_at"
+    assert q.sorts[0].name == "status"
+
+
+def test_subquery_unselected_measure_becomes_supporting():
+    q = parse_sql(
+        "WITH t1 AS (SELECT count(*) AS c, sum(fare) AS s, status "
+        "FROM trips GROUP BY status) SELECT status, c FROM t1")
+    assert q.measures[0].expr == "count(*)"
+    assert [m.expr for m in q.supporting_measures] == ["sum(fare)"]
+
+
+def test_subquery_validation_errors():
+    from aresdb_tpu.query.sql import SQLParseError
+
+    cases = [
+        # two inner queries must share FROM
+        ("WITH a AS (SELECT count(*) AS c, x FROM t GROUP BY x), "
+         "b AS (SELECT count(*) AS d, x FROM u GROUP BY x) "
+         "SELECT c, d FROM a, b", "from clauses must be the same"),
+        # ... and GROUP BY
+        ("WITH a AS (SELECT count(*) AS c, x FROM t GROUP BY x), "
+         "b AS (SELECT count(*) AS d, y FROM t GROUP BY y) "
+         "SELECT c, d FROM a, b", "group by clauses must be the same"),
+        # outer GROUP BY on an aggregated inner
+        ("WITH a AS (SELECT count(*) AS c, x FROM t GROUP BY x) "
+         "SELECT c FROM a GROUP BY x", "group by is not allowed"),
+        # unknown with identifier
+        ("WITH a AS (SELECT count(*) AS c FROM t) SELECT c FROM zz",
+         "cannot find withQuery identifier"),
+        # duplicate identifier
+        ("WITH a AS (SELECT count(*) AS c FROM t), a AS "
+         "(SELECT count(*) AS c FROM t) SELECT c FROM a", "already exist"),
+        # nesting beyond one level
+        ("SELECT c FROM (SELECT c FROM (SELECT count(*) AS c FROM t))",
+         "1 level"),
+        # inner LIMIT
+        ("SELECT c FROM (SELECT count(*) AS c FROM t LIMIT 5)",
+         "limit on query level"),
+        # unresolved outer column
+        ("SELECT zz FROM (SELECT count(*) AS c FROM t)",
+         "does not name an output column"),
+    ]
+    for stmt, msg in cases:
+        with pytest.raises(SQLParseError, match=msg):
+            parse_sql(stmt)
+
+
+def test_subquery_end_to_end():
+    """The flattened query must execute like its hand-flattened twin."""
+    from tests.test_query_e2e import make_store, NOW
+    from aresdb_tpu.query.service import QueryService
+
+    svc = QueryService(make_store())
+    resp = svc.handle_sql({"queries": [
+        "WITH t1 AS (SELECT count(*) AS c, status FROM trips "
+        f"WHERE aql_now(request_at, {NOW}) GROUP BY status) "
+        "SELECT status, c FROM t1"]})
+    assert "errors" not in resp, resp.get("errors")
+    flat = svc.handle_sql({"queries": [
+        "SELECT count(*), status FROM trips "
+        f"WHERE aql_now(request_at, {NOW}) GROUP BY status"]})
+    assert resp["results"][0] == flat["results"][0]
+
