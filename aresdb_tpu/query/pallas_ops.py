@@ -192,7 +192,12 @@ def _factored_klo(n_slots: int) -> int:
 @functools.partial(jax.jit, static_argnames=("n_slots",))
 def factored_segment_sum(slots, values, n_slots: int):
     """segment-sum values[n, C] by slots[n] into [n_slots, C] via factored
-    one-hot outer products on the MXU. slots < 0 are dropped."""
+    one-hot outer products on the MXU. slots < 0 are dropped.
+
+    On real TPU backends this routes through the fused pallas variant
+    (factored_segment_sum_pallas) whose one-hots never touch HBM."""
+    if _pallas_factored_ok(n_slots):
+        return factored_segment_sum_pallas(slots, values, n_slots)
     n = slots.shape[0]
     c = values.shape[1]
     klo = _factored_klo(n_slots)
@@ -226,6 +231,154 @@ def factored_segment_sum(slots, values, n_slots: int):
     xs = (hi.reshape(-1, t), lo.reshape(-1, t), values.reshape(-1, t, c))
     acc, _ = jax.lax.scan(body, jnp.zeros((c * khi, klo), jnp.float32), xs)
     return acc.reshape(c, khi * klo)[:, :n_slots].T
+
+
+# ---------------------------------------------------------------------------
+# fused factored reduction — one-hots built in VMEM, never touching HBM
+# ---------------------------------------------------------------------------
+#
+# The XLA factored_segment_sum above materializes its [n, KLO] / [n, C·KHI]
+# one-hot operands in HBM (~5 GB of traffic at n=4M, K=8k), which bounds it
+# at ~11ms. This kernel builds both one-hots per row chunk in VMEM and runs
+# the same hi/lo outer-product dots there, so HBM traffic collapses to the
+# input scan (~80 MB). KLO is fixed at 128 — exactly one MXU lane tile, no
+# N-padding waste — and the per-channel [KHI, T] @ [T, 128] dots stream KHI
+# through the MXU M dimension. Measured on one v5e chip at n=4M, C=3,
+# K=8448: 3.6ms vs 10.9ms for the XLA factored path.
+
+FP_KLO = 128
+FP_ROW_TILE = 2048
+FP_MAX_KHI = 512          # VMEM budget: oh_hi + w at [KHI, T] f32
+
+
+def _make_factored_pallas_kernel(n_chunks: int, khi: int, c: int):
+    n_buf = 2
+    t = FP_ROW_TILE
+    klo = FP_KLO
+
+    def kernel(slots_hbm, values_hbm, out_ref):
+        def body(slot_buf, val_buf, sems):
+            def start_dma(slot, chunk):
+                pltpu.make_async_copy(
+                    slots_hbm.at[chunk], slot_buf.at[slot],
+                    sems.at[slot, 0]).start()
+                pltpu.make_async_copy(
+                    values_hbm.at[:, pl.ds(chunk * jnp.int32(t), t)],
+                    val_buf.at[slot], sems.at[slot, 1]).start()
+
+            def wait_dma(slot, chunk):
+                pltpu.make_async_copy(
+                    slots_hbm.at[chunk], slot_buf.at[slot],
+                    sems.at[slot, 0]).wait()
+                pltpu.make_async_copy(
+                    values_hbm.at[:, pl.ds(chunk * jnp.int32(t), t)],
+                    val_buf.at[slot], sems.at[slot, 1]).wait()
+
+            out_ref[:] = jnp.zeros_like(out_ref)
+            start_dma(jnp.int32(0), jnp.int32(0))
+
+            def loop_body(chunk, carry):
+                one = jnp.int32(1)
+                nb = jnp.int32(n_buf)
+                slot = jax.lax.rem(chunk, nb)
+
+                @pl.when(chunk + one < jnp.int32(n_chunks))
+                def _():
+                    start_dma(jax.lax.rem(chunk + one, nb), chunk + one)
+
+                wait_dma(slot, chunk)
+                slots = slot_buf[slot]                  # (1, T) int32
+                neg = slots < 0
+                hi = jnp.where(neg, jnp.int32(-1),
+                               jax.lax.shift_right_logical(slots, 7))
+                lo = jnp.where(neg, jnp.int32(-1),
+                               jax.lax.bitwise_and(slots, jnp.int32(127)))
+                oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (khi, t), 0)
+                         == hi).astype(jnp.float32)     # [KHI, T]
+                oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (klo, t), 0)
+                         == lo).astype(jnp.float32)     # [KLO, T]
+                for ci in range(c):
+                    w = oh_hi * val_buf[slot][ci, :][None, :]
+                    # Mosaic supports only DEFAULT/HIGHEST dot precisions:
+                    # the measure channel (0) gets f32-exact HIGHEST; the
+                    # remaining channels carry 0/1 indicators (counts /
+                    # presence), which single-pass bf16 represents exactly
+                    prec = (jax.lax.Precision.HIGHEST if ci == 0
+                            else jax.lax.Precision.DEFAULT)
+                    contrib = jax.lax.dot_general(
+                        w, oh_lo, (((1,), (1,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=jnp.float32)  # [KHI, KLO]
+                    out_ref[ci] = out_ref[ci] + contrib
+                return carry
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_chunks),
+                              loop_body, jnp.int32(0))
+
+        pl.run_scoped(
+            body,
+            slot_buf=pltpu.VMEM((n_buf, 1, t), jnp.int32),
+            val_buf=pltpu.VMEM((n_buf, max(c, LANE_PAD), t), jnp.float32),
+            sems=pltpu.SemaphoreType.DMA((n_buf, 2)),
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_slots", "interpret"))
+def factored_segment_sum_pallas(slots, values, n_slots: int,
+                                interpret: bool = False):
+    """Fused VMEM-resident factored segment sum (see block comment above).
+
+    Same contract as factored_segment_sum: values[n, C] summed by slots[n]
+    into [n_slots, C]; slots < 0 are dropped. Channel 0 accumulates with
+    f32-exact MXU passes; channels 1+ must hold bf16-exact values (the
+    engine's 0/1 count/presence indicators) — they run single-pass.
+    """
+    n = slots.shape[0]
+    c = values.shape[1]
+    t = FP_ROW_TILE
+    klo = FP_KLO
+    khi = (n_slots + klo - 1) // klo
+    khi_pad = max(8, ((khi + 7) // 8) * 8)
+    n_pad = ((n + t - 1) // t) * t
+    n_chunks = n_pad // t
+    c_pad = max(c, LANE_PAD)
+
+    slots_p = jnp.full(n_pad, -1, jnp.int32).at[:n].set(
+        slots.astype(jnp.int32)).reshape(n_chunks, 1, t)
+    values_p = jnp.zeros((c_pad, n_pad), jnp.float32).at[:c, :n].set(
+        values.astype(jnp.float32).T)
+
+    from jax._src.config import enable_x64 as _x64_ctx
+
+    with _x64_ctx(False):
+        out = pl.pallas_call(
+            _make_factored_pallas_kernel(n_chunks, khi_pad, c),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, khi_pad, klo), jnp.float32),
+            interpret=interpret,
+        )(slots_p, values_p)
+    return out.reshape(c, khi_pad * klo)[:, :n_slots].T
+
+
+def _pallas_factored_ok(n_slots: int) -> bool:
+    """Route factored_segment_sum through the fused pallas kernel on real
+    TPU backends (ARES_FACTORED_PALLAS=0 disables)."""
+    import os
+
+    if os.environ.get("ARES_FACTORED_PALLAS", "") == "0":
+        return False
+    if (n_slots + FP_KLO - 1) // FP_KLO > FP_MAX_KHI:
+        return False
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
 
 
 def use_factored(n_slots: int = 0) -> bool:

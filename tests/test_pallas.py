@@ -69,6 +69,32 @@ def test_factored_segment_sum_matches_reference():
         np.testing.assert_allclose(out, exp, atol=1e-3)
 
 
+def test_factored_segment_sum_pallas_matches_reference():
+    """Fused VMEM factored reduction (interpret mode) vs host oracle.
+
+    Matches the engine contract: channel 0 is the measure (f32-exact
+    HIGHEST passes), channels 1+ carry 0/1 count/presence indicators
+    (bf16-exact single-pass)."""
+    import jax.numpy as jnp
+
+    from aresdb_tpu.query.pallas_ops import factored_segment_sum_pallas
+
+    rng = np.random.RandomState(3)
+    for n, k in [(100, 10), (5000, 700), (4096, 8448), (1500, 130)]:
+        slots = rng.randint(-1, k, n).astype(np.int32)
+        measure = rng.rand(n).astype(np.float32) * 100.0
+        ones = np.ones(n, np.float32)
+        present = (rng.rand(n) < 0.8).astype(np.float32)
+        values = np.stack([measure, ones, present], axis=1)
+        out = np.asarray(factored_segment_sum_pallas(
+            jnp.asarray(slots), jnp.asarray(values), k, interpret=True))
+        exp = np.zeros((k, 3), np.float32)
+        for s, v in zip(slots, values):
+            if 0 <= s < k:
+                exp[s] += v
+        np.testing.assert_allclose(out, exp, rtol=1e-5, atol=1e-3)
+
+
 def test_dense_kernel_factored_path_equivalence(monkeypatch):
     """The full dense agg kernel produces identical results via the
     factored MXU reduction."""
