@@ -242,18 +242,29 @@ def factored_segment_sum(slots, values, n_slots: int):
 # at ~11ms. This kernel builds both one-hots per row chunk in VMEM and runs
 # the same hi/lo outer-product dots there, so HBM traffic collapses to the
 # input scan (~80 MB). KLO is fixed at 128 — exactly one MXU lane tile, no
-# N-padding waste — and the per-channel [KHI, T] @ [T, 128] dots stream KHI
-# through the MXU M dimension. Measured on one v5e chip at n=4M, C=3,
-# K=8448: 3.6ms vs 10.9ms for the XLA factored path.
+# N-padding waste — and KHI streams through the MXU M dimension.
+#
+# MXU passes are the cost: a naive f32-HIGHEST dot is 6 bf16 passes per
+# channel. Instead the measure channel is split into bf16 hi + lo parts
+# (2 exact single passes, ≤2^-17 relative representation error — below the
+# f32 accumulation noise of the sums themselves), the 0/1 indicator
+# channels are bf16-exact single passes, and ALL channel rows are stacked
+# into ONE [(C+1)·KHI, T] @ [T, 128] bf16 dot per chunk: 8 passes → 4 in a
+# single MXU dispatch. Measured on one v5e chip at n=4M, C=3, K=13.3k:
+# 4.5ms vs 9.0ms for the XLA factored path (HIGH, bf16x3).
 
 FP_KLO = 128
-FP_ROW_TILE = 2048
-FP_MAX_KHI = 512          # VMEM budget: oh_hi + w at [KHI, T] f32
+FP_MAX_KHI = 512          # dense.DENSE_MAX_SLOTS/128; VMEM sized via T below
 
 
-def _make_factored_pallas_kernel(n_chunks: int, khi: int, c: int):
+def _fp_row_tile(khi: int) -> int:
+    # [(C+1)·KHI, T] bf16 stacked operand + [KHI, T] f32 one-hot must fit
+    # ~16MB VMEM alongside the double-buffered input tiles
+    return 2048 if khi <= 256 else 1024
+
+
+def _make_factored_pallas_kernel(n_chunks: int, khi: int, c: int, t: int):
     n_buf = 2
-    t = FP_ROW_TILE
     klo = FP_KLO
 
     def kernel(slots_hbm, values_hbm, out_ref):
@@ -296,20 +307,25 @@ def _make_factored_pallas_kernel(n_chunks: int, khi: int, c: int):
                 oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (khi, t), 0)
                          == hi).astype(jnp.float32)     # [KHI, T]
                 oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (klo, t), 0)
-                         == lo).astype(jnp.float32)     # [KLO, T]
-                for ci in range(c):
-                    w = oh_hi * val_buf[slot][ci, :][None, :]
-                    # Mosaic supports only DEFAULT/HIGHEST dot precisions:
-                    # the measure channel (0) gets f32-exact HIGHEST; the
-                    # remaining channels carry 0/1 indicators (counts /
-                    # presence), which single-pass bf16 represents exactly
-                    prec = (jax.lax.Precision.HIGHEST if ci == 0
-                            else jax.lax.Precision.DEFAULT)
-                    contrib = jax.lax.dot_general(
-                        w, oh_lo, (((1,), (1,)), ((), ())),
-                        precision=prec,
-                        preferred_element_type=jnp.float32)  # [KHI, KLO]
-                    out_ref[ci] = out_ref[ci] + contrib
+                         == lo).astype(jnp.bfloat16)    # [KLO, T]
+                # measure channel → exact bf16 hi/lo split (2 passes);
+                # indicator channels (0/1) are bf16-exact as-is (1 pass)
+                w0 = oh_hi * val_buf[slot][0, :][None, :]
+                w0h = w0.astype(jnp.bfloat16)
+                w0l = (w0 - w0h.astype(jnp.float32)).astype(jnp.bfloat16)
+                parts = [w0h, w0l] + [
+                    (oh_hi * val_buf[slot][ci, :][None, :]
+                     ).astype(jnp.bfloat16) for ci in range(1, c)]
+                w_all = jnp.concatenate(parts, axis=0)
+                contrib = jax.lax.dot_general(
+                    w_all, oh_lo, (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32)  # [(C+1)·KHI, KLO]
+                out_ref[0] = (out_ref[0] + contrib[:khi]
+                              + contrib[khi:2 * khi])
+                for ci in range(1, c):
+                    out_ref[ci] = (out_ref[ci]
+                                   + contrib[(ci + 1) * khi:(ci + 2) * khi])
                 return carry
 
             jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_chunks),
@@ -331,16 +347,17 @@ def factored_segment_sum_pallas(slots, values, n_slots: int,
     """Fused VMEM-resident factored segment sum (see block comment above).
 
     Same contract as factored_segment_sum: values[n, C] summed by slots[n]
-    into [n_slots, C]; slots < 0 are dropped. Channel 0 accumulates with
-    f32-exact MXU passes; channels 1+ must hold bf16-exact values (the
-    engine's 0/1 count/presence indicators) — they run single-pass.
+    into [n_slots, C]; slots < 0 are dropped. Channel 0 (the measure)
+    accumulates via an exact bf16 hi/lo split (≤2^-17 relative error);
+    channels 1+ must hold bf16-exact values (the engine's 0/1
+    count/presence indicators) — they run single-pass.
     """
     n = slots.shape[0]
     c = values.shape[1]
-    t = FP_ROW_TILE
     klo = FP_KLO
     khi = (n_slots + klo - 1) // klo
-    khi_pad = max(8, ((khi + 7) // 8) * 8)
+    khi_pad = max(16, ((khi + 15) // 16) * 16)   # bf16 sublane tile
+    t = _fp_row_tile(khi_pad)
     n_pad = ((n + t - 1) // t) * t
     n_chunks = n_pad // t
     c_pad = max(c, LANE_PAD)
@@ -354,7 +371,7 @@ def factored_segment_sum_pallas(slots, values, n_slots: int,
 
     with _x64_ctx(False):
         out = pl.pallas_call(
-            _make_factored_pallas_kernel(n_chunks, khi_pad, c),
+            _make_factored_pallas_kernel(n_chunks, khi_pad, c, t),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
