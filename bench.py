@@ -11,9 +11,12 @@ carries a data dependency on the previous step's result via an
 IEEE-unfoldable `carry - carry` zero) and synced once at the end — the same
 shape as the executor's deferred-fetch pipelining, which dispatches every
 batch before fetching any result. Per-iteration host syncs would charge the
-~25ms remote-tunnel round trip to every batch, which a production deployment
+~27ms remote-tunnel round trip to every batch, which a production deployment
 (local TPU, pipelined batches) never pays; that diagnostic number is printed
-to stderr for the headline path.
+to stderr for the headline path. The whole chained call itself pays that
+round trip ONCE — measured: an empty 8-step scan costs 26ms, a 64-step one
+27ms — so iterations are set high enough (64) that the fixed cost adds
+<0.5ms to each per-batch figure.
 
 The reference publishes no numbers (BASELINE.json "published": {}), so
 `vs_baseline` reports HBM-roofline attainment of the headline path instead:
@@ -55,7 +58,7 @@ def main() -> None:
     from aresdb_tpu.query.dense import plan_dense
 
     n_rows = 1 << 22  # 4M rows per batch
-    iters = 8
+    iters = 64  # amortizes the one ~27ms tunnel round trip to <0.5ms/batch
     time_key = (0, 0)  # request_at is column 0 of the demo trips schema
 
     def chained_rps(kernel_body, columns, sync_of_out):
