@@ -690,15 +690,10 @@ class ShardExecutor:
         batch_ = G.build_shape_batch(shapes, values)
         geo.shape_values = values
         if batch_ is None:
-            # no candidate shapes: zero-edge placeholder, nothing matches
-            e = np.full(1, np.finfo(np.float32).max, np.float32)
-            batch_ = G.GeoShapeBatch(
-                lat1=e, lat2=e, lng1=np.zeros(1, np.float32),
-                lng2=np.zeros(1, np.float32),
-                onehot=np.zeros((1, 8), np.float32), n_shapes=0,
-                shape_values=[])
+            # no candidate shapes: degenerate placeholder, nothing matches
+            batch_ = G.empty_shape_batch()
         return {
-            (-1, 0): (jnp.asarray(batch_.lat1), jnp.asarray(batch_.lat2)),
+            (-1, 0): (jnp.asarray(batch_.slope), jnp.asarray(batch_.icept)),
             (-1, 1): (jnp.asarray(batch_.lng1), jnp.asarray(batch_.lng2)),
             (-1, 2): (jnp.asarray(batch_.onehot), jnp.zeros(1, jnp.float32)),
             (-1, 3): (jnp.asarray(np.int32(batch_.n_shapes)),

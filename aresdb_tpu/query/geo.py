@@ -1,14 +1,21 @@
-"""Geo intersection: batch point-in-polygon as a tiled MXU matmul.
+"""Geo intersection: batch point-in-polygon, VPU crossing test + MXU parity.
 
 Reference: query/geo_intersects.cu (ray casting, one thread per
 (point, edge), atomicXor into per-shape parity bits) and
 query/iterator.hpp:1322 GeoBatchIntersectIterator (the exact crossing test).
 
 TPU redesign: per row-tile, evaluate the crossing test for ALL edges at once
-([T, E] elementwise), then reduce crossings per shape with one [T, E] @ [E, S]
-matmul against the static edge→shape one-hot — the parity reduction runs on
-the MXU instead of atomics. Crossing-count parity (odd = inside) gives the
-same even-odd semantics as the reference's XOR, including holes.
+([T, E] elementwise), then reduce crossings per shape in two stages:
+block-sum over each shape's BLOCK-padded edge runs ([T, E] -> [T, E/BLOCK]
+on the VPU), then one small [T, E/BLOCK] @ [E/BLOCK, S] bf16 matmul against
+the static block->shape one-hot — BLOCK x fewer MXU FLOPs than the naive
+[T, E] @ [E, S] parity matmul. Crossing-count parity (odd = inside) gives
+the same even-odd semantics as the reference's XOR, including holes.
+
+Per-edge slope/intercept are precomputed on the host so the hot [T, E] test
+is comparisons + one fma — no per-(point, edge) division — and padding
+edges are degenerate (lng1 == lng2), which the crossing condition rejects
+by construction (no separate edge-validity lane).
 """
 
 from __future__ import annotations
@@ -27,17 +34,22 @@ import jax.numpy as jnp
 
 MAX_SHAPES = 256        # reference uses an 8-bit shape index (uint8)
 ROW_TILE = 1024
+BLOCK = 32              # edges per block-sum lane (counts stay bf16-exact)
 
 
 @dataclass
 class GeoShapeBatch:
-    """Host-staged shapes: flattened edges + edge→shape one-hot."""
+    """Host-staged shapes: per-edge line params + block->shape one-hot.
 
-    lat1: np.ndarray        # f32[E]
-    lat2: np.ndarray
-    lng1: np.ndarray
-    lng2: np.ndarray
-    onehot: np.ndarray      # f32[E, S_padded]
+    Each shape's edges are padded to a BLOCK multiple with degenerate
+    edges (lng1 == lng2 == 0), so every block belongs to exactly one shape.
+    """
+
+    slope: np.ndarray       # f32[E]  (lat2-lat1)/(lng2-lng1); 0 if vertical
+    icept: np.ndarray       # f32[E]  lat1 - slope*lng1
+    lng1: np.ndarray        # f32[E]
+    lng2: np.ndarray        # f32[E]
+    onehot: np.ndarray      # f32[E/BLOCK, S_padded] block->shape
     n_shapes: int
     shape_values: List = field(default_factory=list)  # pk value per shape
 
@@ -51,8 +63,10 @@ def build_shape_batch(shapes: List[List[List[Tuple[float, float]]]],
         raise ValueError(
             f"geo intersection supports at most {MAX_SHAPES} shapes, "
             f"got {len(shapes)}")
-    lat1, lat2, lng1, lng2, sid = [], [], [], [], []
+    lat1, lat2, lng1, lng2 = [], [], [], []
+    blk_sid = []
     for s, polygons in enumerate(shapes):
+        n0 = len(lat1)
         for ring in polygons or []:
             for i in range(len(ring) - 1):
                 a, b = ring[i], ring[i + 1]
@@ -60,56 +74,76 @@ def build_shape_batch(shapes: List[List[List[Tuple[float, float]]]],
                 lat2.append(b[0])
                 lng1.append(a[1])
                 lng2.append(b[1])
-                sid.append(s)
-    if not lat1:
+        # pad this shape's edge run to a BLOCK multiple with degenerate edges
+        while (len(lat1) - n0) % BLOCK:
+            lat1.append(0.0)
+            lat2.append(0.0)
+            lng1.append(0.0)
+            lng2.append(0.0)
+        blk_sid.extend([s] * ((len(lat1) - n0) // BLOCK))
+    if not blk_sid:
         return None
-    e = len(lat1)
-    e_pad = 1
-    while e_pad < e:
-        e_pad <<= 1
+    # pad the block count to a sublane multiple (empty blocks map to no shape)
+    while len(blk_sid) % 8:
+        for _ in range(BLOCK):
+            lat1.append(0.0)
+            lat2.append(0.0)
+            lng1.append(0.0)
+            lng2.append(0.0)
+        blk_sid.append(-1)
+    a1, a2 = np.asarray(lat1, np.float32), np.asarray(lat2, np.float32)
+    g1, g2 = np.asarray(lng1, np.float32), np.asarray(lng2, np.float32)
+    denom = g2 - g1
+    vertical = denom == 0
+    slope = np.where(vertical, np.float32(0),
+                     (a2 - a1) / np.where(vertical, 1, denom)).astype(np.float32)
+    icept = (a1 - slope * g1).astype(np.float32)
+
     s_pad = max(8, 1 << (len(shapes) - 1).bit_length())
-
-    def arr(v, fill):
-        out = np.full(e_pad, fill, np.float32)
-        out[:e] = v
-        return out
-
-    onehot = np.zeros((e_pad, s_pad), np.float32)
-    onehot[np.arange(e), np.asarray(sid)] = 1.0
+    onehot = np.zeros((len(blk_sid), s_pad), np.float32)
+    for b, s in enumerate(blk_sid):
+        if s >= 0:
+            onehot[b, s] = 1.0
     return GeoShapeBatch(
-        lat1=arr(lat1, np.finfo(np.float32).max),
-        lat2=arr(lat2, np.finfo(np.float32).max),
-        lng1=arr(lng1, 0.0), lng2=arr(lng2, 0.0),
-        onehot=onehot, n_shapes=len(shapes), shape_values=list(shape_values))
+        slope=slope, icept=icept, lng1=g1, lng2=g2, onehot=onehot,
+        n_shapes=len(shapes), shape_values=list(shape_values))
+
+
+def empty_shape_batch() -> GeoShapeBatch:
+    """Zero-shape placeholder: one degenerate block, nothing matches."""
+    z = np.zeros(BLOCK, np.float32)
+    return GeoShapeBatch(slope=z, icept=z, lng1=z, lng2=z,
+                         onehot=np.zeros((8, 8), np.float32),
+                         n_shapes=0, shape_values=[])
 
 
 def matched_shape(point_lat, point_lng, point_valid,
-                  lat1, lat2, lng1, lng2, onehot, n_shapes: int):
+                  slope, icept, lng1, lng2, onehot, n_shapes: int):
     """Per-row first matching shape index (int32, -1 = none). Traced (jnp).
 
     Mirrors the reference crossing test exactly
     (iterator.hpp:1404): ((lng1 > p) != (lng2 > p)) &&
-    (lat < (lat2-lat1)*(p-lng1)/(lng2-lng1) + lat1), edges with FLT_MAX
-    latitude (padding / ring separators) excluded.
+    (lat < (lat2-lat1)*(p-lng1)/(lng2-lng1) + lat1), with the line
+    evaluated via the precomputed slope/intercept. Degenerate padding
+    edges (lng1 == lng2) fail the first condition by construction.
     """
     n = point_lat.shape[0]
     tile = min(ROW_TILE, n)
     n_tiles = n // tile
-    fmax = jnp.float32(np.finfo(np.float32).max)
-    edge_ok = (lat1 < fmax) & (lat2 < fmax)
+    e = slope.shape[0]
+    nb = e // BLOCK
 
     def one_tile(args):
         plat, plng = args  # [T]
         plngc = plng[:, None]
         platc = plat[:, None]
         cond1 = (lng1[None, :] > plngc) != (lng2[None, :] > plngc)
-        denom = lng2 - lng1
-        denom = jnp.where(denom == 0, jnp.float32(1e-30), denom)
-        xline = (lat2 - lat1)[None, :] * (plngc - lng1[None, :]) / denom[None, :] \
-            + lat1[None, :]
-        crossing = cond1 & (platc < xline) & edge_ok[None, :]
-        counts = jnp.dot(crossing.astype(jnp.float32), onehot,
-                         preferred_element_type=jnp.float32)  # [T, S] on MXU
+        cond2 = platc < slope[None, :] * plngc + icept[None, :]
+        crossing = (cond1 & cond2).astype(jnp.bfloat16)
+        blk = crossing.reshape(tile, nb, BLOCK).sum(axis=-1)  # [T, NB] <= 32
+        counts = jax.lax.dot_general(
+            blk, onehot.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [T, S] on MXU, f32-exact
         inside = (counts.astype(jnp.int32) % 2) == 1
         any_in = jnp.any(inside, axis=1)
         first = jnp.argmax(inside, axis=1).astype(jnp.int32)

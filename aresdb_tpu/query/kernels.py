@@ -699,13 +699,13 @@ def _geo_matched(plan: CompiledQuery, ctx: _EvalCtx):
         return cached
     from aresdb_tpu.query import geo as G
 
-    lat1, lat2 = ctx.columns[(-1, 0)]
+    slope, icept = ctx.columns[(-1, 0)]
     lng1, lng2 = ctx.columns[(-1, 1)]
     onehot, _ = ctx.columns[(-1, 2)]
     n_shapes, _ = ctx.columns[(-1, 3)]
     pv = _emit(plan.geo.point_expr, ctx, plan)
     matched = G.matched_shape(pv.value[:, 0], pv.value[:, 1], pv.valid,
-                              lat1, lat2, lng1, lng2, onehot, n_shapes)
+                              slope, icept, lng1, lng2, onehot, n_shapes)
     ctx._geo_matched = matched
     return matched
 

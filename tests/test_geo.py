@@ -61,7 +61,7 @@ def test_matched_shape_unit():
     lngs = jnp.concatenate([lngs, jnp.zeros(pad, jnp.float32) + 99])
     valid = jnp.ones(lats.shape[0], bool)
     m = np.asarray(G.matched_shape(
-        lats, lngs, valid, jnp.asarray(batch.lat1), jnp.asarray(batch.lat2),
+        lats, lngs, valid, jnp.asarray(batch.slope), jnp.asarray(batch.icept),
         jnp.asarray(batch.lng1), jnp.asarray(batch.lng2),
         jnp.asarray(batch.onehot), jnp.int32(batch.n_shapes)))
     assert m[0] == 0
@@ -84,7 +84,7 @@ def test_shape_with_hole():
     lats[1], lngs[1] = 2.0, 2.0   # inside the hole
     m = np.asarray(G.matched_shape(
         jnp.asarray(lats), jnp.asarray(lngs), jnp.ones(G.ROW_TILE, bool),
-        jnp.asarray(batch.lat1), jnp.asarray(batch.lat2),
+        jnp.asarray(batch.slope), jnp.asarray(batch.icept),
         jnp.asarray(batch.lng1), jnp.asarray(batch.lng2),
         jnp.asarray(batch.onehot), jnp.int32(batch.n_shapes)))
     assert m[0] == 0
