@@ -138,12 +138,15 @@ def _sort_and_compress(columns: Dict[int, Tuple[np.ndarray, np.ndarray]],
         keys = []
         for cid in sort_cols:
             values, validity = columns[cid]
+            # validity is the MOST significant lane per column: NULL sorts
+            # before ANY value, negatives included (reference
+            # memstore/common/data_value.go:150 CompareBool(Valid, Valid))
+            keys.append(validity.astype(np.uint8))
             if values.ndim == 2:
                 keys.append(values[:, 1])
                 keys.append(values[:, 0])
             else:
                 keys.append(values)
-            keys.append(validity.astype(np.uint8))  # nulls (0) first
         order = np.lexsort(keys[::-1])
     else:
         order = np.arange(n)
@@ -180,8 +183,9 @@ def _sort_and_compress(columns: Dict[int, Tuple[np.ndarray, np.ndarray]],
 
 def _orderable_bytes(values: np.ndarray, validity: np.ndarray) -> np.ndarray:
     """(n, w+1) uint8 whose memcmp order equals the archive sort order of
-    one sort-column lane: raw value ascending first, validity second
-    (matches _sort_and_compress's key construction exactly).
+    one sort-column lane: validity FIRST (NULL before any value — reference
+    memstore/common/data_value.go:150), then raw value ascending (matches
+    _sort_and_compress's key construction exactly).
 
     Signed ints flip the sign bit; floats use the IEEE total-order trick
     (negatives bit-flipped, positives sign-bit set); everything lands in
@@ -206,8 +210,8 @@ def _orderable_bytes(values: np.ndarray, validity: np.ndarray) -> np.ndarray:
     be = np.ascontiguousarray(iv.astype(f">u{w}")).view(np.uint8)
     be = be.reshape(n, w)
     out = np.empty((n, w + 1), np.uint8)
-    out[:, :w] = be
-    out[:, w] = validity.astype(np.uint8)
+    out[:, 0] = validity.astype(np.uint8)
+    out[:, 1:] = be
     return out
 
 
@@ -221,8 +225,9 @@ def _sort_key_matrix(columns: Dict[int, Tuple[np.ndarray, np.ndarray]],
     for cid in sort_cols:
         values, validity = columns[cid]
         if values.ndim == 2:
-            parts.append(_orderable_bytes(values[:, 1], validity)[:, :-1])
-            parts.append(_orderable_bytes(values[:, 0], validity))
+            # [validity, hi bytes, lo bytes] — validity leads the column
+            parts.append(_orderable_bytes(values[:, 1], validity))
+            parts.append(_orderable_bytes(values[:, 0], validity)[:, 1:])
         else:
             parts.append(_orderable_bytes(values, validity))
     return np.ascontiguousarray(np.concatenate(parts, axis=1))
@@ -266,17 +271,18 @@ class _StreamingDayMerge:
         self.patch = patch
         self.n_patch = n_patch
 
-        # pass 1a: sort the patch (patch-sized lexsort)
+        # pass 1a: sort the patch (patch-sized lexsort; null-first per
+        # column, same significance order as _sort_and_compress)
         if sort_cols:
             keys = []
             for cid in sort_cols:
                 values, validity = patch[cid]
+                keys.append(validity.astype(np.uint8))
                 if values.ndim == 2:
                     keys.append(values[:, 1])
                     keys.append(values[:, 0])
                 else:
                     keys.append(values)
-                keys.append(validity.astype(np.uint8))
             self.order_p = np.lexsort(keys[::-1])
         else:
             self.order_p = np.arange(n_patch)
@@ -314,8 +320,8 @@ class _StreamingDayMerge:
             change[0] = True
             for cid in sort_cols:
                 values, _ = self.patch[cid]
-                # _sort_key_matrix widths: 1-lane = w+1 bytes (value +
-                # validity); 2-lane = w (hi) + w+1 (lo + validity)
+                # _sort_key_matrix widths: 1-lane = 1+w bytes (validity +
+                # value); 2-lane = 1+w (validity + hi) + w (lo)
                 w = values.dtype.itemsize
                 w_col = (2 * w + 1) if values.ndim == 2 else (w + 1)
                 change[1:] |= np.any(
