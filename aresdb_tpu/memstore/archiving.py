@@ -45,6 +45,10 @@ class ArchiveJobStats:
 # column gathering helpers
 # ---------------------------------------------------------------------------
 
+def _is_array_column(col) -> bool:
+    return getattr(col, "is_array", False) or col.data_type == mdt.GeoShape
+
+
 def _gather_live_columns(shard, row_sel: List[Tuple[int, np.ndarray]],
                          column_ids: List[int]):
     """Gather (values, validity) per column for selected live rows.
@@ -56,6 +60,21 @@ def _gather_live_columns(shard, row_sel: List[Tuple[int, np.ndarray]],
     total = sum(len(idx) for _, idx in row_sel)
     for cid in column_ids:
         col = schema.table.columns[cid]
+        if _is_array_column(col):
+            values = np.empty(total, object)
+            validity = np.zeros(total, bool)
+            pos = 0
+            for batch_id, idx in row_sel:
+                vp = shard.live_store.batches[batch_id].column(cid)
+                if vp is not None and vp.is_list:
+                    for j, r in enumerate(idx.tolist()):
+                        item = vp.list_values[r]
+                        if item is not None:
+                            values[pos + j] = item
+                            validity[pos + j] = True
+                pos += len(idx)
+            out[cid] = (values, validity)
+            continue
         npdt = mdt.numpy_dtype(col.data_type)
         lanes = mdt.lanes(col.data_type)
         shape = (total, 2) if lanes == 2 else (total,)
@@ -96,6 +115,16 @@ def _expand_archive_columns(batch, column_ids: List[int], schema,
     for cid in column_ids:
         col = schema.table.columns[cid]
         vp = vps[cid]
+        if _is_array_column(col):
+            values = np.empty(n, object)
+            validity = np.zeros(n, bool)
+            if vp is not None and vp.is_list:
+                for i, item in enumerate(vp.list_values):
+                    if item is not None:
+                        values[i] = item
+                        validity[i] = bool(vp.validity[i])
+            out[cid] = (values, validity)
+            continue
         npdt = mdt.numpy_dtype(col.data_type)
         lanes = mdt.lanes(col.data_type)
         if vp is None or vp.values is None:
@@ -174,6 +203,14 @@ def _sort_and_compress(columns: Dict[int, Tuple[np.ndarray, np.ndarray]],
             validity=sb[starts], counts=counts)
     for cid, (values, validity) in columns.items():
         if cid in out:
+            continue
+        if values.dtype == object:   # array/GeoShape columns: list VP
+            sv = values[order]
+            sb = validity[order]
+            out[cid] = ArchiveVectorParty(
+                dtypes[cid], values=None, validity=sb,
+                list_values=[sv[i] if sb[i] else None
+                             for i in range(len(sb))])
             continue
         out[cid] = ArchiveVectorParty(
             dtypes[cid], values=values[order],
@@ -340,17 +377,26 @@ class _StreamingDayMerge:
         pv, pb = self.patch[cid]
         pv = pv[self.order_p]
         pb = pb[self.order_p]
+        is_obj = pv.dtype == object
         if self.n_base:
             bv, bb = base_col[cid]
-            out_v = np.zeros((self.n_total,) + bv.shape[1:], bv.dtype)
+            is_obj = is_obj or bv.dtype == object
+            out_v = (np.empty(self.n_total, object) if is_obj else
+                     np.zeros((self.n_total,) + bv.shape[1:], bv.dtype))
             out_b = np.zeros(self.n_total, bool)
             out_v[self.base_pos] = bv
             out_b[self.base_pos] = bb
         else:
-            out_v = np.zeros((self.n_total,) + pv.shape[1:], pv.dtype)
+            out_v = (np.empty(self.n_total, object) if is_obj else
+                     np.zeros((self.n_total,) + pv.shape[1:], pv.dtype))
             out_b = np.zeros(self.n_total, bool)
         out_v[self.patch_pos] = pv
         out_b[self.patch_pos] = pb
+        if is_obj:
+            return ArchiveVectorParty(
+                self.dtypes[cid], values=None, validity=out_b,
+                list_values=[out_v[i] if out_b[i] else None
+                             for i in range(self.n_total)])
         if cid in self.starts:
             starts = self.starts[cid]
             counts = np.zeros(len(starts) + 1, np.uint32)
@@ -581,11 +627,17 @@ class Archiver:
                         pvalid[cid][pos:pos + nb_rows] = col.validity[rows]
                 for cid in array_cols:
                     col = cols_by_id.get(cid)
-                    if col is not None and col.values is not None:
-                        for j, r in enumerate(rows.tolist()):
-                            if col.validity[r]:
-                                pvals[cid][pos + j] = col.values[r]
-                                pvalid[cid][pos + j] = True
+                    if col is None:
+                        continue
+                    # wire arrays live in col.array_values (values is None)
+                    items = (col.array_values if col.is_array
+                             else col.values)
+                    if items is None:
+                        continue
+                    for j, r in enumerate(rows.tolist()):
+                        if col.validity[r] and items[r] is not None:
+                            pvals[cid][pos + j] = items[r]
+                            pvalid[cid][pos + j] = True
                 pos += nb_rows
 
             valid_idx = np.nonzero(kvalid_all)[0]
@@ -634,10 +686,13 @@ class Archiver:
                     nv[:n_base] = bv
                 nbv = np.zeros(n_total, bool)
                 nbv[:n_base] = bb
-                if cid in key_ids or cid in array_cols:
-                    # updates never touch key/array columns; appends do
+                if cid in key_ids:
+                    # key columns identify the row — updates never touch them
                     write = np.nonzero(pb & ~hit)[0]
                 else:
+                    # scalar AND array columns take patch values; rows whose
+                    # patch does not carry the column (pb False) keep the
+                    # base value (reference backfill.go array in-place/fork)
                     write = np.nonzero(pb)[0]
                 nv[dest[write]] = pv[write]
                 nbv[dest[write]] = True

@@ -279,8 +279,10 @@ class CuckooIndex {
   }
 
   bool expired(const Slot& s) const {
-    return has_event_time_ && cutoff_ != 0 && s.event_time != 0 &&
-           s.event_time < cutoff_;
+    // reference parity (memstore/cuckoo_index.go:337 eventTimeExpired):
+    // cutoff > eventTime, with NO zero special-case — a fact row stamped
+    // at epoch 0 must expire like any other once the cutoff advances
+    return has_event_time_ && cutoff_ != 0 && s.event_time < cutoff_;
   }
 
   uint8_t signature_of(uint32_t hash) const {

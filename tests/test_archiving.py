@@ -440,3 +440,50 @@ def test_eviction_respects_budget_and_policy(tmp_root):
         assert hmm.managed_bytes == total
     finally:
         clock.reset_clock()
+
+
+def test_archive_preserves_array_columns(tmp_root):
+    """Regression: archiving used to silently null out array columns (the
+    live list VP keeps data in list_values, which _gather_live_columns
+    ignored). Reference archives arrays like any column
+    (memstore/archiving_test.go asserts the merged array column)."""
+    from aresdb_tpu.memstore.memstore import MemStore
+    from aresdb_tpu.metastore.disk_metastore import DiskMetaStore
+    from aresdb_tpu.diskstore.local_diskstore import LocalDiskStore
+
+    schema = {
+        "name": "arr_fact",
+        "columns": [
+            {"name": "request_at", "type": "Uint32"},
+            {"name": "id", "type": "Uint32"},
+            {"name": "tags", "type": "Int16[]"},
+        ],
+        "primaryKeyColumns": [1],
+        "archivingSortColumns": [1],
+        "isFactTable": True,
+        "config": {"batchSize": 16, "recordRetentionInDays": 0},
+    }
+    ms = MemStore(DiskMetaStore(tmp_root), LocalDiskStore(tmp_root))
+    ms.create_table(Table.from_json(schema))
+    ms.init_shards()
+    shard = ms.get_table_shard("arr_fact")
+
+    b = UpsertBatchBuilder()
+    b.add_column(0, dt.Uint32)
+    b.add_column(1, dt.Uint32)
+    b.add_column(2, dt.data_type_from_string("Int16[]"))
+    expected = {0: [1, 2, 3], 1: [11], 2: None}
+    for i in range(3):
+        b.add_row()
+        b.set_value(i, 0, 100 + i)
+        b.set_value(i, 1, i)
+        b.set_value(i, 2, expected[i])
+    shard.save_upsert_batch(UpsertBatch(b.to_bytes()))
+
+    Archiver(shard, ms.metastore, ms.diskstore).archive(DAY)
+    batch = shard.archive_store.get_current_version().batches[0]
+    vp = batch.request_column(2).expanded()
+    assert vp.is_list
+    ids = np.asarray(batch.request_column(1).expanded().values)
+    got = {int(ids[r]): vp.read_value(r) for r in range(3)}
+    assert got == expected
