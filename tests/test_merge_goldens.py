@@ -27,7 +27,8 @@ from aresdb_tpu.memstore.vector_party import ArchiveVectorParty
 VPS = "/root/reference/testing/data/vps"
 BATCHES = "/root/reference/testing/data/batches"
 
-_DT = {"Bool": mdt.Bool, "Uint8": mdt.Uint8, "Uint16": mdt.Uint16,
+_DT = {"Bool": mdt.Bool, "Int8": mdt.Int8, "Uint8": mdt.Uint8,
+       "Int16": mdt.Int16, "Uint16": mdt.Uint16,
        "Uint32": mdt.Uint32, "Int32": mdt.Int32, "Int64": mdt.Int64,
        "Float32": mdt.Float32, "SmallEnum": mdt.SmallEnum,
        "BigEnum": mdt.BigEnum}
@@ -231,3 +232,33 @@ def test_merge_no_sort_columns_golden():
     g_rows = max(expand(*golden[c][1:])[0].shape[0] for c in golden)
     assert n_total == g_rows
     _assert_golden(merged, golden, [])
+
+
+def test_serializer_fixture_roundtrip():
+    """The reference's serializer fixtures (vps/serializer, the mode 0-3
+    representative VPs of memstore/vector_party_serializer_test.go)
+    round-trip through OUR VP serializer with logical content and
+    storage mode preserved."""
+    from aresdb_tpu.memstore.vector_party import (
+        ArchiveVectorParty, MODE_ALL_DEFAULT, MODE_ALL_PRESENT,
+        MODE_HAS_NULLS, MODE_COMPRESSED)
+
+    expect_mode = {
+        "serializer/mode0_int8": MODE_ALL_DEFAULT,
+        "serializer/mode1_bool": MODE_ALL_PRESENT,
+        "serializer/mode2_int8": MODE_HAS_NULLS,
+        "serializer/mode3_int8": MODE_COMPRESSED,
+    }
+    for name, mode in expect_mode.items():
+        dt_, vals, valid, counts = load_vp(name)
+        vp = ArchiveVectorParty(dt_, values=vals, validity=valid,
+                                counts=counts)
+        assert vp.mode == mode, name
+        back = ArchiveVectorParty.from_bytes(vp.to_bytes())
+        assert back.mode == mode, name
+        ev, eb = expand(np.asarray(back.values), np.asarray(back.validity),
+                        back.counts)
+        gv, gb = expand(vals, valid, counts)
+        np.testing.assert_array_equal(eb, gb, err_msg=name)
+        np.testing.assert_array_equal(np.where(eb, ev, 0),
+                                      np.where(gb, gv, 0), err_msg=name)
