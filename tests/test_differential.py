@@ -91,21 +91,47 @@ FILTER_CHOICES = [
     ("c16 IN (1, 2, 3)", lambda c, v: v["c16"] & np.isin(c["c16"], [1, 2, 3])),
     ("c8 + 1 > 3", lambda c, v: v["c8"] & (c["c8"] + 1 > 3)),
     ("NOT (c8 = 1)", lambda c, v: v["c8"] & (c["c8"] != 1)),
+    # 3-valued logic: a row passes only when the predicate is TRUE
+    ("c8 > 2 AND f < 0",
+     lambda c, v: (v["c8"] & (c["c8"] > 2)) & (v["f"] & (c["f"] < 0))),
+    ("c8 > 4 OR i32 > 50",
+     lambda c, v: (v["c8"] & (c["c8"] > 4)) | (v["i32"] & (c["i32"] > 50))),
+    ("f * 2 >= 5", lambda c, v: v["f"] & (c["f"] * 2 >= 5)),
+    ("c16 % 10 = 3", lambda c, v: v["c16"] & (c["c16"] % 10 == 3)),
+    ("c16 - c16 % 10 = 20",
+     lambda c, v: v["c16"] & (c["c16"] - c["c16"] % 10 == 20)),
 ]
 
+
+def _col_dim(name, kind):
+    return (name, kind,
+            lambda c, v, r, name=name: (c[name][r], v[name][r]))
+
+
 DIM_CHOICES = [
-    ([], lambda c, v: []),
-    ([("c8", "u")], None),
-    ([("c16", "u")], None),
-    ([("e", "enum")], None),
-    ([("b", "bool")], None),
-    ([("c8", "u"), ("e", "enum")], None),
-    ([("c16", "u"), ("b", "bool")], None),
-    ([("i32", "i")], None),
+    [],
+    [_col_dim("c8", "u")],
+    [_col_dim("c16", "u")],
+    [_col_dim("e", "enum")],
+    [_col_dim("b", "bool")],
+    [_col_dim("c8", "u"), _col_dim("e", "enum")],
+    [_col_dim("c16", "u"), _col_dim("b", "bool")],
+    [_col_dim("i32", "i")],
+    # expression dims (all-int arithmetic: unambiguous semantics)
+    [("c16 - c16 % 10", "u",
+      lambda c, v, r: (c["c16"][r] - c["c16"][r] % 10, v["c16"][r]))],
+    [("c8 * 2 + 1", "u",
+      lambda c, v, r: (c["c8"][r] * 2 + 1, v["c8"][r]))],
+    # CASE: null/false condition -> ELSE branch (always valid)
+    [("case when b then 1 else 0 end", "i",
+      lambda c, v, r: (1 if (v["b"][r] and c["b"][r]) else 0, True))],
+    [("case when c8 > 2 then c8 else i32 end", "i",
+      lambda c, v, r: (c["c8"][r], v["c8"][r])
+      if (v["c8"][r] and c["c8"][r] > 2) else (c["i32"][r], v["i32"][r]))],
 ]
 
 AGG_CHOICES = ["count(*)", "sum(f)", "min(f)", "max(f)", "sum(c16)",
-               "avg(f)"]
+               "avg(f)", "sum(f * 2)", "max(i32)"]
 
 
 def dim_value_str(kind, val, valid):
@@ -118,13 +144,21 @@ def dim_value_str(kind, val, valid):
     return str(int(val))
 
 
+def _measure_values(cols, valid, rows, agg):
+    """Valid measure values for one group (expression-aware)."""
+    expr = agg[agg.index("(") + 1:-1].strip()
+    if expr == "f * 2":
+        return [cols["f"][r] * 2 for r in rows if valid["f"][r]]
+    return [cols[expr][r] for r in rows if valid[expr][r]]
+
+
 def oracle(cols, valid, mask, dims, agg):
     groups = {}
     for r in range(N_ROWS):
         if not mask[r]:
             continue
-        key = tuple(dim_value_str(kind, cols[name][r], valid[name][r])
-                    for name, kind in dims)
+        key = tuple(dim_value_str(kind, *getter(cols, valid, r))
+                    for _, kind, getter in dims)
         g = groups.setdefault(key, [])
         g.append(r)
     out = {}
@@ -132,8 +166,7 @@ def oracle(cols, valid, mask, dims, agg):
         if agg == "count(*)":
             val = float(len(rows))
         else:
-            col = agg[agg.index("(") + 1:-1]
-            vals = [cols[col][r] for r in rows if valid[col][r]]
+            vals = _measure_values(cols, valid, rows, agg)
             if agg.startswith("sum"):
                 val = float(np.sum(np.asarray(vals, np.float64))) if vals else 0.0
             elif agg.startswith("min"):
@@ -144,6 +177,20 @@ def oracle(cols, valid, mask, dims, agg):
                 val = float(np.float32(np.sum(np.asarray(vals, np.float64))
                                        / len(vals))) if vals else None
         out[key] = val
+    return out
+
+
+def clean(d, agg):
+    """Drop all-null-group identity leaves so engine (identity value) and
+    oracle (None) agree: float +-3.4e38 and int32 min/max identities."""
+    out = {}
+    for k, v in d.items():
+        if v is None or abs(v) >= 1e30:
+            continue
+        if agg.startswith(("min", "max")) and v in (2147483647.0,
+                                                    -2147483648.0):
+            continue
+        out[k] = v
     return out
 
 
@@ -165,14 +212,14 @@ def test_differential(seed):
     store, cols, valid = build(seed)
     svc = QueryService(store)
 
-    for trial in range(8):
+    for trial in range(12):
         fsql, foracle = FILTER_CHOICES[rng.randint(len(FILTER_CHOICES))]
-        dims, _ = DIM_CHOICES[rng.randint(len(DIM_CHOICES))]
+        dims = DIM_CHOICES[rng.randint(len(DIM_CHOICES))]
         agg = AGG_CHOICES[rng.randint(len(AGG_CHOICES))]
 
         q = {"table": "t",
              "measures": [{"sqlExpression": agg}],
-             "dimensions": [{"sqlExpression": name} for name, _ in dims],
+             "dimensions": [{"sqlExpression": sql} for sql, _, _ in dims],
              "now": NOW}
         if fsql:
             q["rowFilters"] = [fsql]
@@ -183,13 +230,7 @@ def test_differential(seed):
         mask = foracle(cols, valid)
         expected = oracle(cols, valid, mask, dims, agg)
 
-        # min/max identity leaves for all-null groups: engine reports the
-        # identity value; oracle reports None — align by dropping both
-        def clean(d):
-            return {k: v for k, v in d.items()
-                    if v is not None and abs(v) < 1e30}
-
-        got_c, exp_c = clean(got), clean(expected)
+        got_c, exp_c = clean(got, agg), clean(expected, agg)
         assert set(got_c) == set(exp_c), (q, set(got_c) ^ set(exp_c))
         for k in exp_c:
             assert got_c[k] == pytest.approx(exp_c[k], rel=1e-4, abs=1e-3), \
@@ -209,11 +250,11 @@ def test_differential_factored_reduction(seed, monkeypatch):
         svc = QueryService(store)
         for trial in range(4):
             fsql, foracle = FILTER_CHOICES[rng.randint(len(FILTER_CHOICES))]
-            dims, _ = DIM_CHOICES[rng.randint(len(DIM_CHOICES))]
+            dims = DIM_CHOICES[rng.randint(len(DIM_CHOICES))]
             agg = AGG_CHOICES[rng.randint(len(AGG_CHOICES))]
             q = {"table": "t",
                  "measures": [{"sqlExpression": agg}],
-                 "dimensions": [{"sqlExpression": name} for name, _ in dims],
+                 "dimensions": [{"sqlExpression": sql} for sql, _, _ in dims],
                  "now": NOW}
             if fsql:
                 q["rowFilters"] = [fsql]
@@ -223,11 +264,7 @@ def test_differential_factored_reduction(seed, monkeypatch):
             mask = foracle(cols, valid)
             expected = oracle(cols, valid, mask, dims, agg)
 
-            def clean(d):
-                return {k: v for k, v in d.items()
-                        if v is not None and abs(v) < 1e30}
-
-            got_c, exp_c = clean(got), clean(expected)
+            got_c, exp_c = clean(got, agg), clean(expected, agg)
             assert set(got_c) == set(exp_c), (q, set(got_c) ^ set(exp_c))
             for k in exp_c:
                 assert got_c[k] == pytest.approx(exp_c[k], rel=1e-4,
@@ -235,3 +272,32 @@ def test_differential_factored_reduction(seed, monkeypatch):
                     (q, k, got_c[k], exp_c[k])
     finally:
         GLOBAL_KERNEL_CACHE._cache.clear()
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_differential_measure_rowfilters(seed):
+    """Measure-level rowFilters AND into the row mask (reference: measure
+    filters merge with query filters at compile, aql_compiler.go)."""
+    rng = np.random.RandomState(3000 + seed)
+    store, cols, valid = build(seed + 100)
+    svc = QueryService(store)
+    for trial in range(6):
+        f1sql, f1 = FILTER_CHOICES[rng.randint(1, len(FILTER_CHOICES))]
+        f2sql, f2 = FILTER_CHOICES[rng.randint(1, len(FILTER_CHOICES))]
+        dims = DIM_CHOICES[rng.randint(len(DIM_CHOICES))]
+        agg = AGG_CHOICES[rng.randint(len(AGG_CHOICES))]
+        q = {"table": "t",
+             "measures": [{"sqlExpression": agg, "rowFilters": [f2sql]}],
+             "dimensions": [{"sqlExpression": sql} for sql, _, _ in dims],
+             "rowFilters": [f1sql],
+             "now": NOW}
+        resp = svc.handle_aql({"queries": [q]})
+        assert "errors" not in resp, (resp.get("errors"), q)
+        got = flatten(resp["results"][0], len(dims))
+        mask = f1(cols, valid) & f2(cols, valid)
+        expected = oracle(cols, valid, mask, dims, agg)
+        got_c, exp_c = clean(got, agg), clean(expected, agg)
+        assert set(got_c) == set(exp_c), (q, set(got_c) ^ set(exp_c))
+        for k in exp_c:
+            assert got_c[k] == pytest.approx(exp_c[k], rel=1e-4, abs=1e-3), \
+                (q, k, got_c[k], exp_c[k])
