@@ -260,6 +260,8 @@ FP_MAX_KHI = 512          # dense.DENSE_MAX_SLOTS/128; VMEM sized via T below
 def _fp_row_tile(khi: int) -> int:
     # [(C+1)·KHI, T] bf16 stacked operand + [KHI, T] f32 one-hot must fit
     # ~16MB VMEM alongside the double-buffered input tiles
+    if khi <= 128:
+        return 4096
     return 2048 if khi <= 256 else 1024
 
 
