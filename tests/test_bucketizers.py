@@ -164,3 +164,26 @@ def test_timezone_shifts_hour_bucket(service):
     r = resp["results"][0]
     # 2020-01-15 10:30 UTC = 05:30 at -5:00
     assert "2020-01-15 05:00" in r
+
+
+def test_time_dimension_formatting_parity():
+    """Exact output strings of query/aql_postprocessor_test.go:194
+    'time Unit formatting works' (plus day-of-week values 1, 2)."""
+    from aresdb_tpu.query.time_util import format_time_dimension as F
+
+    assert F(0, "h") == "1970-01-01 00:00"
+    assert F(190, "time of day") == "00:03"
+    assert F(250, "time of day") == "00:04"
+    assert F(0, "hour of day") == "00:00"
+    assert F(190, "hour of week") == "Monday 00:03"
+    assert F(250, "hour of week") == "Monday 00:04"
+    assert F(190, "minute") == "1970-01-01 00:03"
+    assert F(250, "minute") == "1970-01-01 00:04"
+    assert F(0, "hour") == "1970-01-01 00:00"
+    assert F(190, "some invalid bucketizer") == "190"
+    assert F(1, "day of week") == "Tuesday"
+    assert F(2, "day of week") == "Wednesday"
+    assert F(0, "day of week") == "Monday"
+    # time_unit branch: raw numeric division
+    assert F(7200, "", time_unit="hour") == "2"
+    assert F(86400, "", time_unit="day") == "1"
