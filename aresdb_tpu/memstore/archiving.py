@@ -150,6 +150,26 @@ def _expand_archive_columns(batch, column_ids: List[int], schema,
     return out, n
 
 
+def _lexsort_order(columns: Dict[int, Tuple[np.ndarray, np.ndarray]],
+                   sort_cols: List[int]) -> np.ndarray:
+    """Stable row order by the sort columns. Per column, validity is the
+    MOST significant lane: NULL sorts before ANY value, negatives included
+    (reference memstore/common/data_value.go:150 CompareBool(Valid,
+    Valid)). MUST stay byte-equivalent to _sort_key_matrix's memcmp
+    encoding — both the compress path and the streaming merge derive run
+    boundaries from the same ordering."""
+    keys = []
+    for cid in sort_cols:
+        values, validity = columns[cid]
+        keys.append(validity.astype(np.uint8))
+        if values.ndim == 2:
+            keys.append(values[:, 1])
+            keys.append(values[:, 0])
+        else:
+            keys.append(values)
+    return np.lexsort(keys[::-1])
+
+
 def _sort_and_compress(columns: Dict[int, Tuple[np.ndarray, np.ndarray]],
                        sort_cols: List[int], n: int,
                        dtypes: Dict[int, int]
@@ -163,22 +183,8 @@ def _sort_and_compress(columns: Dict[int, Tuple[np.ndarray, np.ndarray]],
     """
     if n == 0:
         return {}
-    if sort_cols:
-        keys = []
-        for cid in sort_cols:
-            values, validity = columns[cid]
-            # validity is the MOST significant lane per column: NULL sorts
-            # before ANY value, negatives included (reference
-            # memstore/common/data_value.go:150 CompareBool(Valid, Valid))
-            keys.append(validity.astype(np.uint8))
-            if values.ndim == 2:
-                keys.append(values[:, 1])
-                keys.append(values[:, 0])
-            else:
-                keys.append(values)
-        order = np.lexsort(keys[::-1])
-    else:
-        order = np.arange(n)
+    order = (_lexsort_order(columns, sort_cols) if sort_cols
+             else np.arange(n))
 
     out: Dict[int, ArchiveVectorParty] = {}
     prefix_change = np.zeros(n, bool)
@@ -275,6 +281,20 @@ def _as_sortable_void(mat: np.ndarray) -> np.ndarray:
     return mat.view(np.dtype((np.void, mat.shape[1]))).ravel()
 
 
+def _rows_lex_sorted(mat: np.ndarray) -> bool:
+    """True if the rows of a uint8 key matrix are lexicographically
+    non-decreasing (vectorized: the first differing byte of each adjacent
+    pair must increase)."""
+    if len(mat) < 2:
+        return True
+    a, b = mat[:-1], mat[1:]
+    diff = a != b
+    any_diff = diff.any(axis=1)
+    col = np.argmax(diff, axis=1)
+    rows = np.arange(len(col))
+    return bool(np.all(~any_diff | (b[rows, col] >= a[rows, col])))
+
+
 def _merge_positions(base_keys: np.ndarray, patch_keys: np.ndarray
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Output row index for each base row and each (sorted) patch row when
@@ -308,28 +328,26 @@ class _StreamingDayMerge:
         self.patch = patch
         self.n_patch = n_patch
 
-        # pass 1a: sort the patch (patch-sized lexsort; null-first per
-        # column, same significance order as _sort_and_compress)
-        if sort_cols:
-            keys = []
-            for cid in sort_cols:
-                values, validity = patch[cid]
-                keys.append(validity.astype(np.uint8))
-                if values.ndim == 2:
-                    keys.append(values[:, 1])
-                    keys.append(values[:, 0])
-                else:
-                    keys.append(values)
-            self.order_p = np.lexsort(keys[::-1])
-        else:
-            self.order_p = np.arange(n_patch)
+        # pass 1a: sort the patch (patch-sized lexsort, shared null-first
+        # key order)
+        self.order_p = (_lexsort_order(patch, sort_cols) if sort_cols
+                        else np.arange(n_patch))
 
         # pass 1b: placement from the sort columns only
         base_sort_cols, self.n_base = _expand_archive_columns(
             base_batch, sort_cols, schema,
             n_rows=base_batch.size if base_batch is not None else 0)
+        self.base_reorder: Optional[np.ndarray] = None
         if sort_cols:
             base_keys = _sort_key_matrix(base_sort_cols, sort_cols)
+            if not _rows_lex_sorted(base_keys):
+                # base written under a different (pre-null-first) key
+                # encoding: re-sort it once (stable, so same-key base rows
+                # keep their relative order) instead of silently merging
+                # against a non-ascending run and corrupting placement
+                self.base_reorder = np.argsort(
+                    _as_sortable_void(base_keys), kind="stable")
+                base_keys = base_keys[self.base_reorder]
             patch_keys = _sort_key_matrix(
                 {c: (v[self.order_p], b[self.order_p])
                  for c, (v, b) in ((c, patch[c]) for c in sort_cols)},
@@ -380,6 +398,8 @@ class _StreamingDayMerge:
         is_obj = pv.dtype == object
         if self.n_base:
             bv, bb = base_col[cid]
+            if self.base_reorder is not None:
+                bv, bb = bv[self.base_reorder], bb[self.base_reorder]
             is_obj = is_obj or bv.dtype == object
             out_v = (np.empty(self.n_total, object) if is_obj else
                      np.zeros((self.n_total,) + bv.shape[1:], bv.dtype))
@@ -561,8 +581,7 @@ class Archiver:
         sort_cols = list(schema.table.archiving_sort_columns)
         key_ids = schema.table.primary_key_columns
         array_cols = {cid for cid in all_cols
-                      if schema.table.columns[cid].is_array
-                      or dtypes[cid] == mdt.GeoShape}
+                      if _is_array_column(schema.table.columns[cid])}
         scalar_cols = [cid for cid in all_cols if cid not in array_cols]
 
         # group queued rows by day

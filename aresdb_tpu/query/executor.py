@@ -693,7 +693,7 @@ class ShardExecutor:
             # no candidate shapes: degenerate placeholder, nothing matches
             batch_ = G.empty_shape_batch()
         return {
-            (-1, 0): (jnp.asarray(batch_.slope), jnp.asarray(batch_.icept)),
+            (-1, 0): (jnp.asarray(batch_.slope), jnp.asarray(batch_.lat1)),
             (-1, 1): (jnp.asarray(batch_.lng1), jnp.asarray(batch_.lng2)),
             (-1, 2): (jnp.asarray(batch_.onehot), jnp.zeros(1, jnp.float32)),
             (-1, 3): (jnp.asarray(np.int32(batch_.n_shapes)),

@@ -12,10 +12,13 @@ the static block->shape one-hot — BLOCK x fewer MXU FLOPs than the naive
 [T, E] @ [E, S] parity matmul. Crossing-count parity (odd = inside) gives
 the same even-odd semantics as the reference's XOR, including holes.
 
-Per-edge slope/intercept are precomputed on the host so the hot [T, E] test
-is comparisons + one fma — no per-(point, edge) division — and padding
-edges are degenerate (lng1 == lng2), which the crossing condition rejects
-by construction (no separate edge-validity lane).
+Per-edge slopes are precomputed on the host so the hot [T, E] test has no
+per-(point, edge) division, and padding edges are degenerate
+(lng1 == lng2), which the crossing condition rejects by construction (no
+separate edge-validity lane). The line test keeps the reference's
+cancellation-free form slope*(p - lng1) + lat1 — a plain slope*p + icept
+fma loses ~2^-10 relative precision for steep edges at large longitudes
+(icept magnitudes reach 1e8 where the f32 ulp is 8.0).
 """
 
 from __future__ import annotations
@@ -46,7 +49,7 @@ class GeoShapeBatch:
     """
 
     slope: np.ndarray       # f32[E]  (lat2-lat1)/(lng2-lng1); 0 if vertical
-    icept: np.ndarray       # f32[E]  lat1 - slope*lng1
+    lat1: np.ndarray        # f32[E]  edge start latitude
     lng1: np.ndarray        # f32[E]
     lng2: np.ndarray        # f32[E]
     onehot: np.ndarray      # f32[E/BLOCK, S_padded] block->shape
@@ -97,7 +100,6 @@ def build_shape_batch(shapes: List[List[List[Tuple[float, float]]]],
     vertical = denom == 0
     slope = np.where(vertical, np.float32(0),
                      (a2 - a1) / np.where(vertical, 1, denom)).astype(np.float32)
-    icept = (a1 - slope * g1).astype(np.float32)
 
     s_pad = max(8, 1 << (len(shapes) - 1).bit_length())
     onehot = np.zeros((len(blk_sid), s_pad), np.float32)
@@ -105,27 +107,30 @@ def build_shape_batch(shapes: List[List[List[Tuple[float, float]]]],
         if s >= 0:
             onehot[b, s] = 1.0
     return GeoShapeBatch(
-        slope=slope, icept=icept, lng1=g1, lng2=g2, onehot=onehot,
+        slope=slope, lat1=a1, lng1=g1, lng2=g2, onehot=onehot,
         n_shapes=len(shapes), shape_values=list(shape_values))
 
 
 def empty_shape_batch() -> GeoShapeBatch:
-    """Zero-shape placeholder: one degenerate block, nothing matches."""
-    z = np.zeros(BLOCK, np.float32)
-    return GeoShapeBatch(slope=z, icept=z, lng1=z, lng2=z,
+    """Zero-shape placeholder: 8 degenerate blocks (matching the 8-row
+    one-hot so matched_shape's block dot stays shape-consistent), nothing
+    matches."""
+    z = np.zeros(8 * BLOCK, np.float32)
+    return GeoShapeBatch(slope=z, lat1=z, lng1=z, lng2=z,
                          onehot=np.zeros((8, 8), np.float32),
                          n_shapes=0, shape_values=[])
 
 
 def matched_shape(point_lat, point_lng, point_valid,
-                  slope, icept, lng1, lng2, onehot, n_shapes: int):
+                  slope, lat1, lng1, lng2, onehot, n_shapes: int):
     """Per-row first matching shape index (int32, -1 = none). Traced (jnp).
 
     Mirrors the reference crossing test exactly
     (iterator.hpp:1404): ((lng1 > p) != (lng2 > p)) &&
-    (lat < (lat2-lat1)*(p-lng1)/(lng2-lng1) + lat1), with the line
-    evaluated via the precomputed slope/intercept. Degenerate padding
-    edges (lng1 == lng2) fail the first condition by construction.
+    (lat < (lat2-lat1)*(p-lng1)/(lng2-lng1) + lat1), with the slope
+    precomputed but the (p - lng1) subtraction kept per element — the
+    cancellation-free form. Degenerate padding edges (lng1 == lng2) fail
+    the first condition by construction.
     """
     n = point_lat.shape[0]
     tile = min(ROW_TILE, n)
@@ -138,7 +143,8 @@ def matched_shape(point_lat, point_lng, point_valid,
         plngc = plng[:, None]
         platc = plat[:, None]
         cond1 = (lng1[None, :] > plngc) != (lng2[None, :] > plngc)
-        cond2 = platc < slope[None, :] * plngc + icept[None, :]
+        cond2 = platc < (slope[None, :] * (plngc - lng1[None, :])
+                         + lat1[None, :])
         crossing = (cond1 & cond2).astype(jnp.bfloat16)
         blk = crossing.reshape(tile, nb, BLOCK).sum(axis=-1)  # [T, NB] <= 32
         counts = jax.lax.dot_general(

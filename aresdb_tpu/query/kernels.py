@@ -699,13 +699,13 @@ def _geo_matched(plan: CompiledQuery, ctx: _EvalCtx):
         return cached
     from aresdb_tpu.query import geo as G
 
-    slope, icept = ctx.columns[(-1, 0)]
+    slope, lat1 = ctx.columns[(-1, 0)]
     lng1, lng2 = ctx.columns[(-1, 1)]
     onehot, _ = ctx.columns[(-1, 2)]
     n_shapes, _ = ctx.columns[(-1, 3)]
     pv = _emit(plan.geo.point_expr, ctx, plan)
     matched = G.matched_shape(pv.value[:, 0], pv.value[:, 1], pv.valid,
-                              slope, icept, lng1, lng2, onehot, n_shapes)
+                              slope, lat1, lng1, lng2, onehot, n_shapes)
     ctx._geo_matched = matched
     return matched
 
@@ -870,7 +870,7 @@ def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
             if prefix:
                 both = sorted_segment_sum(stacked, num, starts, ends)
             elif P.use_factored(num):
-                both = P.factored_segment_sum(seg_c, stacked, num)
+                both = P.factored_segment_sum_indicator(seg_c, stacked, num)
             else:
                 both = jax.ops.segment_sum(stacked, seg_c, num_segments=num)
             aggv = both[:k_groups, 0]
@@ -894,7 +894,7 @@ def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
             cnt = sorted_segment_sum(ones[:, None], num, starts,
                                      ends)[:k_groups, 0]
         elif P.use_factored(num):
-            cnt = P.factored_segment_sum(seg_c, ones[:, None], num)[:k_groups, 0]
+            cnt = P.factored_segment_sum_indicator(seg_c, ones[:, None], num)[:k_groups, 0]
         else:
             cnt = jax.ops.segment_sum(ones, seg_c, num_segments=num)[:k_groups]
     else:
@@ -1047,7 +1047,7 @@ def make_hll_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
             cnt = sorted_segment_sum(ones[:, None], num, starts,
                                      ends)[:k_groups, 0]
         elif P.use_factored(num):
-            cnt = P.factored_segment_sum(seg_c, ones[:, None],
+            cnt = P.factored_segment_sum_indicator(seg_c, ones[:, None],
                                          num)[:k_groups, 0]
         else:
             cnt = jax.ops.segment_sum(ones, seg_c,
@@ -1149,7 +1149,7 @@ def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
                     # pallas_ops.factored_segment_sum measurements)
                     dropped = jnp.where(slot >= n_slots, jnp.int32(-1),
                                         slot.astype(jnp.int32))
-                    out3 = P.factored_segment_sum(dropped, stacked, n_slots)
+                    out3 = P.factored_segment_sum_indicator(dropped, stacked, n_slots)
                     return out3[:, 0], out3[:, 1], out3[:, 2], overflow
                 if P.use_pallas(n_slots):
                     # gridless pallas one-hot matmul reduction (scatter-free)

@@ -189,15 +189,25 @@ def _factored_klo(n_slots: int) -> int:
     return 512 if n_slots > 16384 else 256
 
 
+def factored_segment_sum_indicator(slots, values, n_slots: int):
+    """factored_segment_sum for the engine's standard channel layout:
+    channel 0 is an arbitrary f32 measure, channels 1+ hold ONLY 0/1
+    count/presence indicators. Under that contract the fused pallas
+    kernel (bf16 hi/lo split on channel 0, single-pass bf16 on the
+    indicator channels) is exact to <=2^-17 relative, so TPU backends
+    route there; anything else must call factored_segment_sum, which
+    keeps f32-exact HIGH-precision passes for every channel."""
+    if _pallas_factored_ok(n_slots):
+        return factored_segment_sum_pallas(slots, values, n_slots)
+    return factored_segment_sum(slots, values, n_slots)
+
+
 @functools.partial(jax.jit, static_argnames=("n_slots",))
 def factored_segment_sum(slots, values, n_slots: int):
     """segment-sum values[n, C] by slots[n] into [n_slots, C] via factored
-    one-hot outer products on the MXU. slots < 0 are dropped.
-
-    On real TPU backends this routes through the fused pallas variant
-    (factored_segment_sum_pallas) whose one-hots never touch HBM."""
-    if _pallas_factored_ok(n_slots):
-        return factored_segment_sum_pallas(slots, values, n_slots)
+    one-hot outer products on the MXU. slots < 0 are dropped. All channels
+    accumulate with f32-exact (bf16x3) products — generic contract; the
+    engine's hot paths use factored_segment_sum_indicator instead."""
     n = slots.shape[0]
     c = values.shape[1]
     klo = _factored_klo(n_slots)

@@ -193,7 +193,7 @@ def main() -> None:
     plng = jnp.asarray((rng.rand(n_rows) * 10).astype(np.float32))
     pvalid = jnp.asarray(rng.rand(n_rows) > 0.02)
     gargs = tuple(jnp.asarray(a) for a in
-                  (sb.slope, sb.icept, sb.lng1, sb.lng2, sb.onehot))
+                  (sb.slope, sb.lat1, sb.lng1, sb.lng2, sb.onehot))
 
     @jax.jit
     def geo_chain(plat, plng, pvalid):

@@ -14,6 +14,11 @@ then value; ties keep base rows before patch rows).
 import numpy as np
 import pytest
 import yaml
+import os
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/testing/data"),
+    reason="reference fixtures not available")
 
 from aresdb_tpu.common import data_types as dt
 from aresdb_tpu.common.schema import Table

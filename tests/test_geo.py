@@ -61,7 +61,7 @@ def test_matched_shape_unit():
     lngs = jnp.concatenate([lngs, jnp.zeros(pad, jnp.float32) + 99])
     valid = jnp.ones(lats.shape[0], bool)
     m = np.asarray(G.matched_shape(
-        lats, lngs, valid, jnp.asarray(batch.slope), jnp.asarray(batch.icept),
+        lats, lngs, valid, jnp.asarray(batch.slope), jnp.asarray(batch.lat1),
         jnp.asarray(batch.lng1), jnp.asarray(batch.lng2),
         jnp.asarray(batch.onehot), jnp.int32(batch.n_shapes)))
     assert m[0] == 0
@@ -84,7 +84,7 @@ def test_shape_with_hole():
     lats[1], lngs[1] = 2.0, 2.0   # inside the hole
     m = np.asarray(G.matched_shape(
         jnp.asarray(lats), jnp.asarray(lngs), jnp.ones(G.ROW_TILE, bool),
-        jnp.asarray(batch.slope), jnp.asarray(batch.icept),
+        jnp.asarray(batch.slope), jnp.asarray(batch.lat1),
         jnp.asarray(batch.lng1), jnp.asarray(batch.lng2),
         jnp.asarray(batch.onehot), jnp.int32(batch.n_shapes)))
     assert m[0] == 0
@@ -185,3 +185,39 @@ def test_geo_join_requires_filter(geo_service):
         "measures": [{"sqlExpression": "count(*)"}],
         "now": NOW}]})
     assert "geo filter" in resp["errors"][0]
+
+
+def test_geo_filter_empty_candidates(geo_service):
+    """A geo filter whose candidate UUIDs match NO shapes must return an
+    empty result, not crash (the empty placeholder batch must stay
+    shape-consistent with matched_shape's block-parity dot)."""
+    resp = geo_service.handle_aql({"queries": [{
+        "table": "trips",
+        "joins": [{"table": "zones", "alias": "g",
+                   "conditions": ["geography_intersects(g.shape, request_point)"]}],
+        "measures": [{"sqlExpression": "count(*)",
+                      "rowFilters": [f"g.geo_uuid IN ('{_zone_uuid(99)}')"]}],
+        "now": NOW}]})
+    assert "errors" not in resp, resp.get("errors")
+    assert resp["results"][0] in ({}, {"": 0.0})
+
+
+def test_matched_shape_steep_edge_precision():
+    """Near-vertical edge at large longitude: the line test must stay
+    accurate (a plain slope*p+icept fma loses ~2^-10 relative here)."""
+    import jax.numpy as jnp
+    # triangle with a near-vertical edge spanning lng [100.0, 100.0001]
+    shapes = [[[(0.0, 100.0), (1.0, 100.0001), (0.0, 100.0002),
+                (0.0, 100.0)]]]
+    batch = G.build_shape_batch(shapes, ["s"])
+    lats = np.full(G.ROW_TILE, 99.0, np.float32)
+    lngs = np.full(G.ROW_TILE, 0.0, np.float32)
+    lats[0], lngs[0] = 0.5, 100.0001       # inside, near the apex
+    lats[1], lngs[1] = 0.99, 100.00005     # outside (above the left edge)
+    m = np.asarray(G.matched_shape(
+        jnp.asarray(lats), jnp.asarray(lngs), jnp.ones(G.ROW_TILE, bool),
+        jnp.asarray(batch.slope), jnp.asarray(batch.lat1),
+        jnp.asarray(batch.lng1), jnp.asarray(batch.lng2),
+        jnp.asarray(batch.onehot), jnp.int32(batch.n_shapes)))
+    assert m[0] == 0
+    assert m[1] == -1

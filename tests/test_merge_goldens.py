@@ -18,6 +18,11 @@ tests/test_archiving.py and tests/test_streaming_merge.py.)
 import numpy as np
 import pytest
 import yaml
+import os
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/testing/data"),
+    reason="reference fixtures not available")
 
 from aresdb_tpu.common import data_types as mdt
 from aresdb_tpu.common.schema import Table, TableSchema

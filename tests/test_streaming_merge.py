@@ -210,3 +210,37 @@ def test_merge_positions_ties_base_first():
     np.testing.assert_array_equal(bp, [0, 1, 2, 5])
     np.testing.assert_array_equal(pp, [3, 4])
     assert len(set(bp) | set(pp)) == 6
+
+
+def test_streaming_merge_resorts_legacy_order_base():
+    """A base day batch written under the OLD key encoding (value before
+    validity: nulls sorted among values) must not corrupt the merge — the
+    streaming merge detects the non-ascending base and re-sorts it once
+    (null-first), instead of searchsorted-ing an unsorted run."""
+    from aresdb_tpu.memstore.vector_party import ArchiveVectorParty
+
+    schema = _FakeSchema([_FakeColumn(mdt.Uint32), _FakeColumn(mdt.Int32)])
+    dtypes = {0: mdt.Uint32, 1: mdt.Int32}
+    # legacy order for an Int32 sort column: -5, null(0), 3 (null between)
+    base = _FakeBatch({
+        0: ArchiveVectorParty(mdt.Uint32,
+                              values=np.array([10, 11, 12], np.uint32),
+                              validity=np.ones(3, bool)),
+        1: ArchiveVectorParty(mdt.Int32,
+                              values=np.array([-5, 0, 3], np.int32),
+                              validity=np.array([True, False, True])),
+    }, 3)
+    patch = {0: (np.array([13], np.uint32), np.ones(1, bool)),
+             1: (np.array([-7], np.int32), np.ones(1, bool))}
+    m = _StreamingDayMerge(base, patch, 1, [1], schema, dtypes)
+    assert m.base_reorder is not None
+    v1 = m.merged_column(1)
+    reps = np.diff(v1.counts.astype(np.int64))
+    ev = np.repeat(np.asarray(v1.values), reps)
+    eb = np.repeat(np.asarray(v1.validity), reps)
+    # null-first, then -7, -5, 3
+    assert list(eb) == [False, True, True, True]
+    assert list(ev[1:]) == [-7, -5, 3]
+    # and the time column follows the same placement
+    v0 = m.merged_column(0)
+    assert list(np.asarray(v0.values)) == [11, 13, 10, 12]
