@@ -487,3 +487,55 @@ def test_archive_preserves_array_columns(tmp_root):
     ids = np.asarray(batch.request_column(1).expanded().values)
     got = {int(ids[r]): vp.read_value(r) for r in range(3)}
     assert got == expected
+
+
+def test_snapshot_and_recover_array_columns(tmp_root):
+    """Dimension snapshot + recovery preserves array columns (list VPs),
+    including null items and whole-null arrays — companion to the archive
+    array regression above (reference snapshot_test.go writes every live
+    VP through the serializer)."""
+    from aresdb_tpu.memstore.memstore import MemStore
+    from aresdb_tpu.metastore.disk_metastore import DiskMetaStore
+    from aresdb_tpu.diskstore.local_diskstore import LocalDiskStore
+
+    schema = {
+        "name": "dims_arr",
+        "columns": [
+            {"name": "id", "type": "Uint32"},
+            {"name": "tags", "type": "Int16[]"},
+        ],
+        "primaryKeyColumns": [0],
+        "isFactTable": False,
+        "config": {"batchSize": 16},
+    }
+    ms = MemStore(DiskMetaStore(tmp_root), LocalDiskStore(tmp_root))
+    ms.create_table(Table.from_json(schema))
+    ms.init_shards()
+    shard = ms.get_table_shard("dims_arr")
+
+    expected = {1: [1, None, 3], 2: None, 3: [30]}
+    b = UpsertBatchBuilder()
+    b.add_column(0, dt.Uint32)
+    b.add_column(1, dt.data_type_from_string("Int16[]"))
+    for i, (rid, tags) in enumerate(expected.items()):
+        b.add_row()
+        b.set_value(i, 0, rid)
+        b.set_value(i, 1, tags)
+    shard.save_upsert_batch(UpsertBatch(b.to_bytes()))
+
+    arch = Archiver(shard, ms.metastore, ms.diskstore)
+    assert arch.snapshot() == 3
+    for f in ms.diskstore.list_logs("dims_arr", 0):
+        ms.diskstore.delete_log("dims_arr", 0, f)
+
+    ms2 = MemStore(DiskMetaStore(tmp_root), LocalDiskStore(tmp_root))
+    ms2.fetch_schema()
+    ms2.init_shards()
+    shard2 = ms2.get_table_shard("dims_arr")
+    assert shard2.live_store.rows_visible() == 3
+    pk = shard2.live_store.primary_key
+    for rid, tags in expected.items():
+        rec = pk.find(np.array([rid], np.uint32).tobytes())
+        assert rec is not None
+        got = shard2.read_value(rec, 1)
+        assert got == tags, (rid, got, tags)
