@@ -145,3 +145,16 @@ def test_countdistincthll_query():
                                 for u, cc in zip(uuids, cities) if cc == c})
     for c in ("1", "2"):
         assert result[c] == pytest.approx(expected[c], rel=0.03)
+
+
+def test_client_hll_value_goldens():
+    """Exact hash parity with reference client/connector_test.go:312
+    computeHLLValue goldens (murmur3 -> reg_id | rho<<16 encoding)."""
+    from aresdb_tpu.client.connector import _compute_hll_value
+    from aresdb_tpu.common import data_types as dt
+
+    uuid_bytes = bytes(range(16))
+    lo = int.from_bytes(uuid_bytes[:8], "little")
+    hi = int.from_bytes(uuid_bytes[8:], "little")
+    assert _compute_hll_value(dt.UUID, (lo, hi)) == 329736
+    assert _compute_hll_value(dt.Uint32, 67305985) == 266211
