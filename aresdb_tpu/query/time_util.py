@@ -111,25 +111,64 @@ def dst_switch_ts(tz: _dt.tzinfo, from_ts: int, to_ts: int) -> Tuple[int, int, i
 
 
 def _adjust_midnight(t: _dt.datetime) -> _dt.datetime:
-    """DST midnight anomalies (reference adjustMidnight)."""
+    """DST midnight anomalies (reference adjustMidnight, ABSOLUTE adds):
+    a constructed midnight that normalized to 23:00 (DST starts at
+    midnight, e.g. America/Sao_Paulo) moves forward one hour; one that
+    normalized to 01:00 moves back unless that crosses the day."""
     if t.hour == 23:
-        return t + _dt.timedelta(hours=1)
+        return _abs_add(t, 3600)
     if t.hour == 1:
-        t2 = t - _dt.timedelta(hours=1)
+        t2 = _abs_add(t, -3600)
         if t2.day == t.day:
             return t2
     return t
+
+
+def _midnight(t: _dt.datetime) -> _dt.datetime:
+    """Resolve a constructed wall midnight like Go time.Date +
+    adjustMidnight (gap times take the post-transition offset, then the
+    23:00/01:00 anomalies are repaired)."""
+    return _adjust_midnight(_resolve_wall(t))
 
 
 def _mk(t: _dt.datetime, year, month, day, hour=0, minute=0) -> _dt.datetime:
     return _dt.datetime(year, month, day, hour, minute, tzinfo=t.tzinfo)
 
 
+def _resolve_wall(t: _dt.datetime) -> _dt.datetime:
+    """Pin a local wall time to one instant, matching Go time.Date:
+    ambiguous (fall-back) times take the FIRST occurrence; nonexistent
+    (spring-forward) times take the post-transition offset (reference
+    time_filter_test.go '2016-03-13 02' / '2015-11-01 01' cases)."""
+    ts = t.replace(fold=0).timestamp()
+    back = _dt.datetime.fromtimestamp(ts, t.tzinfo)
+    if (back.year, back.month, back.day, back.hour, back.minute) != \
+            (t.year, t.month, t.day, t.hour, t.minute):
+        ts = t.replace(fold=1).timestamp()
+        back = _dt.datetime.fromtimestamp(ts, t.tzinfo)
+    return back
+
+
+def _abs_add(t: _dt.datetime, seconds: int) -> _dt.datetime:
+    """Absolute-duration add (Go time.Add) — aware-datetime + timedelta in
+    python is WALL arithmetic, which diverges across DST transitions."""
+    return _dt.datetime.fromtimestamp(t.timestamp() + seconds, t.tzinfo)
+
+
+def _wall_days(t: _dt.datetime, n: int) -> _dt.datetime:
+    """Go AddDate(0, 0, n): calendar day arithmetic on the wall clock,
+    preserving the time-of-day fields; the result is an UNRESOLVED wall
+    time (callers pass it through _midnight/_resolve_wall)."""
+    d = _dt.datetime(t.year, t.month, t.day) + _dt.timedelta(days=n)
+    return _dt.datetime(d.year, d.month, d.day, t.hour, t.minute,
+                        tzinfo=t.tzinfo)
+
+
 def apply_time_offset(base: _dt.datetime, amount: int, unit: str
                       ) -> Tuple[_dt.datetime, _dt.datetime]:
     """Start/end of the calendar `unit` `amount` units from base."""
-    month_start = _adjust_midnight(_mk(base, base.year, base.month, 1))
-    day_start = _adjust_midnight(_mk(base, base.year, base.month, base.day))
+    month_start = _midnight(_mk(base, base.year, base.month, 1))
+    day_start = _midnight(_mk(base, base.year, base.month, base.day))
 
     def add_months(t: _dt.datetime, n: int) -> _dt.datetime:
         y = t.year + (t.month - 1 + n) // 12
@@ -137,39 +176,42 @@ def apply_time_offset(base: _dt.datetime, amount: int, unit: str
         return _mk(t, y, m, t.day, t.hour, t.minute)
 
     if unit == "y":
-        start = _adjust_midnight(_mk(base, base.year + amount, 1, 1))
-        end = _adjust_midnight(_mk(base, base.year + amount + 1, 1, 1))
+        start = _midnight(_mk(base, base.year + amount, 1, 1))
+        end = _midnight(_mk(base, base.year + amount + 1, 1, 1))
     elif unit == "q":
         # month offset to quarter start: Go's (1-int(month))%3 keeps the
         # dividend's sign, i.e. -((month-1) mod 3)
         go_off = -((base.month - 1) % 3)
-        start = _adjust_midnight(add_months(month_start, go_off + 3 * amount))
-        end = _adjust_midnight(add_months(start, 3))
+        start = _midnight(add_months(month_start, go_off + 3 * amount))
+        end = _midnight(add_months(start, 3))
     elif unit == "M":
-        start = _adjust_midnight(add_months(month_start, amount))
-        end = _adjust_midnight(add_months(start, 1))
+        start = _midnight(add_months(month_start, amount))
+        end = _midnight(add_months(start, 1))
     elif unit == "w":
         # Go: dayStart.AddDate(0,0,(-weekday-6)%7+7*amount); week starts Monday
         wd = (base.weekday() + 1) % 7  # Go Weekday: Sunday=0
         go_mod = -((wd + 6) % 7)
-        start = _adjust_midnight(day_start + _dt.timedelta(days=go_mod + 7 * amount))
-        end = _adjust_midnight(start + _dt.timedelta(days=7))
+        start = _midnight(_wall_days(day_start, go_mod + 7 * amount))
+        end = _midnight(_wall_days(start, 7))
     elif unit == "d":
-        start = _adjust_midnight(day_start + _dt.timedelta(days=amount))
-        end = _adjust_midnight(start + _dt.timedelta(days=1))
+        start = _midnight(_wall_days(day_start, amount))
+        end = _midnight(_wall_days(start, 1))
     elif unit == "h":
-        b = _mk(base, base.year, base.month, base.day, base.hour)
-        start = b + _dt.timedelta(hours=amount)
-        end = start + _dt.timedelta(hours=1)
+        # sub-day units: wall truncation, then ABSOLUTE adds (Go time.Add)
+        b = _resolve_wall(_mk(base, base.year, base.month, base.day,
+                              base.hour))
+        start = _abs_add(b, 3600 * amount)
+        end = _abs_add(start, 3600)
     elif unit == "15m":
-        b = _mk(base, base.year, base.month, base.day, base.hour,
-                base.minute - base.minute % 15)
-        start = b + _dt.timedelta(minutes=15 * amount)
-        end = start + _dt.timedelta(minutes=15)
+        b = _resolve_wall(_mk(base, base.year, base.month, base.day,
+                              base.hour, base.minute - base.minute % 15))
+        start = _abs_add(b, 900 * amount)
+        end = _abs_add(start, 900)
     elif unit == "m":
-        b = _mk(base, base.year, base.month, base.day, base.hour, base.minute)
-        start = b + _dt.timedelta(minutes=amount)
-        end = start + _dt.timedelta(minutes=1)
+        b = _resolve_wall(_mk(base, base.year, base.month, base.day,
+                              base.hour, base.minute))
+        start = _abs_add(b, 60 * amount)
+        end = _abs_add(start, 60)
     else:
         raise TimeError(f"Unknown time filter unit: {unit}")
     return start, end
@@ -212,7 +254,7 @@ def _parse_absolute_time(date_expr: str, time_expr: str, tz: _dt.tzinfo
                 unit = "15m"
     t = _dt.datetime(year, month, day, hour, minute, tzinfo=tz)
     if hour == 0:
-        t = _adjust_midnight(t)
+        t = _midnight(t)
     start, end = apply_time_offset(t, 0, unit)
     return start, end, unit
 
@@ -281,7 +323,13 @@ def parse_time_filter_expression(expression: str, now: _dt.datetime
     time_expr = segments[1] if len(segments) == 2 else ""
     if len(segments) > 2:
         raise TimeError(f"Unknown time filter expression: {expression}")
-    return _parse_absolute_time(date_expr, time_expr, now.tzinfo)
+    try:
+        return _parse_absolute_time(date_expr, time_expr, now.tzinfo)
+    except TimeError:
+        raise
+    except ValueError as e:   # int() on non-numeric segments etc.
+        raise TimeError(
+            f"Unknown time filter expression: {expression}") from e
 
 
 @dataclass
