@@ -817,7 +817,7 @@ class PeerSessionHandler(_Base):
     DELETE /peer/session/<sid>                      -> 200
     """
 
-    def post(self, table: str, shard: str):
+    async def post(self, table: str, shard: str):
         from aresdb_tpu.memstore.common import GLOBAL_BOOTSTRAP_SESSIONS
 
         sid = int(shard)
@@ -825,8 +825,14 @@ class PeerSessionHandler(_Base):
             self.ctx.memstore.get_table_shard(table, sid)
         except KeyError as e:
             return self.write_error_json(404, str(e))
+        # open() blocks up to 20s waiting for an archiving/backfill job to
+        # release the token — run off the IOLoop or every other endpoint
+        # (queries, ingest, health) freezes for the wait
+        loop = tornado.ioloop.IOLoop.current()
         try:
-            session_id = GLOBAL_BOOTSTRAP_SESSIONS.open(table, sid)
+            session_id = await loop.run_in_executor(
+                self.ctx.query_pool,
+                GLOBAL_BOOTSTRAP_SESSIONS.open, table, sid)
         except TimeoutError as e:
             return self.write_error_json(503, str(e))
         self.write_json({"sessionId": session_id,

@@ -156,16 +156,37 @@ class LeaderElector:
             except Exception:  # noqa: BLE001 — callback must not kill loop
                 log.exception("election callback failed")
 
+    def _renew(self) -> None:
+        """Renew under the claim lock, re-verifying ownership AND expiry:
+        a leader that paused past its ttl must NOT blind-renew — a
+        candidate may be mid-claim about to write epoch+1, and an
+        unserialized overwrite would leave two leaders accepting
+        mutations. If the claim is contended, skip this round; the
+        ownership pre-check fences us next tick."""
+        if not self._try_claim_lock():
+            return
+        try:
+            lease = self._read_lease()
+            if (lease and lease.get("name") == self.name
+                    and lease.get("epoch") == self._epoch
+                    and lease.get("expires", 0) > time.time()):
+                self._write_lease(self._epoch)
+            else:
+                self._set_leader(False)
+        finally:
+            self._release_claim_lock()
+
     def _run(self) -> None:
         while not self._stop.is_set():
             if self._is_leader:
                 lease = self._read_lease()
                 if lease is None or lease.get("name") != self.name or \
-                        lease.get("epoch") != self._epoch:
+                        lease.get("epoch") != self._epoch or \
+                        lease.get("expires", 0) <= time.time():
                     # fenced out (paused past expiry, peer took over)
                     self._set_leader(False)
                 else:
-                    self._write_lease(self._epoch)  # renew
+                    self._renew()
                 self._stop.wait(self.ttl / 3)
             else:
                 if self._try_acquire():

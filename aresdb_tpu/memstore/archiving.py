@@ -150,23 +150,46 @@ def _expand_archive_columns(batch, column_ids: List[int], schema,
     return out, n
 
 
+def _orderable_lane(values: np.ndarray) -> np.ndarray:
+    """Monotone UNSIGNED representation of one sort lane: unsigned ints
+    pass through, signed ints flip the sign bit, floats use the IEEE
+    total-order trick (so NaNs order deterministically by their bit
+    pattern instead of np.lexsort's all-NaN-last vs memcmp's split-by-sign
+    disagreement). Integer order of the result == memcmp order of its
+    big-endian bytes == the archive sort order of the lane."""
+    v = np.ascontiguousarray(values)
+    if v.dtype == np.bool_:
+        return v.astype(np.uint8)
+    if v.dtype.kind == "f":
+        w = v.dtype.itemsize
+        v = v + v.dtype.type(0)  # -0.0 → +0.0
+        u = v.view(f"u{w}")
+        sign = np.uint64(1) << np.uint64(w * 8 - 1)
+        return np.where(u & u.dtype.type(sign), ~u, u | u.dtype.type(sign))
+    if v.dtype.kind == "i":
+        w = v.dtype.itemsize
+        return v.view(f"u{w}") ^ np.uint64(1 << (w * 8 - 1)).astype(f"u{w}")
+    return v
+
+
 def _lexsort_order(columns: Dict[int, Tuple[np.ndarray, np.ndarray]],
                    sort_cols: List[int]) -> np.ndarray:
     """Stable row order by the sort columns. Per column, validity is the
     MOST significant lane: NULL sorts before ANY value, negatives included
     (reference memstore/common/data_value.go:150 CompareBool(Valid,
-    Valid)). MUST stay byte-equivalent to _sort_key_matrix's memcmp
-    encoding — both the compress path and the streaming merge derive run
-    boundaries from the same ordering."""
+    Valid)). Lanes sort by their _orderable_lane representation so the
+    order is EXACTLY the memcmp order of _sort_key_matrix — both the
+    compress path and the streaming merge derive run boundaries from the
+    same ordering (NaN payloads included)."""
     keys = []
     for cid in sort_cols:
         values, validity = columns[cid]
         keys.append(validity.astype(np.uint8))
         if values.ndim == 2:
-            keys.append(values[:, 1])
-            keys.append(values[:, 0])
+            keys.append(_orderable_lane(values[:, 1]))
+            keys.append(_orderable_lane(values[:, 0]))
         else:
-            keys.append(values)
+            keys.append(_orderable_lane(values))
     return np.lexsort(keys[::-1])
 
 
@@ -193,12 +216,19 @@ def _sort_and_compress(columns: Dict[int, Tuple[np.ndarray, np.ndarray]],
         values, validity = columns[cid]
         sv = values[order]
         sb = validity[order]
+        # run detection on the orderable representation: raw float compare
+        # would split every NaN into its own run (NaN != NaN) while the
+        # merge's memcmp keys treat equal NaN payloads as one run
+        change = np.zeros(n, bool)
         if sv.ndim == 2:
-            change = np.zeros(n, bool)
-            change[1:] = np.any(sv[1:] != sv[:-1], axis=1)
+            change[1:] = (
+                (_orderable_lane(sv[:, 0])[1:]
+                 != _orderable_lane(sv[:, 0])[:-1])
+                | (_orderable_lane(sv[:, 1])[1:]
+                   != _orderable_lane(sv[:, 1])[:-1]))
         else:
-            change = np.zeros(n, bool)
-            change[1:] = sv[1:] != sv[:-1]
+            ov = _orderable_lane(sv)
+            change[1:] = ov[1:] != ov[:-1]
         change[1:] |= sb[1:] != sb[:-1]
         prefix_change |= change
         starts = np.nonzero(prefix_change)[0]
@@ -234,21 +264,8 @@ def _orderable_bytes(values: np.ndarray, validity: np.ndarray) -> np.ndarray:
     (negatives bit-flipped, positives sign-bit set); everything lands in
     big-endian unsigned so np.void memcmp == lexicographic compare.
     """
-    v = np.ascontiguousarray(values)
-    n = len(v)
-    if v.dtype == np.bool_:
-        iv = v.astype(np.uint8)
-    elif v.dtype.kind == "f":
-        w = v.dtype.itemsize
-        v = v + v.dtype.type(0)  # -0.0 → +0.0: byte-equality == float ==
-        u = v.view(f"u{w}")
-        sign = np.uint64(1) << np.uint64(w * 8 - 1)
-        iv = np.where(u & u.dtype.type(sign), ~u, u | u.dtype.type(sign))
-    elif v.dtype.kind == "i":
-        w = v.dtype.itemsize
-        iv = (v.view(f"u{w}") ^ np.uint64(1 << (w * 8 - 1)).astype(f"u{w}"))
-    else:
-        iv = v
+    iv = _orderable_lane(values)
+    n = len(iv)
     w = iv.dtype.itemsize
     be = np.ascontiguousarray(iv.astype(f">u{w}")).view(np.uint8)
     be = be.reshape(n, w)

@@ -96,10 +96,9 @@ def estimate_query_memory(plan, memstore) -> int:
             continue
         live = shard.live_store
         with live.lock:
-            for bid in live.get_batch_ids():
-                b = live.batches.get(bid)
-                if b is not None:
-                    max_batch_rows = max(max_batch_rows, live.batch_size)
+            if any(live.batches.get(bid) is not None
+                   for bid in live.get_batch_ids()):
+                max_batch_rows = max(max_batch_rows, live.batch_size)
         if schema.table.is_fact_table:
             version = shard.archive_store.get_current_version()
             for b in list(version.batches.values()):

@@ -545,7 +545,11 @@ def _merge_subqueries(outer_sql: str, clauses: Dict[str, str],
             raise SQLParseError(
                 f"group by {item!r} does not name a dimension of the "
                 "subquery/withQuery")
-        if hit[1] not in q["dimensions"]:
+        # compare by sqlExpression — the select loop may have appended an
+        # alias-mutated copy of the same dimension, which dict equality
+        # against the original would miss (duplicating the group-by dim)
+        if hit[1].get("sqlExpression") not in {
+                d.get("sqlExpression") for d in q["dimensions"]}:
             q["dimensions"].append(dict(hit[1]))
 
     # unselected inner measures ride along as supporting measures

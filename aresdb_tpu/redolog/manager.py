@@ -109,14 +109,21 @@ class KafkaRedoLogManager:
                                         max_messages=min(500, end - pos))
             if not msgs:
                 break
+            past_end = False
             for offset, value in msgs:
                 if offset >= end:
+                    # retention/compaction skipped past the replay window:
+                    # no message in [pos, end) remains — stop, or the
+                    # unadvanced pos refetches the same window forever
+                    past_end = True
                     break
                 self._track(offset, len(value))
                 self.batch_recovered += 1
                 pos = offset + 1
                 yield (self.offset_to_file(offset),
                        self.offset_to_batch(offset), value)
+            if past_end:
+                break
         self._replay_pos = max(pos, end)
 
     # -- streaming ingest (the ongoing half of the reference Iterator) --

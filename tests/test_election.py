@@ -179,3 +179,26 @@ def test_failover_session_passthrough_unknown_host(ha_pair):
     r = fs.get(f"http://localhost:{c2.port}/leader")
     assert r.status_code == 200
     assert r.json()["name"] == c2.elector.name
+
+
+def test_stale_leader_steps_down_instead_of_blind_renew(tmp_path):
+    """Regression: a leader that paused past its ttl must not overwrite a
+    successor's (or soon-to-be successor's) lease on wake — renewal
+    re-checks ownership AND expiry under the claim lock."""
+    import json
+    import time as _time
+
+    e = LeaderElector(str(tmp_path), "a", "localhost:1", ttl=TTL)
+    e.start()
+    try:
+        assert wait_for(lambda: e.is_leader)
+        # simulate a long pause: force the on-disk lease to be expired
+        with open(e._lease_path) as f:
+            lease = json.load(f)
+        lease["expires"] = _time.time() - 1
+        with open(e._lease_path, "w") as f:
+            json.dump(lease, f)
+        e._renew()
+        assert not e.is_leader
+    finally:
+        e.stop()

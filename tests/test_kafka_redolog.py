@@ -303,3 +303,36 @@ def test_kafka_sink_partitions_by_shard():
     for p in range(4):
         for _, payload in broker.fetch(TOPIC, p, 0):
             assert UpsertBatch(payload).num_rows > 0
+
+
+def test_iterate_terminates_when_retention_skips_window(tmp_root):
+    """Regression: if broker retention/compaction removed every message in
+    [checkpoint, commit), fetch returns only offsets >= end and iterate
+    used to refetch the same window forever (pos never advanced)."""
+    import threading
+
+    class CompactedBroker(FakeKafkaBroker):
+        def fetch(self, topic, partition, offset, max_messages=500,
+                  timeout=0.0):
+            # everything below offset 12 was GC'd
+            return [(12, b"x"), (13, b"y")]
+
+        def high_watermark(self, topic, partition):
+            return 14
+
+    meta = DiskMetaStore(tmp_root)
+    meta.update_kafka_checkpoint_offset("trips", 0, 0)
+    meta.update_kafka_commit_offset("trips", 0, 10)
+    mgr = KafkaRedoLogManager("trips", 0, meta, CompactedBroker(),
+                              topic=TOPIC)
+    out = []
+    done = threading.Event()
+
+    def run():
+        out.extend(mgr.iterate())
+        done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert done.wait(5), "iterate() hung on the compacted window"
+    assert out == []

@@ -229,3 +229,14 @@ def test_subquery_end_to_end():
         f"WHERE aql_now(request_at, {NOW}) GROUP BY status"]})
     assert resp["results"][0] == flat["results"][0]
 
+
+
+def test_subquery_groupby_of_aliased_select_no_duplicate_dim():
+    """Regression: GROUP BY naming an inner column that the SELECT list
+    also carried under an alias used to append the dimension twice (dict
+    equality compared against the alias-mutated copy)."""
+    q = parse_sql(
+        "SELECT city_id AS c, fare FROM (SELECT city_id, fare FROM trips) "
+        "GROUP BY city_id")
+    assert [d.expr for d in q.dimensions] == ["city_id", "fare"]
+    assert q.dimensions[0].alias == "c"

@@ -244,3 +244,45 @@ def test_streaming_merge_resorts_legacy_order_base():
     # and the time column follows the same placement
     v0 = m.merged_column(0)
     assert list(np.asarray(v0.values)) == [11, 13, 10, 12]
+
+
+def test_streaming_merge_nan_float_sort_column():
+    """Regression: np.lexsort orders all NaN last while the memcmp key
+    matrix splits NaN by sign bit — a float sort column containing NaN
+    produced a non-memcmp-sorted patch and corrupted merge placement.
+    Both paths now order by the IEEE total-order representation."""
+    from aresdb_tpu.memstore.vector_party import ArchiveVectorParty
+
+    schema = _FakeSchema([_FakeColumn(mdt.Uint32), _FakeColumn(mdt.Float32)])
+    dtypes = {0: mdt.Uint32, 1: mdt.Float32}
+    nan = np.float32(np.nan)
+    neg_nan = np.frombuffer(np.uint32(0xFFC00000).tobytes(),
+                            np.float32)[0]  # -NaN bit pattern
+    pvals = np.array([3.0, nan, -1.0, neg_nan, 2.0], np.float32)
+    patch = {0: (np.arange(5, dtype=np.uint32), np.ones(5, bool)),
+             1: (pvals, np.ones(5, bool))}
+
+    # oracle: direct sort+compress of the same rows
+    expected = _sort_and_compress(dict(patch), [1], 5, dtypes)
+
+    m = _StreamingDayMerge(None, patch, 5, [1], schema, dtypes)
+    got = {cid: m.merged_column(cid) for cid in (0, 1)}
+    for cid in (0, 1):
+        g, e = got[cid], expected[cid]
+        np.testing.assert_array_equal(
+            np.asarray(g.values).view(np.uint32),
+            np.asarray(e.values).view(np.uint32), err_msg=f"col {cid}")
+        if e.counts is not None:
+            np.testing.assert_array_equal(g.counts, e.counts)
+
+    # and with a base: 2 NaN-keyed base rows + the patch must interleave
+    # without corrupting placement (total rows preserved, keys sorted)
+    base_cols = _sort_and_compress(
+        {0: (np.array([10, 11], np.uint32), np.ones(2, bool)),
+         1: (np.array([nan, 0.5], np.float32), np.ones(2, bool))},
+        [1], 2, dtypes)
+    base = _FakeBatch(base_cols, 2)
+    m2 = _StreamingDayMerge(base, patch, 5, [1], schema, dtypes)
+    v0 = m2.merged_column(0)
+    assert v0.num_rows == 7
+    assert sorted(np.asarray(v0.values).tolist()) == [0, 1, 2, 3, 4, 10, 11]
