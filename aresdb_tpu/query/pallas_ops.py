@@ -40,69 +40,79 @@ PALLAS_MAX_SLOTS = 8192   # above this the O(n*K) one-hot compares lose to
                           # XLA's scatter path (measured on v5e)
 
 
-def _make_kernel(n_chunks: int, k_pad: int, c_pad: int):
+def _chunk_pump(slots_hbm, values_hbm, out_ref, n_chunks: int, t: int,
+                c_rows: int, compute):
+    """Shared double-buffered HBM→VMEM chunk pump: prefetches chunk k+1
+    while `compute(slots_tile, values_tile)` accumulates chunk k into
+    out_ref. slots tiles are (1, t) int32, value tiles (c_rows, t) f32.
+
+    All index math stays int32: the framework enables x64 and both
+    Mosaic's memref slicing and its i64<->i32 conversion lowering
+    reject/loop on 64-bit indices.
+    """
     n_buf = 2
 
+    def body(slot_buf, val_buf, sems):
+        def start_dma(slot, chunk):
+            pltpu.make_async_copy(
+                slots_hbm.at[chunk], slot_buf.at[slot],
+                sems.at[slot, 0]).start()
+            pltpu.make_async_copy(
+                values_hbm.at[:, pl.ds(chunk * jnp.int32(t), t)],
+                val_buf.at[slot], sems.at[slot, 1]).start()
+
+        def wait_dma(slot, chunk):
+            pltpu.make_async_copy(
+                slots_hbm.at[chunk], slot_buf.at[slot],
+                sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(
+                values_hbm.at[:, pl.ds(chunk * jnp.int32(t), t)],
+                val_buf.at[slot], sems.at[slot, 1]).wait()
+
+        out_ref[:] = jnp.zeros_like(out_ref)
+        start_dma(jnp.int32(0), jnp.int32(0))
+
+        def loop_body(chunk, carry):
+            one = jnp.int32(1)
+            nb = jnp.int32(n_buf)
+            slot = jax.lax.rem(chunk, nb)
+
+            @pl.when(chunk + one < jnp.int32(n_chunks))
+            def _():
+                start_dma(jax.lax.rem(chunk + one, nb), chunk + one)
+
+            wait_dma(slot, chunk)
+            compute(slot_buf[slot], val_buf[slot])
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_chunks),
+                          loop_body, jnp.int32(0))
+
+    pl.run_scoped(
+        body,
+        slot_buf=pltpu.VMEM((n_buf, 1, t), jnp.int32),
+        val_buf=pltpu.VMEM((n_buf, c_rows, t), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((n_buf, 2)),
+    )
+
+
+def _make_kernel(n_chunks: int, k_pad: int, c_pad: int):
     def kernel(slots_hbm, values_hbm, out_ref):
-        def body(slot_buf, val_buf, sems):
-            def start_dma(slot, chunk):
-                pltpu.make_async_copy(
-                    slots_hbm.at[chunk], slot_buf.at[slot],
-                    sems.at[slot, 0]).start()
-                pltpu.make_async_copy(
-                    values_hbm.at[:, pl.ds(chunk * jnp.int32(ROW_TILE),
-                                           ROW_TILE)],
-                    val_buf.at[slot], sems.at[slot, 1]).start()
+        def compute(slots, values):
+            # slots (1, T) int32; values (C, T) f32
+            for kt in range(k_pad // SLOT_TILE):
+                local = jax.lax.broadcasted_iota(
+                    jnp.int32, (SLOT_TILE, ROW_TILE), 0) + kt * SLOT_TILE
+                onehot_t = (slots == local).astype(jnp.float32)  # [KT, T]
+                contrib = jax.lax.dot_general(
+                    values, onehot_t,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [C, KT]
+                cur = out_ref[:, pl.ds(kt * SLOT_TILE, SLOT_TILE)]
+                out_ref[:, pl.ds(kt * SLOT_TILE, SLOT_TILE)] = cur + contrib
 
-            def wait_dma(slot, chunk):
-                pltpu.make_async_copy(
-                    slots_hbm.at[chunk], slot_buf.at[slot],
-                    sems.at[slot, 0]).wait()
-                pltpu.make_async_copy(
-                    values_hbm.at[:, pl.ds(chunk * jnp.int32(ROW_TILE),
-                                           ROW_TILE)],
-                    val_buf.at[slot], sems.at[slot, 1]).wait()
-
-            out_ref[:] = jnp.zeros_like(out_ref)
-            start_dma(jnp.int32(0), jnp.int32(0))
-
-            def loop_body(chunk, carry):
-                # all index math stays int32: the framework enables x64 and
-                # both Mosaic's memref slicing and its i64<->i32 conversion
-                # lowering reject/loop on 64-bit indices
-                one = jnp.int32(1)
-                nb = jnp.int32(n_buf)
-                slot = jax.lax.rem(chunk, nb)
-
-                @pl.when(chunk + one < jnp.int32(n_chunks))
-                def _():
-                    start_dma(jax.lax.rem(chunk + one, nb), chunk + one)
-
-                wait_dma(slot, chunk)
-                slots = slot_buf[slot]         # (1, T) int32
-                values = val_buf[slot]         # (C, T) f32
-                for kt in range(k_pad // SLOT_TILE):
-                    local = jax.lax.broadcasted_iota(
-                        jnp.int32, (SLOT_TILE, ROW_TILE), 0) + kt * SLOT_TILE
-                    onehot_t = (slots == local).astype(jnp.float32)  # [KT, T]
-                    contrib = jax.lax.dot_general(
-                        values, onehot_t,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # [C, KT]
-                    cur = out_ref[:, pl.ds(kt * SLOT_TILE, SLOT_TILE)]
-                    out_ref[:, pl.ds(kt * SLOT_TILE, SLOT_TILE)] = (
-                        cur + contrib)
-                return carry
-
-            jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_chunks),
-                              loop_body, jnp.int32(0))
-
-        pl.run_scoped(
-            body,
-            slot_buf=pltpu.VMEM((n_buf, 1, ROW_TILE), jnp.int32),
-            val_buf=pltpu.VMEM((n_buf, c_pad, ROW_TILE), jnp.float32),
-            sems=pltpu.SemaphoreType.DMA((n_buf, 2)),
-        )
+        _chunk_pump(slots_hbm, values_hbm, out_ref, n_chunks, ROW_TILE,
+                    c_pad, compute)
 
     return kernel
 
@@ -115,6 +125,10 @@ def dense_segment_sum(slots, values, n_slots: int, interpret: bool = False):
     """
     n = slots.shape[0]
     c = values.shape[1]
+    if n == 0:
+        # the kernel's unconditional first DMA would read a zero-length
+        # leading dim and never be awaited
+        return jnp.zeros((n_slots, c), jnp.float32)
     n_pad = ((n + ROW_TILE - 1) // ROW_TILE) * ROW_TILE
     c_pad = max(LANE_PAD, ((c + LANE_PAD - 1) // LANE_PAD) * LANE_PAD)
     k_pad = ((n_slots + SLOT_TILE - 1) // SLOT_TILE) * SLOT_TILE
@@ -276,79 +290,41 @@ def _fp_row_tile(khi: int) -> int:
 
 
 def _make_factored_pallas_kernel(n_chunks: int, khi: int, c: int, t: int):
-    n_buf = 2
     klo = FP_KLO
 
     def kernel(slots_hbm, values_hbm, out_ref):
-        def body(slot_buf, val_buf, sems):
-            def start_dma(slot, chunk):
-                pltpu.make_async_copy(
-                    slots_hbm.at[chunk], slot_buf.at[slot],
-                    sems.at[slot, 0]).start()
-                pltpu.make_async_copy(
-                    values_hbm.at[:, pl.ds(chunk * jnp.int32(t), t)],
-                    val_buf.at[slot], sems.at[slot, 1]).start()
+        def compute(slots, values):
+            # slots (1, T) int32; values (C_pad, T) f32
+            neg = slots < 0
+            hi = jnp.where(neg, jnp.int32(-1),
+                           jax.lax.shift_right_logical(slots, 7))
+            lo = jnp.where(neg, jnp.int32(-1),
+                           jax.lax.bitwise_and(slots, jnp.int32(127)))
+            oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (khi, t), 0)
+                     == hi).astype(jnp.float32)     # [KHI, T]
+            oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (klo, t), 0)
+                     == lo).astype(jnp.bfloat16)    # [KLO, T]
+            # measure channel → exact bf16 hi/lo split (2 passes);
+            # indicator channels (0/1) are bf16-exact as-is (1 pass)
+            w0 = oh_hi * values[0, :][None, :]
+            w0h = w0.astype(jnp.bfloat16)
+            w0l = (w0 - w0h.astype(jnp.float32)).astype(jnp.bfloat16)
+            parts = [w0h, w0l] + [
+                (oh_hi * values[ci, :][None, :]
+                 ).astype(jnp.bfloat16) for ci in range(1, c)]
+            w_all = jnp.concatenate(parts, axis=0)
+            contrib = jax.lax.dot_general(
+                w_all, oh_lo, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)  # [(C+1)·KHI, KLO]
+            out_ref[0] = (out_ref[0] + contrib[:khi]
+                          + contrib[khi:2 * khi])
+            for ci in range(1, c):
+                out_ref[ci] = (out_ref[ci]
+                               + contrib[(ci + 1) * khi:(ci + 2) * khi])
 
-            def wait_dma(slot, chunk):
-                pltpu.make_async_copy(
-                    slots_hbm.at[chunk], slot_buf.at[slot],
-                    sems.at[slot, 0]).wait()
-                pltpu.make_async_copy(
-                    values_hbm.at[:, pl.ds(chunk * jnp.int32(t), t)],
-                    val_buf.at[slot], sems.at[slot, 1]).wait()
-
-            out_ref[:] = jnp.zeros_like(out_ref)
-            start_dma(jnp.int32(0), jnp.int32(0))
-
-            def loop_body(chunk, carry):
-                one = jnp.int32(1)
-                nb = jnp.int32(n_buf)
-                slot = jax.lax.rem(chunk, nb)
-
-                @pl.when(chunk + one < jnp.int32(n_chunks))
-                def _():
-                    start_dma(jax.lax.rem(chunk + one, nb), chunk + one)
-
-                wait_dma(slot, chunk)
-                slots = slot_buf[slot]                  # (1, T) int32
-                neg = slots < 0
-                hi = jnp.where(neg, jnp.int32(-1),
-                               jax.lax.shift_right_logical(slots, 7))
-                lo = jnp.where(neg, jnp.int32(-1),
-                               jax.lax.bitwise_and(slots, jnp.int32(127)))
-                oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (khi, t), 0)
-                         == hi).astype(jnp.float32)     # [KHI, T]
-                oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (klo, t), 0)
-                         == lo).astype(jnp.bfloat16)    # [KLO, T]
-                # measure channel → exact bf16 hi/lo split (2 passes);
-                # indicator channels (0/1) are bf16-exact as-is (1 pass)
-                w0 = oh_hi * val_buf[slot][0, :][None, :]
-                w0h = w0.astype(jnp.bfloat16)
-                w0l = (w0 - w0h.astype(jnp.float32)).astype(jnp.bfloat16)
-                parts = [w0h, w0l] + [
-                    (oh_hi * val_buf[slot][ci, :][None, :]
-                     ).astype(jnp.bfloat16) for ci in range(1, c)]
-                w_all = jnp.concatenate(parts, axis=0)
-                contrib = jax.lax.dot_general(
-                    w_all, oh_lo, (((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.DEFAULT,
-                    preferred_element_type=jnp.float32)  # [(C+1)·KHI, KLO]
-                out_ref[0] = (out_ref[0] + contrib[:khi]
-                              + contrib[khi:2 * khi])
-                for ci in range(1, c):
-                    out_ref[ci] = (out_ref[ci]
-                                   + contrib[(ci + 1) * khi:(ci + 2) * khi])
-                return carry
-
-            jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_chunks),
-                              loop_body, jnp.int32(0))
-
-        pl.run_scoped(
-            body,
-            slot_buf=pltpu.VMEM((n_buf, 1, t), jnp.int32),
-            val_buf=pltpu.VMEM((n_buf, max(c, LANE_PAD), t), jnp.float32),
-            sems=pltpu.SemaphoreType.DMA((n_buf, 2)),
-        )
+        _chunk_pump(slots_hbm, values_hbm, out_ref, n_chunks, t,
+                    max(c, LANE_PAD), compute)
 
     return kernel
 
@@ -366,6 +342,10 @@ def factored_segment_sum_pallas(slots, values, n_slots: int,
     """
     n = slots.shape[0]
     c = values.shape[1]
+    if n == 0:
+        # the kernel's unconditional first DMA would read a zero-length
+        # leading dim and never be awaited
+        return jnp.zeros((n_slots, c), jnp.float32)
     klo = FP_KLO
     khi = (n_slots + klo - 1) // klo
     khi_pad = max(16, ((khi + 15) // 16) * 16)   # bf16 sublane tile

@@ -545,11 +545,14 @@ def _merge_subqueries(outer_sql: str, clauses: Dict[str, str],
             raise SQLParseError(
                 f"group by {item!r} does not name a dimension of the "
                 "subquery/withQuery")
-        # compare by sqlExpression — the select loop may have appended an
-        # alias-mutated copy of the same dimension, which dict equality
-        # against the original would miss (duplicating the group-by dim)
-        if hit[1].get("sqlExpression") not in {
-                d.get("sqlExpression") for d in q["dimensions"]}:
+        # dedup ignoring only the alias — the select loop may have appended
+        # an alias-mutated copy of this dimension (plain dict equality
+        # missed it), but dims sharing an expression can still differ by
+        # bucketizer and must NOT be conflated
+        def _no_alias(d):
+            return {k: v for k, v in d.items() if k != "alias"}
+
+        if _no_alias(hit[1]) not in [_no_alias(d) for d in q["dimensions"]]:
             q["dimensions"].append(dict(hit[1]))
 
     # unselected inner measures ride along as supporting measures

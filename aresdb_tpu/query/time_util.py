@@ -292,7 +292,11 @@ def parse_time_filter_expression(expression: str, now: _dt.datetime
     if segments[-1] == "ago":
         if len(segments) != 3:
             raise TimeError(f"Unknown time filter expression: {expression}")
-        amount = int(segments[0])
+        try:
+            amount = int(segments[0])
+        except ValueError as e:
+            raise TimeError(
+                f"Unknown time filter expression: {expression}") from e
         unit = _TIME_UNIT_MAP.get(segments[1].rstrip("s"))
         if not unit:
             raise TimeError(f"Unknown time filter unit: {segments[1]}")
