@@ -5,7 +5,9 @@ under {root}/metastore) and metastore/common/types.go MetaStore interface.
 
 Layout:
     {root}/metastore/{table}/schema              (json Table)
-    {root}/metastore/{table}/enums/{column}      (one enum case per line)
+    {root}/metastore/{table}/enums/{column}      (cases joined by "\\0\\n",
+        byte-compatible with the reference's EnumDelimiter
+        metastore/common/data_type.go:19 / disk_metastore.go:1169,1193)
     {root}/metastore/{table}/shards/{shard}/version         (archiving cutoff)
     {root}/metastore/{table}/shards/{shard}/redolog-offset  (checkpointed redo)
     {root}/metastore/{table}/shards/{shard}/snapshot        (snapshot progress)
@@ -21,6 +23,10 @@ import threading
 from typing import Callable, Dict, List, Optional, Tuple
 
 from aresdb_tpu.common.schema import Table
+
+# Reference metastore/common/data_type.go:19 — enum cases are joined with
+# a NUL+newline delimiter so cases may contain spaces, commas, etc.
+ENUM_DELIMITER = "\u0000\n"
 
 
 class DiskMetaStore:
@@ -104,7 +110,7 @@ class DiskMetaStore:
             os.makedirs(d, exist_ok=True)
             with open(os.path.join(d, column), "a", encoding="utf-8") as f:
                 for c in cases:
-                    f.write(json.dumps(c) + "\n")
+                    f.write(c + ENUM_DELIMITER)
             for w in self._enum_watchers:
                 w(table, column, cases)
             return list(range(start, start + len(cases)))
@@ -113,13 +119,13 @@ class DiskMetaStore:
         p = os.path.join(self._table_dir(table), "enums", column)
         if not os.path.exists(p):
             return []
-        out = []
         with open(p, encoding="utf-8") as f:
-            for line in f:
-                line = line.rstrip("\n")
-                if line:
-                    out.append(json.loads(line))
-        return out
+            data = f.read()
+        if not data:
+            return []
+        if data.endswith(ENUM_DELIMITER):
+            data = data[: -len(ENUM_DELIMITER)]
+        return data.split(ENUM_DELIMITER)
 
     def watch_enums(self, callback: Callable[[str, str, List[str]], None]) -> None:
         self._enum_watchers.append(callback)
