@@ -679,13 +679,16 @@ def _eval_common(plan: CompiledQuery, ctx: _EvalCtx, n_valid, live_cutoff=None):
         v = _truthy(_emit(f, ctx, plan))
         mask = mask & v.value & v.valid
     if plan.geo is not None and plan.geo.has_filter:
-        matched = _geo_matched(plan, ctx)
+        matched, point_valid = _geo_matched(plan, ctx)
         inside = matched >= 0
-        mask = mask & (~inside if plan.geo.exclude else inside)
+        # null points are dropped in BOTH modes: the reference writes
+        # !inOrOut into the predicate for null points so the remove-if
+        # always filters them (query/iterator.hpp:1380-1388)
+        mask = mask & point_valid & (~inside if plan.geo.exclude else inside)
     dim_vals = []
     for d in plan.dimensions:
         if d.geo_dim:
-            matched = _geo_matched(plan, ctx)
+            matched, _ = _geo_matched(plan, ctx)
             dim_vals.append(_Val(matched, matched >= 0))
         else:
             dim_vals.append(_emit(d.expr, ctx, plan))
@@ -693,7 +696,8 @@ def _eval_common(plan: CompiledQuery, ctx: _EvalCtx, n_valid, live_cutoff=None):
 
 
 def _geo_matched(plan: CompiledQuery, ctx: _EvalCtx):
-    """Per-row matched shape index (cached across filter + dim uses)."""
+    """Per-row (matched shape index, point validity), cached across the
+    filter + dimension uses."""
     cached = getattr(ctx, "_geo_matched", None)
     if cached is not None:
         return cached
@@ -706,8 +710,8 @@ def _geo_matched(plan: CompiledQuery, ctx: _EvalCtx):
     pv = _emit(plan.geo.point_expr, ctx, plan)
     matched = G.matched_shape(pv.value[:, 0], pv.value[:, 1], pv.valid,
                               slope, lat1, lng1, lng2, onehot, n_shapes)
-    ctx._geo_matched = matched
-    return matched
+    ctx._geo_matched = (matched, pv.valid)
+    return ctx._geo_matched
 
 
 def _measure_lane(plan: CompiledQuery, ctx: _EvalCtx):

@@ -52,7 +52,11 @@ def format_dimension(value, valid: bool, dim: DimensionPlan,
         value = plan.geo.shape_values[idx]
         dt = plan.geo.pk_data_type
         if dt == mdt.UUID:
-            return mdt.uuid_to_string(int(value[0]), int(value[1]))
+            # geo dimensions render the NORMALIZED uuid (uppercase hex, no
+            # dashes) — reference utils.NormalizeUUIDString via
+            # aql_compiler.go:965 shapeUUIDs / aql_postprocessor.go:200
+            s = mdt.uuid_to_string(int(value[0]), int(value[1]))
+            return s.replace("-", "").upper()
         return str(value)
     is_time = dim.raw is not None and dim.raw.is_time_dimension
 

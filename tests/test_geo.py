@@ -170,8 +170,12 @@ def test_geo_dimension(geo_service):
         "now": NOW}]})
     assert "errors" not in resp, resp.get("errors")
     r = resp["results"][0]
-    assert r[_zone_uuid(1)] == pytest.approx(1 + 2 + 3)
-    assert r[_zone_uuid(2)] == pytest.approx(4 + 5)
+    # geo dims render NORMALIZED uuids (uppercase, no dashes) — reference
+    # utils.NormalizeUUIDString via aql_postprocessor.go:200
+    def norm(u):
+        return u.replace("-", "").upper()
+    assert r[norm(_zone_uuid(1))] == pytest.approx(1 + 2 + 3)
+    assert r[norm(_zone_uuid(2))] == pytest.approx(4 + 5)
     assert "NULL" not in r  # the geo filter drops unmatched rows
 
 
