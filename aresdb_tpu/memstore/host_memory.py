@@ -207,9 +207,10 @@ class HostMemoryManager:
     def _try_evict(self) -> None:
         """Evict archive columns when over budget.
 
-        Eviction order follows the reference policy shape
-        (globalPriorityComparator :525): lowest column priority first, then
-        outside-preloading-zone before inside, then oldest batch.
+        Eviction order matches the reference's globalPriorityComparator
+        (host_memory_manager.go:525): outside-preloading-zone before
+        inside (dominant key), then lowest column priority, then oldest
+        batch, then LARGEST object first on full ties.
         """
         if self.total_memory_bytes <= 0:
             return
@@ -233,7 +234,7 @@ class HostMemoryManager:
                 except Exception:
                     priority, in_preload = 0, False
                 candidates.append(
-                    ((priority, 1 if in_preload else 0, batch_id),
+                    (((1 if in_preload else 0), priority, batch_id, -nbytes),
                      (table, shard, batch_id, column_id), nbytes))
             candidates.sort(key=lambda c: c[0])
         for _, key, nbytes in candidates:

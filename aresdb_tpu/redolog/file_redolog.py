@@ -138,15 +138,23 @@ class FileRedoLogManager:
     def checkpoint(self, cutoff: int, checkpoint_file: int,
                    checkpoint_offset: int) -> None:
         """Purge redo files fully covered by the archiving cutoff and the
-        backfill checkpoint: every batch has event time < cutoff AND the file
-        is older than the checkpointed file."""
+        backfill checkpoint (reference getRedoLogFilesToPurge
+        file_redolog_manager.go:347): every batch has event time < cutoff
+        AND the file is either older than the checkpointed file or IS the
+        checkpointed file with every batch checkpointed (batch count ==
+        offset + 1). The current ingestion file is never purged."""
         for creation in self.diskstore.list_logs(self.table, self.shard):
-            if creation == self.current_file:
+            if self.current_file is not None and creation >= self.current_file:
                 continue
             max_et = self.max_event_time_per_file.get(creation)
             if max_et is None:
                 continue
-            if max_et < cutoff and creation < checkpoint_file:
+            fully_checkpointed = (
+                creation == checkpoint_file
+                and self.batch_count_per_file.get(creation)
+                == checkpoint_offset + 1)
+            if max_et < cutoff and (creation < checkpoint_file
+                                    or fully_checkpointed):
                 self.diskstore.delete_log(self.table, self.shard, creation)
                 self.max_event_time_per_file.pop(creation, None)
                 self.batch_count_per_file.pop(creation, None)
