@@ -205,7 +205,7 @@ def lanes(dt: int) -> int:
 # ---------------------------------------------------------------------------
 
 _GEOPOINT_RE = re.compile(
-    r"^\s*point\s*\(\s*(-?[0-9.eE+-]+)\s+(-?[0-9.eE+-]+)\s*\)\s*$",
+    r"^\s*point\s*\(\s*(-?[0-9.eE+-]+)[\s,]+(-?[0-9.eE+-]+)\s*\)\s*$",
     re.IGNORECASE,
 )
 
@@ -243,19 +243,31 @@ def uuid_to_string(hi: int, lo: int) -> str:
 
 
 def parse_geopoint(value: Any) -> Tuple[float, float]:
-    """Parse 'Point(lat lng)' or (lat, lng) into float32 lanes."""
+    """WKT 'Point(lng lat)' / 'Point(lng,lat)' → internal (lat, lng).
+
+    Tuples/lists are taken as already-internal (lat, lng). Mirrors the
+    reference's GeoPointFromString (data_type.go:443): WKT order is
+    longitude first, storage order is [lat, lng], and ranges are
+    validated (lng in [-180, 180], lat in [-90, 90])."""
     if isinstance(value, (tuple, list)) and len(value) == 2:
         return float(value[0]), float(value[1])
     m = _GEOPOINT_RE.match(str(value))
     if not m:
         raise ValueError(f"invalid GeoPoint: {value!r}")
-    return float(m.group(1)), float(m.group(2))
+    lng, lat = float(m.group(1)), float(m.group(2))
+    if not -180.0 <= lng <= 180.0:
+        raise ValueError(
+            f"invalid point, longitude should be in [-180, 180], got {lng}")
+    if not -90.0 <= lat <= 90.0:
+        raise ValueError(
+            f"invalid point, latitude should be in [-90, 90], got {lat}")
+    return lat, lng
 
 
 def geopoint_to_string(lat: float, lng: float) -> str:
-    # matches reference human-readable output "Point(lat,lng)"
-    # (data_value.go ConvertToHumanReadable)
-    return f"Point({lat:g},{lng:g})"
+    # reference human-readable output is "Point(lng,lat)" with 4 decimals
+    # (data_value.go:298 ConvertToHumanReadable)
+    return f"Point({lng:.4f},{lat:.4f})"
 
 
 def parse_value(value: Any, dt: int) -> Optional[Any]:

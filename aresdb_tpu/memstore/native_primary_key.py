@@ -112,13 +112,13 @@ class NativePrimaryKey:
 
     def classify_batch(self, key_matrix: np.ndarray, key_valid: np.ndarray,
                        event_times: Optional[np.ndarray], cutoff: int,
-                       retention_ts: int, next_batch: int, next_index: int,
-                       batch_capacity: int):
+                       retention_ts: int, future_ts: int, next_batch: int,
+                       next_index: int, batch_capacity: int):
         """One native call classifying all rows of an upsert batch.
 
         Returns (actions u8[n], dest_batch i32[n], dest_index u32[n],
-                 counts[7]) where counts = [inserted, updated, backfilled,
-                 retention, nullpk, new_next_batch, new_next_index].
+                 counts[8]) where counts = [inserted, updated, backfilled,
+                 retention, nullpk, new_next_batch, new_next_index, future].
         """
         n = len(key_valid)
         km = np.ascontiguousarray(key_matrix, np.uint8)
@@ -128,12 +128,13 @@ class NativePrimaryKey:
         actions = np.zeros(n, np.uint8)
         out_batch = np.zeros(n, np.int32)
         out_index = np.zeros(n, np.uint32)
-        counts = np.zeros(7, np.int32)
+        counts = np.zeros(8, np.int32)
         self._lib.cuckoo_classify(
             self._h, _u8p(km), ctypes.c_int(n), _u8p(kv),
             et.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
             if et is not None else None,
             ctypes.c_int64(cutoff), ctypes.c_int64(retention_ts),
+            ctypes.c_int64(future_ts),
             ctypes.c_int32(next_batch), ctypes.c_uint32(next_index),
             ctypes.c_uint32(batch_capacity),
             _u8p(actions),

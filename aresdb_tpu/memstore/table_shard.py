@@ -45,6 +45,7 @@ class IngestionStats:
         self.backfilled = 0
         self.skipped_retention = 0
         self.skipped_null_pk = 0
+        self.skipped_future = 0
 
 
 class BackfillManager:
@@ -220,8 +221,15 @@ class TableShard:
         cutoff = self.live_store.archiving_cutoff_high_watermark
         retention_days = schema.table.config.record_retention_in_days
         retention_ts = 0
-        if fact and retention_days > 0:
-            retention_ts = clock.now_unix() - retention_days * 86400
+        future_ts = 0
+        if fact:
+            now = int(clock.now_unix())
+            # reference ingestion.go:239 — retention is DAY-granular
+            # (eventDay < nowDay - retentionDays) and records from the
+            # future (eventTime > now) are skipped (:254)
+            if retention_days > 0:
+                retention_ts = (now // 86400 - retention_days) * 86400
+            future_ts = now
 
         pk = self.live_store.primary_key
 
@@ -232,7 +240,8 @@ class TableShard:
         if isinstance(pk, NativePrimaryKey):
             return self._apply_native(
                 batch, cols_by_id, key_cols, key_valid, event_times, fact,
-                cutoff, retention_ts, stats, recovery, redo_file, batch_offset)
+                cutoff, retention_ts, future_ts, stats, recovery, redo_file,
+                batch_offset)
 
         keys = build_keys(key_cols, n)
         insert_rows: List[int] = []
@@ -250,6 +259,9 @@ class TableShard:
             et = int(event_times[i]) if fact else 0
             if retention_ts and et < retention_ts:
                 stats.skipped_retention += 1
+                continue
+            if future_ts and et > future_ts:
+                stats.skipped_future += 1
                 continue
             key = keys[i]
             slot = pending.get(key)
@@ -299,7 +311,8 @@ class TableShard:
 
     def _apply_native(self, batch: UpsertBatch, cols_by_id, key_cols,
                       key_valid, event_times, fact: bool, cutoff: int,
-                      retention_ts: int, stats: IngestionStats,
+                      retention_ts: int, future_ts: int,
+                      stats: IngestionStats,
                       recovery: bool, redo_file: int, batch_offset: int
                       ) -> IngestionStats:
         """Batch-classified ingestion via the C++ cuckoo index."""
@@ -312,7 +325,8 @@ class TableShard:
         nb, ni = ls.next_write_record
         actions, dest_b, dest_i, counts = pk.classify_batch(
             km, key_valid, event_times if fact else None,
-            cutoff if fact else 0, retention_ts, nb, ni, ls.batch_size)
+            cutoff if fact else 0, retention_ts, future_ts if fact else 0,
+            nb, ni, ls.batch_size)
         ls.set_next_write_record(int(counts[5]), int(counts[6]))
 
         stats.inserted = int(counts[0])
@@ -320,6 +334,7 @@ class TableShard:
         stats.backfilled = int(counts[2])
         stats.skipped_retention = int(counts[3])
         stats.skipped_null_pk = int(counts[4])
+        stats.skipped_future = int(counts[7])
 
         insert_rows = np.nonzero(actions == 1)[0]
         update_rows = np.nonzero(actions == 2)[0]

@@ -71,7 +71,7 @@ def load():
         lib.cuckoo_delete.argtypes = [c, u8p]
         lib.cuckoo_classify.argtypes = [
             c, u8p, ctypes.c_int, u8p, i64p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_uint32, ctypes.c_uint32,
             u8p, i32p, u32p, i32p]
         lib.cuckoo_dump.restype = ctypes.c_int64
         lib.cuckoo_dump.argtypes = [c, u8p, i32p, u32p, ctypes.c_int64]

@@ -156,11 +156,11 @@ class CuckooIndex {
   // the same batch become updates of the pending insert's record.
   void classify(const uint8_t* keys, int n, const uint8_t* key_valid,
                 const int64_t* event_times, int64_t cutoff,
-                int64_t retention_ts, int32_t next_batch, uint32_t next_index,
-                uint32_t batch_capacity, uint8_t* actions, int32_t* out_batch,
-                uint32_t* out_index, int32_t* out_counts) {
+                int64_t retention_ts, int64_t future_ts, int32_t next_batch,
+                uint32_t next_index, uint32_t batch_capacity, uint8_t* actions,
+                int32_t* out_batch, uint32_t* out_index, int32_t* out_counts) {
     int32_t inserted = 0, updated = 0, backfilled = 0, retention = 0,
-            nullpk = 0;
+            nullpk = 0, future = 0;
     // pre-size for the incoming batch: one rehash up front instead of
     // eviction storms at high load + mid-batch doubling rehashes
     uint64_t need = static_cast<uint64_t>(size_) + static_cast<uint64_t>(n);
@@ -193,6 +193,12 @@ class CuckooIndex {
       if (retention_ts > 0 && et < retention_ts) {
         actions[i] = 4;
         retention++;
+        continue;
+      }
+      // reference ingestion.go:254 — skip records from the future
+      if (future_ts > 0 && et > future_ts) {
+        actions[i] = 5;
+        future++;
         continue;
       }
       // single probe per row: find() + find_or_insert() would walk the
@@ -234,6 +240,7 @@ class CuckooIndex {
     out_counts[4] = nullpk;
     out_counts[5] = next_batch;
     out_counts[6] = static_cast<int32_t>(next_index);
+    out_counts[7] = future;
   }
 
   // iterate all live entries: fills keys/records up to cap, returns count
@@ -473,13 +480,15 @@ void cuckoo_delete(void* h, const uint8_t* key) {
 
 void cuckoo_classify(void* h, const uint8_t* keys, int n,
                      const uint8_t* key_valid, const int64_t* event_times,
-                     int64_t cutoff, int64_t retention_ts, int32_t next_batch,
-                     uint32_t next_index, uint32_t batch_capacity,
-                     uint8_t* actions, int32_t* out_batch, uint32_t* out_index,
+                     int64_t cutoff, int64_t retention_ts, int64_t future_ts,
+                     int32_t next_batch, uint32_t next_index,
+                     uint32_t batch_capacity, uint8_t* actions,
+                     int32_t* out_batch, uint32_t* out_index,
                      int32_t* out_counts) {
   static_cast<CuckooIndex*>(h)->classify(
-      keys, n, key_valid, event_times, cutoff, retention_ts, next_batch,
-      next_index, batch_capacity, actions, out_batch, out_index, out_counts);
+      keys, n, key_valid, event_times, cutoff, retention_ts, future_ts,
+      next_batch, next_index, batch_capacity, actions, out_batch, out_index,
+      out_counts);
 }
 
 int64_t cuckoo_dump(void* h, uint8_t* keys_out, int32_t* batch_out,

@@ -81,11 +81,21 @@ def test_parse_uuid_round_trip():
 
 
 def test_parse_geopoint():
+    # WKT is Point(lng lat); storage is (lat, lng) — data_type.go:443
     lat, lng = dt.parse_value("Point(11.1 22.2)", dt.GeoPoint)
-    assert abs(lat - 11.1) < 1e-6 and abs(lng - 22.2) < 1e-6
+    assert abs(lat - 22.2) < 1e-6 and abs(lng - 11.1) < 1e-6
+    lat, lng = dt.parse_value("Point(11.1,22.2)", dt.GeoPoint)
+    assert abs(lat - 22.2) < 1e-6 and abs(lng - 11.1) < 1e-6
     assert dt.parse_value((1.5, -2.5), dt.GeoPoint) == (1.5, -2.5)
     with pytest.raises(ValueError):
         dt.parse_value("11.1,22.2", dt.GeoPoint)
+    with pytest.raises(ValueError):
+        dt.parse_value("Point(181.0 0.0)", dt.GeoPoint)   # lng out of range
+    with pytest.raises(ValueError):
+        dt.parse_value("Point(0.0 90.5)", dt.GeoPoint)    # lat out of range
+    # human-readable round trip is Point(lng,lat) with 4 decimals
+    # (data_value.go:298)
+    assert dt.geopoint_to_string(22.2, 11.1) == "Point(11.1000,22.2000)"
 
 
 def test_parse_array():

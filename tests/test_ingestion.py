@@ -213,3 +213,60 @@ def test_type_mismatch_rejected():
     b.set_value(0, 1, 2)
     with pytest.raises(ValueError):
         shard.save_upsert_batch(UpsertBatch(b.to_bytes()))
+
+def test_skip_future_records():
+    """Fact rows with event time beyond 'now' are skipped
+    (ingestion_test.go:128 'skip future records', ingestion.go:254)."""
+    clock.set_current_time(1_000_000_000)
+    try:
+        shard = make_fact_shard()
+        stats = shard.save_upsert_batch(build_batch([
+            (1_000_000_123, 1, 1.0, 1),    # future
+            (1_000_000_000, 2, 2.0, 2),    # exactly now: kept
+            (999_999_999, 3, 3.0, 3),      # past: kept
+        ]))
+        assert stats.skipped_future == 1
+        assert stats.inserted == 2
+        assert shard.live_store.rows_visible() == 2
+    finally:
+        clock.reset_clock()
+
+
+def test_retention_is_day_granular():
+    """Retention compares event DAY vs now-day minus retention days
+    (ingestion.go:239-249), not a rolling now-minus-seconds window."""
+    clock.set_current_time(1_000_000_000)
+    try:
+        schema = Table.from_json(FACT_SCHEMA)
+        schema.config.record_retention_in_days = 3
+        shard = TableShard(TableSchema(schema))
+        oldest_day = 1_000_000_000 // 86400 - 3
+        stats = shard.save_upsert_batch(build_batch([
+            (oldest_day * 86400, 1, 1.0, 1),      # first second of the
+                                                  # oldest retained day
+            (oldest_day * 86400 - 1, 2, 2.0, 2),  # one second earlier: out
+        ]))
+        assert stats.inserted == 1
+        assert stats.skipped_retention == 1
+    finally:
+        clock.reset_clock()
+
+
+def test_empty_upsert_batch_ok():
+    """A batch with columns but zero rows applies cleanly
+    (ingestion_test.go:55)."""
+    shard = make_fact_shard()
+    stats = shard.save_upsert_batch(build_batch([]))
+    assert stats.inserted == 0
+    assert shard.live_store.rows_visible() == 0
+
+
+def test_missing_primary_key_column_rejected():
+    """A batch without the PK column errors (ingestion_test.go:45)."""
+    shard = make_fact_shard()
+    b = UpsertBatchBuilder()
+    b.add_column(0, dt.Uint32)   # event time only; PK is column 1
+    b.add_row()
+    b.set_value(0, 0, 100)
+    with pytest.raises(ValueError):
+        shard.save_upsert_batch(UpsertBatch(b.to_bytes()))

@@ -101,7 +101,8 @@ def test_uuid_and_geopoint():
     hi, lo = batch.get_value(0, 0)
     assert dt.uuid_to_string(hi, lo) == "d585cc25-5ca9-4655-855d-dcb94a0b9f04"
     lat, lng = batch.get_value(0, 1)
-    assert abs(lat - 11.1) < 1e-5 and abs(lng - 22.2) < 1e-5
+    # WKT order is Point(lng lat); internal storage is (lat, lng)
+    assert abs(lat - 22.2) < 1e-5 and abs(lng - 11.1) < 1e-5
 
 
 def test_multi_column_mixed_modes():
