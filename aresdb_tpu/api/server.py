@@ -226,18 +226,10 @@ class ColumnHandler(_Base):
         if ms.metastore is not None:
             ms.metastore.update_table(t)
         schema.set_table(t)
-        # drop in-memory + on-disk data
-        for (tname, sid) in list(ms.shards):
-            if tname != table:
-                continue
-            shard = ms.get_table_shard(tname, sid)
-            for b in shard.live_store.batches.values():
-                b.columns.pop(cid, None)
-            version = shard.archive_store.get_current_version()
-            for ab in version.batches.values():
-                ab.evict_column(cid)
-            if ms.diskstore is not None:
-                ms.diskstore.delete_column(tname, sid, cid)
+        # reference applyTableSchema also drops the enum dict of a
+        # deleted enum column (memstore/schema.go delete(EnumDicts))
+        schema.enum_dicts.pop(column, None)
+        ms.delete_column_data(table, cid)
         self.write_json({"message": f"column {column} deleted"})
 
 

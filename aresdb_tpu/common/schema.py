@@ -278,6 +278,8 @@ class TableSchema:
             c.name: i for i, c in enumerate(self.table.columns) if not c.deleted
         }
         for c in self.table.columns:
+            if c.deleted:
+                continue
             if c.is_enum_column() and c.name not in self.enum_dicts:
                 ed = EnumDict(case_insensitive=c.case_insensitive)
                 if c.default_value is not None:

@@ -5,15 +5,40 @@ diskstore_util.go. Directory layout matches the reference:
 
     {root}/data/{table}_{shard}/redologs/{creation_time}.redolog
     {root}/data/{table}_{shard}/snapshots/{redo}_{offset}/{batchID}/{col}.data
-    {root}/data/{table}_{shard}/archiving_batches/{batchID}_{version}[-{seq}]/{col}.data
+    {root}/data/{table}_{shard}/archiving_batches/{date}_{version}[-{seq}]/{col}.data
+
+Archive batch directories use the reference's "2006-01-02" DATE string of
+the day batch (diskstore/local_diskstore.go:46 timeFormatForBatchID), e.g.
+2017-07-19_1499971253, not the raw days-since-epoch integer.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 import re
 import shutil
 from typing import BinaryIO, List, Optional, Tuple
+
+_EPOCH = _dt.date(1970, 1, 1)
+
+
+def _batch_id_str(batch_id: int) -> str:
+    return (_EPOCH + _dt.timedelta(days=batch_id)).strftime("%Y-%m-%d")
+
+
+def _parse_batch_dir(name: str) -> Optional[Tuple[int, int, int]]:
+    """'2017-07-19_1499971253[-seq]' -> (days, version, seq); also accepts
+    a legacy integer batch id."""
+    m = re.match(r"^(\d{4}-\d{2}-\d{2}|-?\d+)_(\d+)(?:-(\d+))?$", name)
+    if not m:
+        return None
+    bid = m.group(1)
+    if "-" in bid and not bid.lstrip("-").isdigit():
+        days = (_dt.date.fromisoformat(bid) - _EPOCH).days
+    else:
+        days = int(bid)
+    return days, int(m.group(2)), int(m.group(3) or 0)
 
 
 class LocalDiskStore:
@@ -46,7 +71,8 @@ class LocalDiskStore:
 
     def archive_batch_dir(self, table: str, shard: int, batch_id: int,
                           version: int, seq: int = 0) -> str:
-        name = f"{batch_id}_{version}" if seq == 0 else f"{batch_id}_{version}-{seq}"
+        bid = _batch_id_str(batch_id)
+        name = f"{bid}_{version}" if seq == 0 else f"{bid}_{version}-{seq}"
         return os.path.join(self.archive_batch_root(table, shard), name)
 
     # ------------------------------------------------------------------
@@ -173,10 +199,9 @@ class LocalDiskStore:
             return []
         out = []
         for name in os.listdir(d):
-            m = re.match(r"^(-?\d+)_(\d+)(?:-(\d+))?$", name)
-            if m:
-                out.append((int(m.group(1)), int(m.group(2)),
-                            int(m.group(3) or 0)))
+            parsed = _parse_batch_dir(name)
+            if parsed is not None:
+                out.append(parsed)
         return sorted(out)
 
     def delete_archive_batch_versions(self, table: str, shard: int,

@@ -51,11 +51,23 @@ class MemStore:
                 else:
                     old = ts.table
                     ts.set_table(table)
+                    # NEWLY deleted columns: drop the enum dict and purge
+                    # shard data (reference applyTableSchema,
+                    # memstore/schema.go: delete(EnumDicts) + DeleteColumn)
+                    for cid, col in enumerate(table.columns):
+                        newly_deleted = col.deleted and (
+                            cid >= len(old.columns)
+                            or not old.columns[cid].deleted)
+                        if newly_deleted:
+                            ts.enum_dicts.pop(col.name, None)
+                            self.delete_column_data(name, cid)
                     # preload newly-configured preloading windows
                     # (reference schema watcher -> TriggerPreload)
                     if self.host_memory_manager is not None:
                         self.host_memory_manager.handle_table_update(old, table)
                 for col in table.columns:
+                    if col.deleted:
+                        continue
                     if col.is_enum_column():
                         cases = self.metastore.get_enum_cases(name, col.name)
                         ts.enum_dicts[col.name].extend(cases)
@@ -101,6 +113,22 @@ class MemStore:
         if shard is None:
             raise KeyError(f"no shard {shard_id} for table {table!r}")
         return shard
+
+    def delete_column_data(self, table: str, column_id: int) -> None:
+        """Drop a tombstoned column's data in every shard: live VPs,
+        archive VPs, and disk files (reference TableShard.DeleteColumn,
+        memstore/table_shard.go:107)."""
+        for (tname, sid) in list(self.shards):
+            if tname != table:
+                continue
+            shard = self.get_table_shard(tname, sid)
+            for b in shard.live_store.batches.values():
+                b.columns.pop(column_id, None)
+            version = shard.archive_store.get_current_version()
+            for ab in version.batches.values():
+                ab.evict_column(column_id)
+            if self.diskstore is not None:
+                self.diskstore.delete_column(tname, sid, column_id)
 
     def remove_table_shard(self, table: str, shard_id: int) -> None:
         with self.lock:

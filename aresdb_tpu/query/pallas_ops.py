@@ -203,16 +203,22 @@ def _factored_klo(n_slots: int) -> int:
     return 512 if n_slots > 16384 else 256
 
 
-def factored_segment_sum_indicator(slots, values, n_slots: int):
+def factored_segment_sum_indicator(slots, values, n_slots: int,
+                                   ones_channels: tuple = ()):
     """factored_segment_sum for the engine's standard channel layout:
     channel 0 is an arbitrary f32 measure, channels 1+ hold ONLY 0/1
     count/presence indicators. Under that contract the fused pallas
     kernel (bf16 hi/lo split on channel 0, single-pass bf16 on the
     indicator channels) is exact to <=2^-17 relative, so TPU backends
     route there; anything else must call factored_segment_sum, which
-    keeps f32-exact HIGH-precision passes for every channel."""
+    keeps f32-exact HIGH-precision passes for every channel.
+
+    ones_channels: channels statically known to be ALL-ONES rows (count
+    channels) — the kernel skips their multiply and, for channel 0, the
+    hi/lo split entirely (the one-hot is already the exact operand)."""
     if _pallas_factored_ok(n_slots):
-        return factored_segment_sum_pallas(slots, values, n_slots)
+        return factored_segment_sum_pallas(slots, values, n_slots,
+                                           ones_channels=ones_channels)
     return factored_segment_sum(slots, values, n_slots)
 
 
@@ -281,15 +287,25 @@ FP_KLO = 128
 FP_MAX_KHI = 512          # dense.DENSE_MAX_SLOTS/128; VMEM sized via T below
 
 
-def _fp_row_tile(khi: int) -> int:
-    # [(C+1)·KHI, T] bf16 stacked operand + [KHI, T] f32 one-hot must fit
-    # ~16MB VMEM alongside the double-buffered input tiles
+def _fp_row_tile(khi: int, n: int = 1 << 30) -> int:
+    # per-chunk VMEM is ~(4·KHI + 320)·T bytes (bf16 oh_hi + w temp +
+    # oh_lo + double-buffered input tiles) and must fit ~16MB; bigger
+    # tiles amortize the per-chunk one-hot build against the MXU dots
+    # (measured on v5e at KHI=112: 4096→3.7ms, 16384→3.3ms per 4M batch)
     if khi <= 128:
-        return 4096
-    return 2048 if khi <= 256 else 1024
+        t = 16384
+    elif khi <= 256:
+        t = 8192
+    else:
+        t = 4096
+    # don't pad tiny batches up to a huge tile
+    while t > 1024 and t // 2 >= n:
+        t //= 2
+    return t
 
 
-def _make_factored_pallas_kernel(n_chunks: int, khi: int, c: int, t: int):
+def _make_factored_pallas_kernel(n_chunks: int, khi: int, c: int, t: int,
+                                 ones_channels: tuple = ()):
     klo = FP_KLO
 
     def kernel(slots_hbm, values_hbm, out_ref):
@@ -300,28 +316,37 @@ def _make_factored_pallas_kernel(n_chunks: int, khi: int, c: int, t: int):
                            jax.lax.shift_right_logical(slots, 7))
             lo = jnp.where(neg, jnp.int32(-1),
                            jax.lax.bitwise_and(slots, jnp.int32(127)))
+            # bf16 one-hots are exact (0/1); the measure's exactness comes
+            # from splitting the VALUE into bf16 hi+lo parts first — a 0/1
+            # one-hot times a bf16 part stays bf16-exact
             oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (khi, t), 0)
-                     == hi).astype(jnp.float32)     # [KHI, T]
+                     == hi).astype(jnp.bfloat16)    # [KHI, T]
             oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (klo, t), 0)
                      == lo).astype(jnp.bfloat16)    # [KLO, T]
-            # measure channel → exact bf16 hi/lo split (2 passes);
-            # indicator channels (0/1) are bf16-exact as-is (1 pass)
-            w0 = oh_hi * values[0, :][None, :]
-            w0h = w0.astype(jnp.bfloat16)
-            w0l = (w0 - w0h.astype(jnp.float32)).astype(jnp.bfloat16)
-            parts = [w0h, w0l] + [
-                (oh_hi * values[ci, :][None, :]
-                 ).astype(jnp.bfloat16) for ci in range(1, c)]
-            w_all = jnp.concatenate(parts, axis=0)
-            contrib = jax.lax.dot_general(
-                w_all, oh_lo, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32)  # [(C+1)·KHI, KLO]
-            out_ref[0] = (out_ref[0] + contrib[:khi]
-                          + contrib[khi:2 * khi])
+
+            parts = []  # (w [KHI, T] bf16, output channel)
+            if 0 in ones_channels:
+                # all-ones measure: oh_hi IS the weighted operand
+                parts.append((oh_hi, 0))
+            else:
+                v0 = values[0, :]
+                vh = v0.astype(jnp.bfloat16)
+                vl = (v0 - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+                parts.append((oh_hi * vh[None, :], 0))
+                parts.append((oh_hi * vl[None, :], 0))
             for ci in range(1, c):
-                out_ref[ci] = (out_ref[ci]
-                               + contrib[(ci + 1) * khi:(ci + 2) * khi])
+                if ci in ones_channels:
+                    parts.append((oh_hi, ci))
+                else:
+                    parts.append(
+                        (oh_hi * values[ci, :].astype(jnp.bfloat16)[None, :],
+                         ci))
+            for w, ci in parts:
+                contrib = jax.lax.dot_general(
+                    w, oh_lo, (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32)  # [KHI, KLO]
+                out_ref[ci] = out_ref[ci] + contrib
 
         _chunk_pump(slots_hbm, values_hbm, out_ref, n_chunks, t,
                     max(c, LANE_PAD), compute)
@@ -329,16 +354,20 @@ def _make_factored_pallas_kernel(n_chunks: int, khi: int, c: int, t: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_slots", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_slots", "interpret",
+                                              "ones_channels"))
 def factored_segment_sum_pallas(slots, values, n_slots: int,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                ones_channels: tuple = ()):
     """Fused VMEM-resident factored segment sum (see block comment above).
 
     Same contract as factored_segment_sum: values[n, C] summed by slots[n]
     into [n_slots, C]; slots < 0 are dropped. Channel 0 (the measure)
     accumulates via an exact bf16 hi/lo split (≤2^-17 relative error);
     channels 1+ must hold bf16-exact values (the engine's 0/1
-    count/presence indicators) — they run single-pass.
+    count/presence indicators) — they run single-pass. Channels listed in
+    ones_channels must be all-ones; they skip their multiply (and the
+    channel-0 split) exactly.
     """
     n = slots.shape[0]
     c = values.shape[1]
@@ -349,7 +378,7 @@ def factored_segment_sum_pallas(slots, values, n_slots: int,
     klo = FP_KLO
     khi = (n_slots + klo - 1) // klo
     khi_pad = max(16, ((khi + 15) // 16) * 16)   # bf16 sublane tile
-    t = _fp_row_tile(khi_pad)
+    t = _fp_row_tile(khi_pad, n)
     n_pad = ((n + t - 1) // t) * t
     n_chunks = n_pad // t
     c_pad = max(c, LANE_PAD)
@@ -363,7 +392,8 @@ def factored_segment_sum_pallas(slots, values, n_slots: int,
 
     with _x64_ctx(False):
         out = pl.pallas_call(
-            _make_factored_pallas_kernel(n_chunks, khi_pad, c, t),
+            _make_factored_pallas_kernel(n_chunks, khi_pad, c, t,
+                                         ones_channels),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
