@@ -840,6 +840,22 @@ class Compiler:
     # -- dimensions --
 
     def _process_dimensions(self, q: AQLQuery, cq: CompiledQuery) -> None:
+        # expand a wildcard dimension to every usable main-table column
+        # (reference aql_compiler.go:412 Wildcard -> getAllColumnsDimension
+        # :1252 — skips deleted / GeoShape / array columns)
+        expanded = []
+        for d in q.dimensions:
+            if d.expr.strip() == "*":
+                from aresdb_tpu.query.aql import Dimension as _Dim
+
+                for col in cq.main_schema.table.columns:
+                    if col.deleted or col.data_type == mdt.GeoShape or \
+                            mdt.is_array_type(col.data_type):
+                        continue
+                    expanded.append(_Dim(expr=col.name))
+            else:
+                expanded.append(d)
+        q.dimensions = expanded
         for d in q.dimensions:
             plan = self._compile_dimension(d, cq)
             # aggregates have no meaning as group-by keys (the reference's

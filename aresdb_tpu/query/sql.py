@@ -239,9 +239,18 @@ def _parse_plain(sql: str, depth: int = 0) -> Dict:
         q["joins"].append({"table": tname, "alias": talias,
                            "conditions": conditions})
 
-    # WHERE: split conjuncts; extract aql_time_filter / aql_now
+    # WHERE: split conjuncts; extract aql_time_filter / aql_now.
+    # A TOP-LEVEL OR means the clause is one single filter — splitting on
+    # AND would regroup `a AND b OR c` as a AND (b OR c) (SQL gives AND
+    # the tighter binding; the reference keeps the whole WHERE as one
+    # filter string, sql_parser_test.go:38).
     timezone = ""
-    for conj in _split_top_level(clauses.get("where", ""), r"\band\b"):
+    where_clause = clauses.get("where", "")
+    if len(_split_top_level(where_clause, r"\bor\b")) > 1:
+        conjuncts = [where_clause]
+    else:
+        conjuncts = _split_top_level(where_clause, r"\band\b")
+    for conj in conjuncts:
         conj = conj.strip()
         if not conj:
             continue
@@ -306,7 +315,13 @@ def _parse_plain(sql: str, depth: int = 0) -> Dict:
     select_dims: List[Dict] = []
     for item in _split_top_level(clauses["select"], r","):
         item = item.strip()
-        if not item or item == "*":
+        if not item:
+            continue
+        if item == "*":
+            # wildcard select: a `*` dimension, expanded by the compiler
+            # to all usable columns (reference sql_parser_test.go:87 keeps
+            # the `*` dim; aql_compiler.go:412 expands it)
+            select_dims.append({"sqlExpression": "*"})
             continue
         expr_text, alias = _split_as_alias(item)
         call = _parse_call(expr_text)

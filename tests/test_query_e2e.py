@@ -506,3 +506,18 @@ def test_aggregate_in_dimension_rejected():
         comp.compile(AQLQuery.from_json({
             "table": "trips", "measures": [{"sqlExpression": "count(*)"}],
             "dimensions": [{"sqlExpression": "sum(fare)"}]}))
+
+
+def test_wildcard_dimension_expands_to_all_columns(service):
+    """`*` dims expand to every non-deleted, non-GeoShape, non-array main
+    table column (aql_compiler.go:412 + getAllColumnsDimension :1252)."""
+    result = run(service, {
+        "table": "trips",
+        "dimensions": [{"sqlExpression": "*"}],
+        "measures": [{"sqlExpression": "1"}],
+        "limit": 2,
+    })
+    expected = [c.name for c in
+                service.memstore.get_schemas()["trips"].table.columns]
+    assert result["headers"] == expected
+    assert len(result["matrixData"]) == 2

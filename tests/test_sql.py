@@ -240,3 +240,26 @@ def test_subquery_groupby_of_aliased_select_no_duplicate_dim():
         "GROUP BY city_id")
     assert [d.expr for d in q.dimensions] == ["city_id", "fare"]
     assert q.dimensions[0].alias == "c"
+
+
+def test_where_top_level_or_stays_single_filter():
+    """`a AND NOT b OR c` must remain ONE filter: AND binds tighter than
+    OR, and splitting on AND would regroup it (sql_parser_test.go:38)."""
+    q = parse_sql(
+        "SELECT count(*) AS completed_trips FROM trips "
+        "WHERE status='completed' AND NOT status = 'cancelled' "
+        "OR marketplace='agora' GROUP BY status")
+    assert q.filters == [
+        "status='completed' AND NOT status = 'cancelled' "
+        "OR marketplace='agora'"]
+    assert q.measures[0].alias == "completed_trips"
+    assert [d.expr for d in q.dimensions] == ["status"]
+
+
+def test_wildcard_select_keeps_star_dimension():
+    """SELECT field1, * keeps the `*` dim (sql_parser_test.go:87); the
+    compiler expands it to all usable columns (aql_compiler.go:412)."""
+    q = parse_sql("SELECT field1, * FROM trips LIMIT 10")
+    assert [d.expr for d in q.dimensions] == ["field1", "*"]
+    assert q.measures[0].expr == "1"
+    assert q.limit == 10
