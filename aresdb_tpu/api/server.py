@@ -61,6 +61,7 @@ class ServerContext:
                 getattr(query_config, "query_timeout", 0) or 0)
         self.device_manager = DeviceMemoryManager(utilization=util,
                                                   default_timeout=choose_timeout)
+        self.datanode = None  # set by DataNode in distributed mode
         self.query_service = QueryService(memstore,
                                           timezone_table=timezone_table,
                                           device_manager=self.device_manager,
@@ -552,6 +553,19 @@ class DeviceCacheDebugHandler(_Base):
         self.write_json(GLOBAL_DEVICE_CACHE.stats())
 
 
+class BootstrapRetryHandler(_Base):
+    """Re-trigger peer bootstrap for shards the node failed to acquire
+    (reference api/debug_handler.go:97 bootstrapRetry)."""
+
+    def post(self):
+        node = getattr(self.ctx, "datanode", None)
+        if node is None:
+            return self.write_error_json(
+                404, "not running in distributed datanode mode")
+        retried = node.retry_bootstrap()
+        self.write_json({"retried": retried})
+
+
 class ProfilerHandler(_Base):
     """XLA profiler capture (parity: cudaProfilerStart/Stop via
     /dbg/profiler, reference cgoutils/memory.go:160 + debug_handler)."""
@@ -960,6 +974,7 @@ def make_app(ctx: ServerContext) -> tornado.web.Application:
         (r"/dbg/([^/]+)/(\d+)/backfill-queue/(\d+)",
          BackfillQueueHandler, a),
         (r"/dbg/device-cache", DeviceCacheDebugHandler, a),
+        (r"/dbg/bootstrap/retry", BootstrapRetryHandler, a),
         (r"/dbg/profiler/(start|stop)", ProfilerHandler, a),
         (r"/dbg/?", DebugUIHandler, a),
         (r"/swagger.json", SwaggerHandler, a),

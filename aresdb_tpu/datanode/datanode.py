@@ -40,6 +40,7 @@ class DataNode:
         # lists behave exactly like a plain session
         self.session = session or FailoverSession(addresses)
         self.server = ApiServer(memstore, scheduler, port=port)
+        self.server.ctx.datanode = self  # /dbg/bootstrap/retry
         self.topology = DynamicTopology(controller_address, namespace,
                                         poll_seconds=poll_seconds,
                                         session=self.session)
@@ -244,6 +245,18 @@ class DataNode:
                 json={"shardId": shard_id}, timeout=5)
         except requests.RequestException:
             pass
+
+    def retry_bootstrap(self):
+        """Bootstrap desired-but-not-owned shards now (reference
+        api/debug_handler.go:97 bootstrap retry endpoint). Owned shards are
+        untouched — re-copying over a live shard would clobber it."""
+        try:
+            pending = sorted(self.desired_shards() - self.owned_shards)
+        except Exception:
+            return []
+        for sid in pending:
+            self._add_shard(sid)
+        return pending
 
     def _remove_shard(self, shard_id: int) -> None:
         for table in sorted(self.memstore.get_schemas()):

@@ -77,6 +77,10 @@ class NativePrimaryKey:
             ctypes.c_uint32(record_id.index),
             ctypes.c_uint32(event_time & 0xFFFFFFFF),
             ctypes.byref(batch), ctypes.byref(index))
+        if existing < 0:
+            # reference cuckoo_index.go FindOrInsert: event time below the
+            # TTL cutoff is an error (the row belongs to backfill)
+            raise ValueError("event time is older than the TTL cutoff")
         return bool(existing), RecordID(batch.value, index.value)
 
     def update(self, key: bytes, record_id: RecordID) -> bool:

@@ -110,6 +110,11 @@ class PrimaryKey:
         When the key already exists, returns its current RecordID; otherwise
         inserts record_id and returns it.
         """
+        if self._event_times is not None and self.eviction_threshold \
+                and event_time < self.eviction_threshold:
+            # reference cuckoo_index.go FindOrInsert: event time below the
+            # TTL cutoff is an error (the row belongs to backfill)
+            raise ValueError("event time is older than the TTL cutoff")
         existing = self.find(key)
         if existing is not None:
             return True, existing

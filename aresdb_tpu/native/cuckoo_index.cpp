@@ -117,6 +117,11 @@ class CuckooIndex {
   // returns 1 if existing (out = stored record), 0 if inserted (out = rec)
   int find_or_insert(const uint8_t* key, RecordID rec, uint32_t event_time,
                      RecordID* out) {
+    // reference cuckoo_index.go: inserting with an event time already
+    // below the TTL cutoff is an error (the row belongs to backfill)
+    if (has_event_time_ && cutoff_ != 0 && event_time < cutoff_) {
+      return -1;
+    }
     Slot* s = lookup(key);
     if (s != nullptr) {
       if (!expired(*s)) {

@@ -230,3 +230,9 @@ def test_batch_inspection_and_health_switch(base):
     assert requests.get(f"{base}/health").status_code == 503
     requests.post(f"{base}/health/on")
     assert requests.get(f"{base}/health").status_code == 200
+
+
+def test_bootstrap_retry_requires_datanode_mode(base):
+    """Single-node servers reject /dbg/bootstrap/retry with 404."""
+    r = requests.post(f"{base}/dbg/bootstrap/retry", timeout=5)
+    assert r.status_code == 404

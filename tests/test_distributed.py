@@ -421,3 +421,14 @@ def test_rebalance_sticky_when_balanced():
     st.heartbeat("ns", "b", {1: 5000, 3: 5000})
     out = st.rebalance("ns", "datanode")
     assert out["moves"] == 0
+
+
+def test_bootstrap_retry_endpoint(cluster):
+    """POST /dbg/bootstrap/retry re-runs bootstrap for pending shards
+    (reference api/debug_handler.go:97). With everything owned it's a
+    no-op returning an empty list."""
+    _, _, nodes = cluster
+    r = requests.post(
+        f"http://localhost:{nodes[0].port}/dbg/bootstrap/retry", timeout=5)
+    assert r.status_code == 200
+    assert r.json()["retried"] == []
