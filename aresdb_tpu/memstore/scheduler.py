@@ -104,6 +104,17 @@ class Scheduler:
                 last = self._last_run.get(key, 0)
                 if now - last < max(interval, 1):
                     continue
+                if jobtype == "archiving":
+                    # restart-proof readiness from the PERSISTED cutoff:
+                    # ready iff now - delay > currentCutoff + interval
+                    # (reference archiveJobManager.generateJobs,
+                    # memstore/job_manager.go:66-83)
+                    cfg = shard.schema.table.config
+                    delay = cfg.archiving_delay_minutes * 60
+                    cur = shard.archive_store.get_current_version(
+                        ).archiving_cutoff
+                    if now - delay <= cur + interval:
+                        continue
                 # backpressure-driven early backfill (backfill_manager.go)
                 self.run_job(table, shard_id, jobtype, now)
                 ran.append(key)

@@ -642,15 +642,49 @@ class Compiler:
             node.type = E.UNKNOWN_TYPE
             return node
         if name == E.FROM_UNIXTIME:
-            # from_unixtime(col) is identity at storage level (seconds)
-            node.type = E.UNSIGNED
-            return node
+            # reference query_context_helper.go: from_unixtime only accepts
+            # `time_col / 1000` (millisecond columns) and unwraps to the
+            # column itself — storage is already in seconds
+            arg = node.args[0] if node.args else None
+            if (isinstance(arg, E.BinaryExpr) and arg.op == "/"
+                    and isinstance(arg.rhs, E.NumberLiteral)
+                    and arg.rhs.int_val == 1000
+                    and isinstance(arg.lhs, E.VarRef)):
+                return arg.lhs
+            raise QueryError("from_unixtime must be time column / 1000")
         if name in (E.HOUR, E.DAY_OF_WEEK):
             node.type = E.UNSIGNED
             return node
         if name == E.CONVERT_TZ:
-            node.type = E.UNSIGNED
-            return node
+            # rewrite to col + (offset(toTz) - offset(fromTz)) at `now`
+            # (reference query_context_helper.go:348-387)
+            if len(node.args) != 3:
+                raise QueryError("convert_tz must have 3 arguments")
+            for i, label in ((1, "2nd"), (2, "3rd")):
+                if not isinstance(node.args[i], E.StringLiteral):
+                    raise QueryError(
+                        f"{label} argument of convert_tz must be a string")
+            import datetime as _dtm
+            from zoneinfo import ZoneInfo
+
+            from aresdb_tpu.utils import clock as _clock
+            try:
+                from_tz = ZoneInfo(node.args[1].val)
+                to_tz = ZoneInfo(node.args[2].val)
+            except Exception as exc:
+                raise QueryError(
+                    f"failed to rewrite convert_tz: {exc}") from exc
+            now = _dtm.datetime.fromtimestamp(_clock.now_unix(),
+                                              _dtm.timezone.utc)
+            offset = int(now.astimezone(to_tz).utcoffset().total_seconds()
+                         - now.astimezone(from_tz).utcoffset().total_seconds())
+            return E.BinaryExpr(
+                op="+", lhs=node.args[0],
+                rhs=E.NumberLiteral(val=float(offset), int_val=offset,
+                                    expr=str(offset),
+                                    type=E.SIGNED if offset < 0
+                                    else E.UNSIGNED),
+                type=E.UNSIGNED)
         if name == E.LENGTH:
             node.type = E.UNSIGNED
             return node

@@ -368,11 +368,6 @@ def _emit_binary(node: E.BinaryExpr, ctx: _EvalCtx, plan: CompiledQuery) -> _Val
 
 def _emit_call(node: E.Call, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
     name = node.name
-    if name == E.FROM_UNIXTIME:
-        # from_unixtime(col) / 1000 pattern yields seconds again; storage is
-        # already unix seconds so this is the identity (reference Rewrite
-        # collapses it the same way, aql_compiler.go:560)
-        return _emit(node.args[0], ctx, plan)
     if name == E.HOUR:
         c = _to_numeric(_emit(node.args[0], ctx, plan), jnp.int32)
         return _Val((c.value % 86400) // 3600, c.valid)

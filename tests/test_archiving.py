@@ -539,3 +539,40 @@ def test_snapshot_and_recover_array_columns(tmp_root):
         assert rec is not None
         got = shard2.read_value(rec, 1)
         assert got == tags, (rid, got, tags)
+
+
+def test_archive_job_readiness_from_persisted_cutoff(tmp_root):
+    """Archive jobs are ready iff now - delay > currentCutoff + interval
+    (job_manager.go:66-83 generateJobs) — restart-proof: a freshly archived
+    shard is NOT re-archived by a new scheduler until the interval passes."""
+    from aresdb_tpu.memstore.scheduler import Scheduler
+
+    ms = MemStore(DiskMetaStore(tmp_root), LocalDiskStore(tmp_root))
+    t = Table.from_json(FACT)
+    t.config.archiving_delay_minutes = 10       # 600s
+    t.config.archiving_interval_minutes = 10    # 600s
+    ms.create_table(t)
+    ms.init_shards()
+    shard = ms.get_table_shard("trips")
+
+    now = BASE_T + 10 * DAY
+    clock.set_current_time(now)
+    try:
+        sched = Scheduler(ms)
+        # fresh shard (cutoff 0): ready immediately
+        ran = sched.run_due_jobs(now)
+        assert ("trips", 0, "archiving") in ran
+        cutoff = shard.archive_store.get_current_version().archiving_cutoff
+        assert cutoff == now - 600
+
+        # a NEW scheduler (simulating restart) sees the persisted cutoff
+        # and waits: now - delay == cutoff < cutoff + interval
+        sched2 = Scheduler(ms)
+        ran = sched2.run_due_jobs(now)
+        assert ("trips", 0, "archiving") not in ran
+
+        # after delay + interval it becomes ready again
+        ran = sched2.run_due_jobs(now + 601)
+        assert ("trips", 0, "archiving") in ran
+    finally:
+        clock.set_current_time(None)

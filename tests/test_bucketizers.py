@@ -146,8 +146,12 @@ def test_case_when(service):
     assert r["1"] == 2.0 and r["0"] == 3.0
 
 
-def test_from_unixtime_identity(service):
-    r = run(service, [], filters=[f"from_unixtime(ts) >= {ts(2021, 1, 1)}"])
+def test_from_unixtime_millis_unwrap(service):
+    """from_unixtime accepts ONLY `time_col / 1000` and unwraps to the
+    column (reference query_context_helper.go:437); a bare column is an
+    error."""
+    r = run(service, [],
+            filters=[f"from_unixtime(ts / 1000) >= {ts(2021, 1, 1)}"])
     assert r[""] == 1.0
 
 

@@ -617,6 +617,27 @@ def test_dayofweek_dimension_sunday_anchor():
 
 
 def test_convert_tz_filter():
+    """convert_tz rewrites to col + (offset(to) - offset(from)) at now
+    (query_context_helper.go:348; golden from query_compiler_test.go:700:
+    America/Phoenix never observes DST, so the offset is always -25200)."""
     cq = compile_q(
-        q(filters=["convert_tz(request_at, 'GMT', 'America/New_York') > 0"]))
-    assert cq.filters
+        q(filters=["convert_tz(request_at, 'GMT', 'America/Phoenix') = 2"]))
+    assert str(cq.filters[0]) == "request_at + -25200 = 2"
+    cq = compile_q(q(filters=[
+        "convert_tz(from_unixtime(request_at / 1000), 'GMT', "
+        "'America/Phoenix') = 2"]))
+    assert str(cq.filters[0]) == "request_at + -25200 = 2"
+
+
+def test_from_unixtime_requires_millis_division():
+    compile_err(
+        q(filters=["convert_tz(from_unixtime(request_at), 'GMT', "
+                   "'America/Phoenix') = 2"]),
+        "from_unixtime must be time column / 1000")
+
+
+def test_convert_tz_arg_validation():
+    compile_err(q(filters=["convert_tz(request_at, 'GMT') = 2"]),
+                "convert_tz must have 3 arguments")
+    compile_err(q(filters=["convert_tz(request_at, 1, 'GMT') = 2"]),
+                "2nd argument of convert_tz must be a string")
