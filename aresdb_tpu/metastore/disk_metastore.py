@@ -65,6 +65,13 @@ class DiskMetaStore:
             os.makedirs(d, exist_ok=True)
             self._write(os.path.join(d, "schema"),
                         json.dumps(table.to_json()).encode())
+            # seed default enum cases into the enum files so file ranks
+            # and runtime dicts agree (reference disk_metastore.go:490)
+            for col in table.columns:
+                if (not col.deleted and col.is_enum_column()
+                        and col.default_value is not None):
+                    self.extend_enum_cases(table.name, col.name,
+                                           [col.default_value])
             for w in self._schema_watchers:
                 w(table)
 
@@ -75,9 +82,19 @@ class DiskMetaStore:
             d = self._table_dir(table.name)
             if not os.path.exists(os.path.join(d, "schema")):
                 raise KeyError(f"table {table.name!r} does not exist")
-            validate_table(table, old=self.get_table(table.name))
+            old = self.get_table(table.name)
+            validate_table(table, old=old)
             self._write(os.path.join(d, "schema"),
                         json.dumps(table.to_json()).encode())
+            # newly added enum columns with defaults seed their enum file
+            # (reference disk_metastore.go:557,1044 AddColumn)
+            old_names = {c.name for c in old.columns}
+            for col in table.columns:
+                if (not col.deleted and col.is_enum_column()
+                        and col.default_value is not None
+                        and col.name not in old_names):
+                    self.extend_enum_cases(table.name, col.name,
+                                           [col.default_value])
             for w in self._schema_watchers:
                 w(table)
 

@@ -101,3 +101,30 @@ def test_refetch_is_idempotent(tmp_path):
     ts = ms.get_schema("testTable")
     assert "col2" not in ts.enum_dicts
     assert ts.enum_dicts["col3"].rank_to_str == ["d", "e"]  # not doubled
+
+
+def test_enum_default_value_seeds_enum_file(tmp_path):
+    """Creating (or adding) an enum column with a default value writes the
+    default case into the enum FILE, so file ranks and runtime dicts agree
+    (reference disk_metastore.go:490,557,1044). Before this, a client
+    extending enums through the metastore got rank 0 for a case the
+    runtime dict held at rank 1."""
+    ms = MemStore(DiskMetaStore(str(tmp_path)), LocalDiskStore(str(tmp_path)))
+    ms.create_table(Table.from_json({
+        "name": "t",
+        "columns": [
+            {"name": "id", "type": "Uint32"},
+            {"name": "status", "type": "SmallEnum",
+             "defaultValue": "unknown"},
+        ],
+        "primaryKeyColumns": [0],
+        "isFactTable": False,
+        "config": {"batchSize": 16},
+    }))
+    assert ms.metastore.get_enum_cases("t", "status") == ["unknown"]
+    assert ms.get_schema("t").enum_dicts["status"].rank_to_str == ["unknown"]
+    ranks = ms.metastore.extend_enum_cases("t", "status", ["active"])
+    assert ranks == [1]
+    ms.fetch_schema()
+    assert ms.get_schema("t").enum_dicts["status"].rank_to_str == \
+        ["unknown", "active"]
