@@ -19,6 +19,7 @@ import requests
 from aresdb_tpu.common import data_types as dt
 from aresdb_tpu.common.schema import Table
 from aresdb_tpu.common.upsert_batch import (
+    UPDATE_FORCE_OVERWRITE,
     UPDATE_OVERWRITE_NOT_NULL,
     UpsertBatchBuilder,
 )
@@ -135,7 +136,23 @@ class Connector:
                      len(column_names))
         for name, mode in zip(column_names, modes):
             cid = col_ids[name]
-            b.add_column(cid, table.columns[cid].data_type, mode)
+            col = table.columns[cid]
+            # overwrite-only restrictions (reference connector.go:405-417):
+            # dim tables, primary-key columns, archiving sort columns, and
+            # non-arithmetic data types only support overwrite modes
+            overwrite_only = (
+                not table.is_fact_table
+                or cid in table.primary_key_columns
+                or cid in (table.archiving_sort_columns or [])
+                or col.data_type not in _ARITHMETIC_TYPES)
+            if overwrite_only and mode > UPDATE_FORCE_OVERWRITE:
+                raise ConnectorError(
+                    f"column {name!r} only supports overwrite")
+            # HLL columns travel as their computed Uint32 hll value
+            # (reference DataTypeForColumn, data_type.go:202)
+            wire_dt = (dt.Uint32 if col.hll_config.is_hll_column
+                       else col.data_type)
+            b.add_column(cid, wire_dt, mode)
 
         # pre-translate enum columns (batch the dictionary extensions);
         # array-of-enum columns translate per item
@@ -160,17 +177,37 @@ class Connector:
             if new and not col.disable_auto_expand:
                 self.schema.extend_enum(table_name, col.name, new)
 
+        # client-side row abandonment (reference abandonRows): rows with a
+        # null primary key, a null fact-table time column, or a non-string
+        # scalar enum value are skipped — the rest of the batch still ships
+        pk_positions = [i for i, n in enumerate(column_names)
+                        if col_ids[n] in table.primary_key_columns]
+        time_pos = None
+        if table.is_fact_table:
+            for i, n in enumerate(column_names):
+                if col_ids[n] == 0:
+                    time_pos = i
+        out_row = 0
         for r_i, row in enumerate(rows):
             if len(row) != len(column_names):
                 raise ConnectorError(
                     f"row {r_i} has {len(row)} values, expected "
                     f"{len(column_names)}")
+            if any(row[i] is None for i in pk_positions):
+                continue
+            if time_pos is not None and row[time_pos] is None:
+                continue
+            if any(not isinstance(row[ci], str) and row[ci] is not None
+                   and not col.is_array
+                   for ci, col in enum_cols.items()):
+                continue
             b.add_row()
             for ci, value in enumerate(row):
                 if value is None:
                     continue
                 col = table.columns[col_ids[column_names[ci]]]
-                b.set_value(r_i, ci, self._convert(table_name, col, value))
+                b.set_value(out_row, ci, self._convert(table_name, col, value))
+            out_row += 1
 
         return b.to_bytes()
 
@@ -264,6 +301,12 @@ class Connector:
             f"http://{self.host}:{self.port}/schema/tables", json=schema_json)
         if r.status_code != 200:
             raise ConnectorError(f"create table failed: {r.text}")
+
+
+# types whose update modes may exceed force-overwrite (reference
+# IsOverwriteOnlyDataType complement: uint8..int32 + float32)
+_ARITHMETIC_TYPES = frozenset((dt.Uint8, dt.Int8, dt.Uint16, dt.Int16,
+                               dt.Uint32, dt.Int32, dt.Float32))
 
 
 def _compute_hll_value(data_type: int, value: Any) -> int:
