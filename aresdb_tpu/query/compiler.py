@@ -150,6 +150,16 @@ def _expr_type_for_dt(data_type: int) -> int:
     return E.UNKNOWN_TYPE  # UUID handled specially (hex() only)
 
 
+def _is_uuid_valued(node: E.Expr) -> bool:
+    """VarRef of UUID type, or element_at() over a UUID[] column."""
+    if isinstance(node, E.VarRef):
+        return node.data_type == mdt.UUID
+    return (isinstance(node, E.Call) and node.name == E.ELEMENT_AT
+            and node.args and isinstance(node.args[0], E.VarRef)
+            and mdt.is_array_type(node.args[0].data_type)
+            and mdt.item_type(node.args[0].data_type) == mdt.UUID)
+
+
 _CMP_OPS = {"=", "!=", "<>", "<", "<=", ">", ">="}
 _BOOL_OPS = {"AND", "OR"}
 _ARITH_OPS = {"+", "-", "*", "/", "%", "FLOOR"}
@@ -552,10 +562,10 @@ class Compiler:
                         for arg in b.args:
                             if isinstance(arg, E.StringLiteral):
                                 self._translate_enum_literal(a, arg)
-                # UUID literal: 'xxxx-...' against a UUID column becomes a
-                # two-lane comparison handled by the kernel emitter
-                if isinstance(a, E.VarRef) and a.data_type == mdt.UUID \
-                        and isinstance(b, E.StringLiteral):
+                # UUID literal: 'xxxx-...' against a UUID column (or an
+                # element_at over a UUID[] column) becomes a two-lane
+                # comparison handled by the kernel emitter
+                if _is_uuid_valued(a) and isinstance(b, E.StringLiteral):
                     hi, lo = mdt.parse_uuid(b.val)
                     b.uuid_lanes = (hi, lo)  # type: ignore[attr-defined]
 
@@ -690,6 +700,14 @@ class Compiler:
             return node
         if name == E.CONTAINS:
             node.type = E.BOOLEAN
+            # contains(uuid_array, 'literal'): pre-parse the needle into
+            # two uint64 lanes for the kernel emitter
+            if len(node.args) == 2 and isinstance(node.args[0], E.VarRef) \
+                    and mdt.is_array_type(node.args[0].data_type) \
+                    and mdt.item_type(node.args[0].data_type) == mdt.UUID \
+                    and isinstance(node.args[1], E.StringLiteral):
+                hi, lo = mdt.parse_uuid(node.args[1].val)
+                node.args[1].uuid_lanes = (hi, lo)  # type: ignore[attr-defined]
             return node
         if name == E.ELEMENT_AT:
             if node.args and isinstance(node.args[0], E.VarRef):
@@ -949,6 +967,10 @@ class Compiler:
         elif isinstance(ast, E.Call) and ast.name == E.HEX and ast.args \
                 and isinstance(ast.args[0], E.VarRef) \
                 and ast.args[0].data_type == mdt.UUID:
+            data_type = mdt.UUID
+        elif _is_uuid_valued(ast):
+            # element_at over a UUID[] column renders as a dashed UUID
+            # (reference dimval formatting of UUID dims)
             data_type = mdt.UUID
         elif ast.type == E.FLOAT:
             data_type = mdt.Float32

@@ -1062,16 +1062,15 @@ def _pad_array_column(list_values, validity, n_padded: int, data_type: int):
     'Variable-length arrays ... padded ragged representations').
     """
     item_dt = mdt.item_type(data_type)
-    if mdt.lanes(item_dt) == 2:
-        raise QueryError(
-            "UUID/GeoPoint array columns not yet supported in queries")
+    two_lane = mdt.lanes(item_dt) == 2  # UUID / GeoPoint items
     npdt = mdt.numpy_dtype(item_dt)
     n = len(validity)
     max_len = max((len(v) for v in list_values if v is not None), default=0)
     L = 1
     while L < max_len:
         L <<= 1
-    items = np.zeros((n_padded, L), npdt)
+    shape = (n_padded, L, 2) if two_lane else (n_padded, L)
+    items = np.zeros(shape, npdt)
     item_valid = np.zeros((n_padded, L), bool)
     lengths = np.zeros(n_padded, np.int32)
     row_valid = np.zeros(n_padded, bool)

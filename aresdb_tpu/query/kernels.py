@@ -420,10 +420,21 @@ def _emit_array_op(node: E.Call, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
     contains matches only valid elements.
     """
     items, item_valid, lengths, row_valid = _array_entry(node, ctx, plan)
+    two_lane = items.ndim == 3  # UUID/GeoPoint items staged as (n, L, 2)
     name = node.name
     if name == E.LENGTH:
         return _Val(lengths.astype(jnp.int32), row_valid)
     if name == E.CONTAINS:
+        lanes = getattr(node.args[1], "uuid_lanes", None)
+        if two_lane:
+            if lanes is None:
+                raise QueryError(
+                    "contains() over a UUID array requires a UUID literal")
+            hi, lo = lanes
+            eq = (items[:, :, 0] == jnp.uint64(hi)) & \
+                (items[:, :, 1] == jnp.uint64(lo))
+            hit = jnp.any(item_valid & eq, axis=1)
+            return _Val(hit, row_valid)
         needle = _emit(node.args[1], ctx, plan)
         nv = needle.value
         if items.dtype == jnp.float32 or nv.dtype == jnp.float32:
@@ -441,10 +452,13 @@ def _emit_array_op(node: E.Call, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
     eff = jnp.where(idx.value < 0, lengths32 + idx.value, idx.value)
     in_range = (eff >= 0) & (eff < lengths32)
     safe = jnp.clip(eff, 0, L - 1)
-    value = jnp.take_along_axis(items, safe[:, None], axis=1)[:, 0]
+    if two_lane:
+        value = jnp.take_along_axis(items, safe[:, None, None], axis=1)[:, 0, :]
+    else:
+        value = jnp.take_along_axis(items, safe[:, None], axis=1)[:, 0]
     evalid = jnp.take_along_axis(item_valid, safe[:, None], axis=1)[:, 0]
     valid = row_valid & idx.valid & in_range & evalid
-    if value.dtype not in (jnp.float32, jnp.bool_):
+    if not two_lane and value.dtype not in (jnp.float32, jnp.bool_):
         value = value.astype(jnp.int32)
     return _Val(value, valid)
 
