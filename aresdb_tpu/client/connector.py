@@ -168,6 +168,9 @@ class Connector:
                 v = r[ci]
                 if v is None:
                     continue
+                if col.is_array and isinstance(v, str):
+                    import json as _json
+                    v = _json.loads(v)
                 items = v if col.is_array else [v]
                 values.update(str(x) for x in items if x is not None)
             if col.case_insensitive:
@@ -255,6 +258,13 @@ class Connector:
         if col.is_array:
             if value is None:
                 return None
+            if isinstance(value, str):
+                # JSON-encoded array string, e.g. '["10","20",null]' — the
+                # reference connector accepts these for array columns
+                # (memstore/common ConvertToArrayValue; the examples data
+                # generator emits them, examples/utils/example_utils.go:129)
+                import json as _json
+                value = _json.loads(value)
             item_dt = dt.item_type(col.data_type)
             out = []
             for item in value:

@@ -50,6 +50,17 @@ def cmd_data(args, conn):
     d = os.path.join(args.dataset, "data")
     for f in sorted(os.listdir(d)):
         table = os.path.splitext(f)[0]
+        if table == "arraytest":
+            # reference ingestDataForArrayTestTable: deterministic
+            # generated batches, not the raw templated CSV
+            from aresdb_tpu.cmd.example_data import (ARRAYTEST_COLUMNS,
+                                                     gen_arraytest_batches)
+            total = 0
+            for rows in gen_arraytest_batches(now):
+                stats = conn.insert(table, ARRAYTEST_COLUMNS, rows)
+                total += stats.get("inserted", 0) + stats.get("updated", 0)
+            print(f"{table}: {total} rows")
+            continue
         with open(os.path.join(d, f)) as fh:
             reader = csv.reader(fh)
             columns = next(reader)

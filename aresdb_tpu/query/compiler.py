@@ -193,7 +193,11 @@ class Compiler:
 
         cq = CompiledQuery(query=q, main_schema=main, shards=list(q.shards),
                            filters=[], time_filter_expr=[])
-        cq.now_ts = q.now or int(_dt.datetime.now(_dt.timezone.utc).timestamp())
+        # utils.Now() equivalent — the injectable clock, so frozen-clock
+        # runs (reference integration_test.go SetCurrentTime) resolve
+        # relative time filters against the frozen instant
+        from aresdb_tpu.utils import clock as _clock
+        cq.now_ts = q.now or _clock.now_unix()
 
         # table alias map: index 0 = main table
         self._aliases: Dict[str, int] = {q.table: 0}
