@@ -13,12 +13,41 @@ import tornado.ioloop
 import tornado.web
 
 from aresdb_tpu.broker.executor import BrokerError, BrokerExecutor
+from aresdb_tpu.broker.validator import (BrokerValidationError,
+                                         validate_query)
+from aresdb_tpu.query.composite import CompositeError
 
 
 class _Base(tornado.web.RequestHandler):
-    def initialize(self, executor: BrokerExecutor, pool):
+    def initialize(self, executor: BrokerExecutor, pool, schema_view=None):
         self.executor = executor
         self.pool = pool
+        self.schema_view = schema_view
+
+    def validate(self, q, hll_binary: bool = False) -> None:
+        """Fail-fast compile gate (reference broker/query_compiler.go:117
+        Compile) — rejects locally instead of scattering."""
+        tables = self.schema_view.tables() if self.schema_view else None
+        validate_query(q, tables, hll_binary=hll_binary)
+
+    async def execute_one(self, loop, q, ctx=None):
+        """Validate + execute one query dict; composite (multi-measure)
+        queries scatter once per aggregate measure and recombine
+        (query/composite.py)."""
+        from aresdb_tpu.query import composite as C
+
+        if C.is_composite(q):
+            bases, aliases, derived, visible = C.split_query(q)
+            for b in bases:
+                self.validate(b)
+            results = []
+            for b in bases:
+                results.append(await loop.run_in_executor(
+                    self.pool, self.executor.execute, b, ctx))
+            return C.combine(q, aliases, derived, results, visible)
+        self.validate(q)
+        return await loop.run_in_executor(
+            self.pool, self.executor.execute, q, ctx)
 
     def write_json(self, obj, status=200):
         self.set_status(status)
@@ -38,11 +67,11 @@ class _Base(tornado.web.RequestHandler):
         for q in queries:
             ctx = [] if verbose else None
             try:
-                r = await loop.run_in_executor(
-                    self.pool, self.executor.execute, q, ctx)
+                r = await self.execute_one(loop, q, ctx)
                 results.append(r)
                 errors.append(None)
-            except (BrokerError, ValueError, KeyError) as e:
+            except (BrokerError, BrokerValidationError, CompositeError,
+                    ValueError, KeyError) as e:
                 results.append({})
                 errors.append(str(e))
                 had_error = True
@@ -67,10 +96,12 @@ class BrokerAQLHandler(_Base):
             out = W.HLLQueryResults()
             for q in body.get("queries", []):
                 try:
+                    self.validate(q, hll_binary=True)
                     block = await loop.run_in_executor(
                         self.pool, self.executor.execute_hll_binary, q)
                     out.write_result(block)
-                except (BrokerError, ValueError, KeyError) as e:
+                except (BrokerError, BrokerValidationError,
+                        ValueError, KeyError) as e:
                     out.write_error(str(e))
             self.set_header("Content-Type", W.CONTENT_TYPE)
             return self.finish(out.get_bytes())
@@ -107,11 +138,11 @@ class BrokerSQLHandler(_Base):
                 had_error = True
                 continue
             try:
-                r = await loop.run_in_executor(
-                    self.pool, self.executor.execute, q)
+                r = await self.execute_one(loop, q)
                 results.append(r)
                 final_errors.append(None)
-            except (BrokerError, ValueError, KeyError) as e:
+            except (BrokerError, BrokerValidationError, CompositeError,
+                    ValueError, KeyError) as e:
                 results.append({})
                 final_errors.append(str(e))
                 had_error = True
@@ -128,39 +159,16 @@ class HealthHandler(tornado.web.RequestHandler):
 
 def _aql_to_json(q) -> dict:
     """AQLQuery dataclass → executor-consumable json dict."""
-    out = {
-        "table": q.table,
-        "measures": [
-            {"sqlExpression": m.expr, "alias": m.alias,
-             "rowFilters": m.filters} for m in q.measures
-        ],
-        "dimensions": [
-            {"sqlExpression": d.expr, "alias": d.alias,
-             "timeBucketizer": d.time_bucketizer, "timeUnit": d.time_unit}
-            for d in q.dimensions
-        ],
-        "rowFilters": q.filters,
-        "joins": [{"table": j.table, "alias": j.alias,
-                   "conditions": j.conditions} for j in q.joins],
-    }
-    if not q.time_filter.empty:
-        out["timeFilter"] = {"column": q.time_filter.column,
-                             "from": q.time_filter.from_,
-                             "to": q.time_filter.to}
-    if q.timezone:
-        out["timezone"] = q.timezone
-    if q.now:
-        out["now"] = q.now
-    if q.limit:
-        out["limit"] = q.limit
-    return out
+    return q.to_json()
 
 
 class BrokerServer:
-    def __init__(self, topology, port: int = 0):
+    def __init__(self, topology, port: int = 0, schema_view=None):
         self.executor = BrokerExecutor(topology)
         self.pool = ThreadPoolExecutor(max_workers=16)
-        a = {"executor": self.executor, "pool": self.pool}
+        self.schema_view = schema_view
+        a = {"executor": self.executor, "pool": self.pool,
+             "schema_view": schema_view}
         self.app = tornado.web.Application([
             (r"/query/aql", BrokerAQLHandler, a),
             (r"/query/sql", BrokerSQLHandler, a),

@@ -19,11 +19,14 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     from aresdb_tpu.broker.server import BrokerServer
+    from aresdb_tpu.broker.validator import BrokerSchemaView
     from aresdb_tpu.cluster.topology import DynamicTopology
 
     topo = DynamicTopology(args.controller, args.namespace)
     topo.start()
-    server = BrokerServer(topo, port=args.port)
+    schema_view = BrokerSchemaView(args.controller, args.namespace)
+    schema_view.start()
+    server = BrokerServer(topo, port=args.port, schema_view=schema_view)
     print(f"ares-broker serving on :{args.port}", file=sys.stderr)
 
     import asyncio

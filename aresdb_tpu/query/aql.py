@@ -154,6 +154,52 @@ class AQLQuery:
             sql_query=d.get("sql", ""),
         )
 
+    def to_json(self) -> Dict[str, Any]:
+        """Inverse of from_json (modulo empty-field omission)."""
+        out: Dict[str, Any] = {
+            "table": self.table,
+            "measures": [
+                {"sqlExpression": m.expr, "alias": m.alias,
+                 "rowFilters": m.filters} for m in self.measures
+            ],
+            "dimensions": [],
+            "rowFilters": self.filters,
+            "joins": [{"table": j.table, "alias": j.alias,
+                       "conditions": j.conditions} for j in self.joins],
+        }
+        for d in self.dimensions:
+            dd: Dict[str, Any] = {"sqlExpression": d.expr, "alias": d.alias,
+                                  "timeBucketizer": d.time_bucketizer,
+                                  "timeUnit": d.time_unit}
+            nb = d.numeric_bucketizer
+            if not nb.empty:
+                dd["numericBucketizer"] = {
+                    "bucketWidth": nb.bucket_width, "logBase": nb.log_base,
+                    "manualPartitions": nb.manual_partitions}
+            out["dimensions"].append(dd)
+        if not self.time_filter.empty:
+            out["timeFilter"] = {"column": self.time_filter.column,
+                                 "from": self.time_filter.from_,
+                                 "to": self.time_filter.to}
+        if self.supporting_measures:
+            out["supportingMeasures"] = [
+                {"sqlExpression": m.expr, "alias": m.alias,
+                 "rowFilters": m.filters} for m in self.supporting_measures]
+        if self.shards:
+            out["shards"] = self.shards
+        if self.timezone:
+            out["timezone"] = self.timezone
+        if self.now:
+            out["now"] = self.now
+        if self.limit:
+            out["limit"] = self.limit
+        if self.sorts:
+            out["sorts"] = [{"name": s.name, "order": s.order}
+                            for s in self.sorts]
+        if self.sql_query:
+            out["sql"] = self.sql_query
+        return out
+
 
 @dataclass
 class AQLRequest:

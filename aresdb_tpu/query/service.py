@@ -40,6 +40,11 @@ class QueryService:
         for qd in request.get("queries", []):
             try:
                 q = AQLQuery.from_json(qd)
+                if len(q.measures) > 1 or q.supporting_measures:
+                    results.append(self._run_composite(q))
+                    errors.append(None)
+                    contexts.append(None)
+                    continue
                 result, plan = self._run(q)
                 results.append(result)
                 errors.append(None)
@@ -102,7 +107,23 @@ class QueryService:
         return resp
 
     def handle_query(self, q: AQLQuery) -> Dict[str, Any]:
+        if len(q.measures) > 1 or q.supporting_measures:
+            return self._run_composite(q)
         return self._run(q)[0]
+
+    def _run_composite(self, q: AQLQuery) -> Dict[str, Any]:
+        """Composite (multi-measure) queries: one engine run per aggregate
+        measure, host-side join + derived-expression evaluation. The
+        reference parses these from SQL but refuses to execute them
+        (query/sql/sql_parser.go:2018 'sub query not supported yet')."""
+        from aresdb_tpu.query import composite as C
+
+        try:
+            return C.execute_composite(
+                q.to_json(),
+                lambda b: self._run(AQLQuery.from_json(b))[0])
+        except C.CompositeError as e:
+            raise QueryError(str(e)) from e
 
     def _admit(self, plan):
         """Reserve device memory for the plan's estimated footprint, for

@@ -393,7 +393,12 @@ def _parse_with(sql: str) -> Dict:
     i = m.end()
     named: Dict[str, Dict] = {}
     while True:
-        nm = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+as\s*\(",
+        # 'name AS (q)' or 'name (col [, col]) AS (q)' — the optional
+        # column-alias list renames the subquery's output columns
+        # (reference grammar: namedQuery columnAliases,
+        # sql_parser_test.go "parse composite measures")
+        nm = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*"
+                        r"(?:\(([^)]*)\)\s*)?as\s*\(",
                         re.IGNORECASE).match(s, i)
         if not nm:
             raise SQLParseError("WITH requires 'name AS (query)'")
@@ -412,7 +417,11 @@ def _parse_with(sql: str) -> Dict:
             j += 1
         if depth:
             raise SQLParseError("unbalanced parentheses in WITH query")
-        named[name] = _parse_inner(s[start:j - 1])
+        inner = _parse_inner(s[start:j - 1])
+        if nm.group(2):
+            _apply_column_aliases(
+                inner, [a.strip() for a in nm.group(2).split(",")], name)
+        named[name] = inner
         i = j
         comma = re.compile(r"\s*,").match(s, i)
         if not comma:
@@ -423,7 +432,7 @@ def _parse_with(sql: str) -> Dict:
         raise SQLParseError("missing query body after WITH")
     clauses = _find_clauses(outer_sql)
     inners = []
-    for item in _split_top_level(clauses["from"], r","):
+    for item in _split_top_level(clauses["from"], _FROM_SEP):
         ident = _strip_quote(item.strip())
         if ident not in named:
             raise SQLParseError(
@@ -432,12 +441,62 @@ def _parse_with(sql: str) -> Dict:
     return _merge_subqueries(outer_sql, clauses, inners, sql)
 
 
+# FROM-clause separators between subquery relations: commas and NATURAL
+# joins (the only join form allowed between With/subquery identifiers —
+# reference sql_parser_test.go:421)
+_FROM_SEP = r",|\bnatural\s+(?:left\s+|right\s+|full\s+)?(?:outer\s+)?join\b"
+
+
+def _is_derived_over(expr_text: str, by_alias: Dict) -> bool:
+    """True if expr_text parses to arithmetic whose variable references
+    all name output MEASURE columns of the merged subqueries."""
+    from aresdb_tpu.query import expr as E
+
+    try:
+        ast = E.parse(expr_text)
+    except E.ExprParseError:
+        return False
+
+    def ok(node) -> bool:
+        if isinstance(node, E.NumberLiteral):
+            return True
+        if isinstance(node, E.VarRef):
+            hit = by_alias.get(node.val)
+            return hit is not None and hit[0] == "measure"
+        if isinstance(node, E.UnaryExpr) and node.op == "-":
+            return ok(node.expr)
+        if isinstance(node, E.BinaryExpr) and node.op in "+-*/":
+            return ok(node.lhs) and ok(node.rhs)
+        return False
+
+    return isinstance(ast, (E.BinaryExpr, E.UnaryExpr)) and ok(ast)
+
+
+def _apply_column_aliases(inner: Dict, aliases: List[str],
+                          name: str) -> None:
+    """Positionally rename the subquery's output columns: aggregate
+    measures first, then remaining slots onto dimensions."""
+    measures = [m for m in inner.get("measures", [])
+                if m.get("sqlExpression") != "1"]
+    dims = inner.get("dimensions", [])
+    outputs = measures + dims
+    if len(aliases) > len(outputs):
+        raise SQLParseError(
+            f"withQuery {name}: {len(aliases)} column aliases for "
+            f"{len(outputs)} output columns")
+    for alias, obj in zip(aliases, outputs):
+        obj["alias"] = _strip_quote(alias)
+
+
 def _parse_from_subquery(sql: str, clauses: Dict[str, str]) -> Dict:
-    """'SELECT ... FROM (SELECT ...) [alias]' → flattened AQL dict."""
+    """'SELECT ... FROM (SELECT ...) [AS alias] [NATURAL JOIN ...]' →
+    flattened AQL dict."""
     inners = []
-    for item in _split_top_level(clauses["from"], r","):
+    for item in _split_top_level(clauses["from"], _FROM_SEP):
         item = item.strip()
         if not item.startswith("("):
+            # reference sql_parser_test.go:437 — both sides of a join
+            # relation must be subqueries (or both table names)
             raise SQLParseError(
                 "from clause cannot mix tables with subqueries")
         depth = 0
@@ -481,6 +540,9 @@ def _merge_subqueries(outer_sql: str, clauses: Dict[str, str],
         if sig(q, "sorts") != sig(first, "sorts"):
             raise SQLParseError(
                 "all subquery/withQuery order by clauses must be the same")
+        if q.get("timeFilter") != first.get("timeFilter"):
+            raise SQLParseError(
+                "all subquery/withQuery time filters must be the same")
 
     if "having" in clauses:
         raise SQLParseError("HAVING is not supported")
@@ -495,18 +557,30 @@ def _merge_subqueries(outer_sql: str, clauses: Dict[str, str],
             "group by is not allowed since with/subQuery already has "
             "group by")
 
-    # index inner output columns by alias and expression
-    inner_measures = [m for m in first.get("measures", [])
-                      if m.get("sqlExpression") != "1"]
-    by_alias: Dict[str, Tuple[str, Dict]] = {}
-    for m in inner_measures:
-        if m.get("alias"):
-            by_alias[m["alias"]] = ("measure", m)
-        by_alias.setdefault(m["sqlExpression"], ("measure", m))
+    # index inner output columns by alias and expression; measures come
+    # from EVERY inner, each carrying its own inner WHERE as measure-level
+    # filters (reference mergeWithOrSubQueries: same FROM/GROUP BY inners
+    # merge into one query with per-measure filters)
+    by_alias: Dict[str, Tuple[str, Dict, List[str]]] = {}
+    all_measures: List[Tuple[Dict, List[str]]] = []
+    for inner in inners:
+        filters_i = list(inner.get("rowFilters", []))
+        for m in inner.get("measures", []):
+            if m.get("sqlExpression") == "1":
+                continue
+            all_measures.append((m, filters_i))
+            if m.get("alias"):
+                if m["alias"] in by_alias:
+                    raise SQLParseError(
+                        f"duplicate output column {m['alias']!r} across "
+                        "subquery/withQuery relations")
+                by_alias[m["alias"]] = ("measure", m, filters_i)
+            by_alias.setdefault(m["sqlExpression"],
+                                ("measure", m, filters_i))
     for d in inner_dims:
         if d.get("alias"):
-            by_alias[d["alias"]] = ("dim", d)
-        by_alias.setdefault(d["sqlExpression"], ("dim", d))
+            by_alias[d["alias"]] = ("dim", d, [])
+        by_alias.setdefault(d["sqlExpression"], ("dim", d, []))
 
     q: Dict = {"table": first.get("table", ""),
                "joins": list(first.get("joins", [])),
@@ -518,10 +592,10 @@ def _merge_subqueries(outer_sql: str, clauses: Dict[str, str],
     if select_body.lower().startswith("distinct"):
         raise SQLParseError("DISTINCT is not supported")
     if select_body == "*":
-        # adopt the inner query wholesale
+        # adopt the inner queries wholesale
         q["dimensions"] = inner_dims
-        for m in inner_measures:
-            q["measures"].append(dict(m, rowFilters=inner_filters))
+        for m, filters_i in all_measures:
+            q["measures"].append(dict(m, rowFilters=filters_i))
             used_measures.append(m["sqlExpression"])
     else:
         for item in _split_top_level(select_body, r","):
@@ -532,16 +606,26 @@ def _merge_subqueries(outer_sql: str, clauses: Dict[str, str],
             hit = by_alias.get(expr_text) or by_alias.get(
                 _strip_quote(expr_text))
             if hit is None:
+                # expression over output-measure aliases → a derived
+                # composite measure, e.g. 'Completed/Requested'
+                # (reference sql_parser_test.go "parse composite measures";
+                # validated + executed by query/composite.py)
+                if _is_derived_over(expr_text, by_alias):
+                    q["measures"].append({
+                        "sqlExpression": expr_text,
+                        "alias": alias,
+                    })
+                    continue
                 raise SQLParseError(
                     f"{expr_text!r} does not name an output column of the "
                     "subquery/withQuery")
-            kind, obj = hit
+            kind, obj, filters_i = hit
             if kind == "measure":
                 # inner WHERE becomes a measure-level filter
                 q["measures"].append({
                     "sqlExpression": obj["sqlExpression"],
                     "alias": alias or obj.get("alias", ""),
-                    "rowFilters": inner_filters,
+                    "rowFilters": filters_i,
                 })
                 used_measures.append(obj["sqlExpression"])
             else:
@@ -572,7 +656,8 @@ def _merge_subqueries(outer_sql: str, clauses: Dict[str, str],
 
     # unselected inner measures ride along as supporting measures
     # (reference mergeWithOrSubQuery case2)
-    supporting = [dict(m, rowFilters=inner_filters) for m in inner_measures
+    supporting = [dict(m, rowFilters=filters_i)
+                  for m, filters_i in all_measures
                   if m["sqlExpression"] not in used_measures]
     if supporting:
         q["supportingMeasures"] = supporting
@@ -583,8 +668,11 @@ def _merge_subqueries(outer_sql: str, clauses: Dict[str, str],
         q["dimensions"] = inner_dims
     if not q["measures"]:
         q["measures"] = [{"sqlExpression": "1"}]
-    if len(q["measures"]) > 1:
-        raise SQLParseError("exactly one aggregate measure supported")
+    # multi-measure (composite) queries are legal here: the reference
+    # grammar parses them the same way (sql_parser_test.go "parse
+    # composite measures") and our engine EXECUTES them by decomposition
+    # (query/composite.py) where the reference rejects with "sub query
+    # not supported yet" (sql_parser.go:2018)
 
     # outer WHERE stays query-level; time filter prefers the outer one
     timezone = first.get("timezone", "")
