@@ -119,18 +119,54 @@ class DiskMetaStore:
 
     def extend_enum_cases(self, table: str, column: str,
                           cases: List[str]) -> List[int]:
-        """Append new enum cases; returns their ranks."""
+        """Rank for each requested case, appending only genuinely new ones
+        (reference ExtendEnumDict, metastore/disk_metastore.go: dedup
+        against the existing file, enum-cardinality overflow check,
+        watchers see only the new cases)."""
         with self.lock:
             existing = self.get_enum_cases(table, column)
-            start = len(existing)
-            d = os.path.join(self._table_dir(table), "enums")
-            os.makedirs(d, exist_ok=True)
-            with open(os.path.join(d, column), "a", encoding="utf-8") as f:
-                for c in cases:
-                    f.write(c + ENUM_DELIMITER)
-            for w in self._enum_watchers:
-                w(table, column, cases)
-            return list(range(start, start + len(cases)))
+            index = {c: i for i, c in enumerate(existing)}
+            ranks: List[int] = []
+            new: List[str] = []
+            for c in cases:
+                rank = index.get(c)
+                if rank is None:
+                    rank = len(index)
+                    index[c] = rank
+                    new.append(c)
+                ranks.append(rank)
+            if new:
+                limit = self._enum_cardinality(table, column)
+                if limit and len(index) > limit:
+                    raise ValueError(
+                        f"enum cardinality overflow for {table}.{column}: "
+                        f"{len(index)} > {limit}")
+                d = os.path.join(self._table_dir(table), "enums")
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, column), "a",
+                          encoding="utf-8") as f:
+                    for c in new:
+                        f.write(c + ENUM_DELIMITER)
+                for w in self._enum_watchers:
+                    w(table, column, new)
+            return ranks
+
+    def _enum_cardinality(self, table: str, column: str) -> int:
+        """256 for SmallEnum, 65536 for BigEnum, 0 (no limit) if the
+        schema is unavailable (reference common.EnumCardinality)."""
+        try:
+            t = self.get_table(table)
+        except Exception:
+            return 0
+        for col in t.columns:
+            if col.name == column:
+                from aresdb_tpu.common import data_types as dt
+
+                if col.data_type == dt.SmallEnum:
+                    return 256
+                if col.data_type == dt.BigEnum:
+                    return 65536
+        return 0
 
     def get_enum_cases(self, table: str, column: str) -> List[str]:
         p = os.path.join(self._table_dir(table), "enums", column)
@@ -216,11 +252,16 @@ class DiskMetaStore:
 
     def add_archive_batch_version(self, table: str, shard: int, batch_id: int,
                                   version: int, seq: int, size: int) -> None:
+        """Append a batch-version line in the reference's on-disk format:
+        'version,size' or 'version-seqNum,size' (metastore/disk_metastore.go
+        AddArchiveBatchVersion; asserted byte-exact by
+        disk_metastore_test.go:611-626)."""
         d = os.path.join(self._shard_dir(table, shard), "batches")
         os.makedirs(d, exist_ok=True)
+        ver = f"{version}-{seq}" if seq else str(version)
         with self.lock:
             with open(os.path.join(d, str(batch_id)), "a") as f:
-                f.write(f"{version},{seq},{size}\n")
+                f.write(f"{ver},{size}\n")
 
     def get_archive_batches(self, table: str, shard: int,
                             cutoff: Optional[int] = None
@@ -242,7 +283,14 @@ class DiskMetaStore:
                     line = line.strip()
                     if not line:
                         continue
-                    ver, seq, size = (int(x) for x in line.split(","))
+                    parts = line.split(",")
+                    if len(parts) == 3:
+                        # legacy round-1/2 format 'version,seq,size'
+                        ver, seq, size = (int(x) for x in parts)
+                    else:
+                        vs, size_s = parts
+                        ver_s, _, seq_s = vs.partition("-")
+                        ver, seq, size = int(ver_s), int(seq_s or 0), int(size_s)
                     if cutoff is not None and ver > cutoff:
                         continue
                     if best is None or (ver, seq) > (best[0], best[1]):
