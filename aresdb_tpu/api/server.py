@@ -183,11 +183,24 @@ class TableHandler(_Base):
         self.write_json(schema.table.to_json())
 
     def put(self, name: str):
+        """Full-table update, or config-only update when the body has no
+        'columns' (reference api/schema_handler.go UpdateTableConfig takes
+        a bare TableConfig)."""
         body = self.json_body()
         try:
-            table = Table.from_json(body)
-            if table.name != name:
-                return self.write_error_json(400, "table name mismatch")
+            if "columns" not in body:
+                import copy
+
+                schema = self.ctx.memstore.get_schema(name)
+                t = copy.deepcopy(schema.table)
+                new_json = t.to_json()
+                new_json["config"] = body
+                table = Table.from_json(new_json)
+                table.version = t.version + 1
+            else:
+                table = Table.from_json(body)
+                if table.name != name:
+                    return self.write_error_json(400, "table name mismatch")
             self.ctx.memstore.metastore.update_table(table)
             self.ctx.memstore.get_schema(name).set_table(table)
         except (KeyError, ValueError) as e:
@@ -205,7 +218,73 @@ class TableHandler(_Base):
         self.write_json({"message": "table deleted"})
 
 
+class ColumnsHandler(_Base):
+    def post(self, table: str):
+        """Add a column (reference api/schema_handler.go AddColumn): body
+        is {"column": {...}, "addToArchivingSortOrder": bool}; the new
+        column appends at the next column id and may extend the archiving
+        sort order. Validated by the shared schema validator through
+        metastore.update_table."""
+        body = self.json_body()
+        col_json = body.get("column") or body  # bare column json accepted
+        ms = self.ctx.memstore
+        try:
+            schema = ms.get_schema(table)
+        except KeyError as e:
+            return self.write_error_json(404, str(e))
+        import copy
+
+        t = copy.deepcopy(schema.table)
+        new_json = t.to_json()
+        new_json["columns"].append(col_json)
+        if body.get("addToArchivingSortOrder"):
+            new_json.setdefault("archivingSortColumns", list(
+                t.archiving_sort_columns or []))
+            new_json["archivingSortColumns"].append(
+                len(new_json["columns"]) - 1)
+        try:
+            new_table = Table.from_json(new_json)
+            new_table.version = t.version + 1
+            if ms.metastore is not None:
+                ms.metastore.update_table(new_table)
+            schema.set_table(new_table)
+        except (KeyError, ValueError) as e:
+            return self.write_error_json(400, str(e))
+        self.write_json({"message": f"column added to {table}"})
+
+
 class ColumnHandler(_Base):
+    def put(self, table: str, column: str):
+        """Update a column's config (reference schema_handler.go
+        UpdateColumn — only the ColumnConfig may change)."""
+        body = self.json_body()
+        ms = self.ctx.memstore
+        try:
+            schema = ms.get_schema(table)
+        except KeyError as e:
+            return self.write_error_json(404, str(e))
+        cid = schema.column_ids.get(column)
+        if cid is None:
+            return self.write_error_json(404, f"unknown column {column!r}")
+        import copy
+
+        t = copy.deepcopy(schema.table)
+        new_json = t.to_json()
+        new_json["columns"][cid]["config"] = body
+        try:
+            new_table = Table.from_json(new_json)
+            new_table.version = t.version + 1
+            if ms.metastore is not None:
+                ms.metastore.update_table(new_table)
+            old_table = schema.table
+            schema.set_table(new_table)
+            if getattr(ms, "host_memory_manager", None) is not None:
+                ms.host_memory_manager.handle_table_update(old_table,
+                                                           new_table)
+        except (KeyError, ValueError) as e:
+            return self.write_error_json(400, str(e))
+        self.write_json({"message": f"column {column} updated"})
+
     def delete(self, table: str, column: str):
         """Delete (tombstone) a column (reference api/schema_handler.go
         DeleteColumn + memstore TableShard.DeleteColumn)."""
@@ -959,6 +1038,7 @@ def make_app(ctx: ServerContext) -> tornado.web.Application:
         (r"/schema/tables", TablesHandler, a),
         (r"/schema/tables/([^/]+)", TableHandler, a),
         (r"/schema/tables/([^/]+)/columns/([^/]+)/enum-cases", EnumHandler, a),
+        (r"/schema/tables/([^/]+)/columns", ColumnsHandler, a),
         (r"/schema/tables/([^/]+)/columns/([^/]+)", ColumnHandler, a),
         (r"/dbg/shards", ShardsDebugHandler, a),
         (r"/dbg/jobs", JobsDebugHandler, a),

@@ -216,6 +216,7 @@ class Compiler:
             cq.timezone = TU.parse_timezone(q.timezone) if q.timezone \
                 else _dt.timezone.utc
 
+        self._adjust_filter_to_time_filter(q, cq)
         self._process_time_filter(q, cq)
         self._process_filters(q, cq)
         self._process_measure(q, cq)
@@ -724,6 +725,57 @@ class Compiler:
         raise QueryError(f"unknown function {name!r}")
 
     # -- time filter --
+
+    def _adjust_filter_to_time_filter(self, q: AQLQuery,
+                                      cq: CompiledQuery) -> None:
+        """Lift `time_col >= X` / `time_col < X` row filters into the time
+        filter when a fact-table query has none (reference
+        adjustFilterToTimeFilter, query/aql_compiler.go:104) — this both
+        enables batch-range pruning and routes the literals through
+        ParseTimeFilter's raw-timestamp handling (ms epochs divide to
+        seconds). Duplicate bounds on the event time column are errors.
+        """
+        if not q.time_filter.empty or not cq.main_schema.table.is_fact_table:
+            return
+        time_name = cq.main_schema.table.columns[0].name
+        names = {time_name, f"{q.table}.{time_name}"}
+        from_v = to_v = None
+        removed = []
+        for i, f in enumerate(q.filters):
+            try:
+                ast = E.parse(f)
+            except E.ExprParseError:
+                continue
+            if not (isinstance(ast, E.BinaryExpr)
+                    and isinstance(ast.lhs, E.VarRef)
+                    and ast.lhs.val in names):
+                continue
+            if isinstance(ast.rhs, E.NumberLiteral):
+                val = (str(ast.rhs.int_val) if ast.rhs.int_val is not None
+                       else str(ast.rhs.val))
+            elif isinstance(ast.rhs, E.StringLiteral):
+                val = ast.rhs.val
+            else:
+                continue
+            if ast.op == "<":
+                if to_v is not None:
+                    raise QueryError(
+                        "Only one '<' filter allowed for event time column")
+                to_v = val
+                removed.append(i)
+            elif ast.op == ">=":
+                if from_v is not None:
+                    raise QueryError(
+                        "Only one '>=' filter allowed for event time column")
+                from_v = val
+                removed.append(i)
+        if from_v is None and to_v is None:
+            return
+        q.time_filter.column = time_name
+        q.time_filter.from_ = from_v or ""
+        q.time_filter.to = to_v or ""
+        for i in reversed(removed):
+            del q.filters[i]
 
     def _process_time_filter(self, q: AQLQuery, cq: CompiledQuery) -> None:
         tf = q.time_filter

@@ -293,14 +293,54 @@ class KafkaSink:
 # processor / driver (reference streaming_processor.go:323, driver.go:110)
 # ---------------------------------------------------------------------------
 
+class RetryFailureHandler:
+    """Exponential-backoff retry for sink saves, then give up on the batch.
+
+    Reference: subscriber/common/job/retry_failure_handler.go — constant
+    or increasing interval (multiplier >= 1), capped total elapsed time
+    (default 10 minutes); after the cap the batch is abandoned and the
+    pipeline moves on. `sleep` is injectable for tests.
+    """
+
+    def __init__(self, init_interval: float = 5.0, multiplier: float = 1.5,
+                 max_elapsed: float = 600.0, sleep: Callable = None):
+        self.init_interval = init_interval
+        self.multiplier = multiplier if multiplier >= 1 else 1.5
+        self.max_elapsed = max_elapsed
+        self.sleep = sleep or __import__("time").sleep
+        self.retries = 0
+        self.batches_abandoned = 0
+
+    def handle(self, fn: Callable[[], int]) -> Optional[int]:
+        """Run fn, retrying with backoff on exceptions; None = abandoned."""
+        try:
+            return fn()
+        except Exception:
+            pass
+        interval = self.init_interval
+        elapsed = 0.0
+        while elapsed + interval <= self.max_elapsed:
+            self.sleep(interval)
+            elapsed += interval
+            self.retries += 1
+            try:
+                return fn()
+            except Exception:
+                interval *= self.multiplier
+        self.batches_abandoned += 1
+        return None
+
+
 class StreamingProcessor:
     def __init__(self, rules: JobRules, consumer: Consumer, sink: AresSink,
-                 batch_size: int = 1000, flush_interval: float = 5.0):
+                 batch_size: int = 1000, flush_interval: float = 5.0,
+                 failure_handler: Optional[RetryFailureHandler] = None):
         self.rules = rules
         self.consumer = consumer
         self.sink = sink
         self.batch_size = batch_size
         self.flush_interval = flush_interval
+        self.failure_handler = failure_handler
         self.rows_written = 0
         self.messages_dropped = 0
         self._stop = threading.Event()
@@ -317,14 +357,31 @@ class StreamingProcessor:
                 self.messages_dropped += 1
                 continue
             rows.append(row)
-        written = self.sink.save(self.rules, rows)
+        if self.failure_handler is not None:
+            written = self.failure_handler.handle(
+                lambda: self.sink.save(self.rules, rows))
+            if written is None:
+                # batch abandoned after exhausting retries (reference
+                # HandleFailure: log + move on; offsets still commit so
+                # the pipeline does not wedge on a poison batch)
+                self.messages_dropped += len(rows)
+                written = 0
+        else:
+            written = self.sink.save(self.rules, rows)
         self.rows_written += written
         self.consumer.commit({m.partition: m.offset for m in msgs})
         return written
 
     def run(self) -> None:
         while not self._stop.is_set():
-            if self.run_once() == 0:
+            try:
+                n = self.run_once()
+            except Exception:
+                # transient consumer/sink failure without a handler:
+                # back off rather than killing the job thread
+                self._stop.wait(1.0)
+                continue
+            if n == 0:
                 self._stop.wait(0.2)
 
     def stop(self) -> None:

@@ -236,3 +236,87 @@ def test_bootstrap_retry_requires_datanode_mode(base):
     """Single-node servers reject /dbg/bootstrap/retry with 404."""
     r = requests.post(f"{base}/dbg/bootstrap/retry", timeout=5)
     assert r.status_code == 404
+
+
+def test_add_column_and_update_column_config(base, server):
+    """AddColumn + UpdateColumn parity (api/schema_handler_test.go:185,217):
+    a column appends at the next id (optionally extending the archiving
+    sort order), its config can be updated in place, and invalid adds are
+    rejected by the shared validator."""
+    _, port = server
+    schema = {
+        "name": "evolve",
+        "columns": [
+            {"name": "t", "type": "Uint32"},
+            {"name": "id", "type": "Uint32"},
+        ],
+        "primaryKeyColumns": [1],
+        "isFactTable": True,
+        "config": {"batchSize": 16, "recordRetentionInDays": 0},
+    }
+    r = requests.post(f"{base}/schema/tables", json=schema)
+    assert r.status_code == 200
+
+    # add a column
+    r = requests.post(f"{base}/schema/tables/evolve/columns",
+                      json={"column": {"name": "fare", "type": "Float32"}})
+    assert r.status_code == 200, r.text
+    t = requests.get(f"{base}/schema/tables/evolve").json()
+    assert [c["name"] for c in t["columns"]] == ["t", "id", "fare"]
+
+    # duplicate name rejected by the validator
+    r = requests.post(f"{base}/schema/tables/evolve/columns",
+                      json={"column": {"name": "fare", "type": "Float32"}})
+    assert r.status_code == 400 and "duplicate" in r.text
+
+    # update the column's config
+    r = requests.put(f"{base}/schema/tables/evolve/columns/fare",
+                     json={"preloadingDays": 3, "priority": 7})
+    assert r.status_code == 200, r.text
+    t = requests.get(f"{base}/schema/tables/evolve").json()
+    fare = [c for c in t["columns"] if c["name"] == "fare"][0]
+    assert fare["config"]["preloadingDays"] == 3
+    assert fare["config"]["priority"] == 7
+
+    # unknown column 404
+    r = requests.put(f"{base}/schema/tables/evolve/columns/nope",
+                     json={"priority": 1})
+    assert r.status_code == 404
+
+    # ingest into the added column end-to-end
+    from aresdb_tpu.client import Connector
+
+    conn = Connector("localhost", port)
+    stats = conn.insert("evolve", ["t", "id", "fare"],
+                        [[100, 1, 1.5], [100, 2, 2.5]])
+    assert stats["inserted"] == 2
+    resp = conn.query_aql({
+        "table": "evolve",
+        "dimensions": [],
+        "measures": [{"sqlExpression": "sum(fare)"}],
+        "timeFilter": {"column": "t", "from": "1970-01-01",
+                       "to": "1970-01-02"},
+    })
+    vals = list(resp["results"][0].values())
+    assert vals and abs(vals[0] - 4.0) < 1e-6
+
+
+def test_update_table_config_only(base):
+    """UpdateTableConfig parity (api/schema_handler_test.go:142): a PUT
+    body without 'columns' updates only the table config."""
+    schema = {
+        "name": "cfgonly",
+        "columns": [{"name": "t", "type": "Uint32"},
+                    {"name": "id", "type": "Uint32"}],
+        "primaryKeyColumns": [1],
+        "isFactTable": True,
+        "config": {"batchSize": 16, "recordRetentionInDays": 2},
+    }
+    assert requests.post(f"{base}/schema/tables", json=schema).status_code == 200
+    r = requests.put(f"{base}/schema/tables/cfgonly",
+                     json={"batchSize": 32, "recordRetentionInDays": 5})
+    assert r.status_code == 200, r.text
+    t = requests.get(f"{base}/schema/tables/cfgonly").json()
+    assert t["config"]["batchSize"] == 32
+    assert t["config"]["recordRetentionInDays"] == 5
+    assert [c["name"] for c in t["columns"]] == ["t", "id"]

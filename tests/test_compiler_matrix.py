@@ -641,3 +641,34 @@ def test_convert_tz_arg_validation():
                 "convert_tz must have 3 arguments")
     compile_err(q(filters=["convert_tz(request_at, 1, 'GMT') = 2"]),
                 "2nd argument of convert_tz must be a string")
+
+
+def test_adjust_filter_to_time_filter():
+    """adjustFilterToTimeFilter (aql_compiler.go:104, test :3465): with no
+    timeFilter on a fact table, `time >= X` / `time < Y` row filters lift
+    into the time filter (enabling pruning), millisecond epochs divide to
+    seconds, and the remaining filters stay put."""
+    doc = q(filters=["city_id <= 1000", "request_at >= 1540399020000",
+                     "request_at < 1540399320000", "city_id > 100"])
+    doc.pop("timeFilter", None)
+    cq = compile_q(doc)
+    assert cq.from_ts == 1540399020
+    assert cq.to_ts == 1540399320
+    assert [str(f) for f in cq.filters] == ["city_id <= 1000",
+                                            "city_id > 100"]
+
+
+def test_adjust_filter_duplicate_bounds_rejected():
+    for flt, msg in ((["request_at >= 1", "request_at >= 2"], ">="),
+                     (["request_at < 5", "request_at < 6"], "<")):
+        doc = q(filters=flt)
+        doc.pop("timeFilter", None)
+        compile_err(doc, f"Only one '{msg}' filter allowed")
+
+
+def test_adjust_filter_ignored_when_time_filter_present():
+    doc = q(filters=["request_at >= 100"], time_from="1970-01-01",
+            time_to="1970-01-02")
+    cq = compile_q(doc)
+    # the row filter stays a row filter; the explicit time filter wins
+    assert any("request_at >= 100" in str(f) for f in cq.filters)

@@ -145,3 +145,73 @@ def test_kafka_gated():
 
     with pytest.raises(RuntimeError, match="confluent-kafka"):
         KafkaConsumer(["b1"], "topic", "group")
+
+
+def test_retry_failure_handler_backoff_then_success():
+    """retry_failure_handler.go: constant-or-increasing backoff; succeeds
+    once the sink recovers, offsets commit, nothing is dropped."""
+    from aresdb_tpu.subscriber.subscriber import RetryFailureHandler
+
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise RuntimeError("ares down")
+        return 7
+
+    h = RetryFailureHandler(init_interval=1.0, multiplier=2.0,
+                            max_elapsed=100.0, sleep=sleeps.append)
+    assert h.handle(flaky) == 7
+    assert sleeps == [1.0, 2.0, 4.0]  # exponential
+    assert h.retries == 3 and h.batches_abandoned == 0
+
+
+def test_retry_failure_handler_abandons_after_max_elapsed():
+    from aresdb_tpu.subscriber.subscriber import RetryFailureHandler
+
+    sleeps = []
+
+    def always_fails():
+        raise RuntimeError("ares down")
+
+    h = RetryFailureHandler(init_interval=1.0, multiplier=2.0,
+                            max_elapsed=10.0, sleep=sleeps.append)
+    assert h.handle(always_fails) is None
+    # 1 + 2 + 4 = 7 <= 10, next 8 would exceed: exactly 3 retries
+    assert sleeps == [1.0, 2.0, 4.0]
+    assert h.batches_abandoned == 1
+
+
+def test_processor_abandons_poison_batch_and_continues():
+    """A batch whose save never succeeds is dropped after retries and the
+    pipeline keeps consuming (offsets committed past it)."""
+    from aresdb_tpu.subscriber.subscriber import RetryFailureHandler
+
+    rules = RULES
+    msgs = [Message(key=b"", partition=0, offset=i,
+                    value=json.dumps({"event_time": NOW, "trip_id": i,
+                                      "state": "done",
+                                      "fare_amount": 2.0}).encode())
+            for i in range(3)]
+    consumer = ListConsumer(msgs)
+
+    class PoisonSink:
+        def __init__(self):
+            self.calls = 0
+
+        def save(self, rules, rows):
+            self.calls += 1
+            raise RuntimeError("always fails")
+
+    sink = PoisonSink()
+    h = RetryFailureHandler(init_interval=1.0, multiplier=1.0,
+                            max_elapsed=2.0, sleep=lambda s: None)
+    p = StreamingProcessor(rules, consumer, sink, batch_size=10,
+                           flush_interval=0, failure_handler=h)
+    written = p.run_once()
+    assert written == 0
+    assert p.messages_dropped == 3
+    assert sink.calls == 3  # initial + 2 retries
+    assert consumer.committed  # offsets advanced past the poison batch
