@@ -1146,6 +1146,14 @@ class Compiler:
             E.walk(cq.geo.point_expr, visit)
         if cq.time_column_id >= 0:
             used[0].add(cq.time_column_id)
+        if cq.main_schema.table.is_fact_table:
+            # the event time column must ALWAYS stage for fact tables: the
+            # live-batch archiving-cutoff exclusion filter reads it even
+            # when no expression does (kernels._eval_common live_cutoff;
+            # reference liveCustomFilter always binds column 0). Without
+            # this, a query whose exprs never touch column 0 would double
+            # count rows present in both live and archive batches.
+            used[0].add(0)
         cq.used_columns = sorted(used[0])
         cq.table_id_to_foreign = {
             ft.table_id: i for i, ft in enumerate(cq.foreign_tables)}

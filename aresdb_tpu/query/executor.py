@@ -398,10 +398,18 @@ class ShardExecutor:
             yield self._stage_live_batch(schema, batch, n, used, stat_keys) \
                 + (live_cutoff,)
 
-        # archive batches (fact tables): day-ranged by the time filter
+        # archive batches (fact tables): day-ranged by the time filter —
+        # but ONLY when the time filter targets the event time column
+        # (column 0). An "unmatched" time filter on another column is a
+        # plain row filter and must not skip archive days (reference:
+        # processTimeFilter matched/unmatched, aql_compiler_test.go:1206 —
+        # ArchiveBatchIDStart/End stay unbounded)
         if schema.table.is_fact_table:
-            day_ids = version.get_batch_ids_for_range(
-                plan.from_ts or 0, plan.to_ts or 0)
+            if plan.time_column_id == 0:
+                day_ids = version.get_batch_ids_for_range(
+                    plan.from_ts or 0, plan.to_ts or 0)
+            else:
+                day_ids = version.get_batch_ids_for_range(0, 0)
             for day in day_ids:
                 _check_deadline(plan)
                 ab = version.request_batch(day)

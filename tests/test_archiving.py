@@ -576,3 +576,43 @@ def test_archive_job_readiness_from_persisted_cutoff(tmp_root):
         assert ("trips", 0, "archiving") in ran
     finally:
         clock.set_current_time(None)
+
+
+def test_unmatched_time_filter_does_not_prune_archive_days(tmp_root):
+    """A timeFilter on a NON-event-time column is an 'unmatched' time
+    filter (reference processTimeFilter, aql_compiler_test.go:1206): it
+    filters rows but must not day-range-prune archive batches. Regression:
+    the executor used to skip archive days outside [from, to) regardless
+    of which column the time filter targeted."""
+    ms = make_memstore(tmp_root)
+    shard = ms.get_table_shard("trips")
+    # id values are timestamp-scale but ~100 days after the event times,
+    # so day-pruning by the id range would skip every archive batch
+    idbase = BASE_T + 100 * DAY
+    rows = [
+        (BASE_T + 100, idbase + 50, 7, 1.0),
+        (BASE_T + DAY + 100, idbase + 60, 7, 2.0),
+        (BASE_T + 2 * DAY + 100, idbase + 70, 7, 4.0),   # stays live
+    ]
+    shard.save_upsert_batch(fact_batch(rows))
+    Archiver(shard, ms.metastore, ms.diskstore).archive(BASE_T + 2 * DAY)
+
+    svc = QueryService(ms)
+    # filter on `id` (column 1) via timeFilter: range [40, 100) covers all
+    # ids but, as unix timestamps, NO archive day of this data
+    q = {"table": "trips",
+         "measures": [{"sqlExpression": "sum(fare)"}],
+         "dimensions": [{"sqlExpression": "city_id"}],
+         "timeFilter": {"column": "id", "from": str(idbase + 40),
+                        "to": str(idbase + 100)},
+         "now": BASE_T + 3 * DAY}
+    resp = svc.handle_aql({"queries": [q]})
+    assert "errors" not in resp, resp.get("errors")
+    assert resp["results"][0] == {"7": 7.0}
+
+    # and the id range genuinely filters: [+40, +55) keeps only id +50
+    q2 = dict(q)
+    q2["timeFilter"] = {"column": "id", "from": str(idbase + 40),
+                        "to": str(idbase + 55)}
+    resp2 = svc.handle_aql({"queries": [q2]})
+    assert resp2["results"][0] == {"7": 1.0}

@@ -301,3 +301,47 @@ def test_differential_measure_rowfilters(seed):
         for k in exp_c:
             assert got_c[k] == pytest.approx(exp_c[k], rel=1e-4, abs=1e-3), \
                 (q, k, got_c[k], exp_c[k])
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_differential_composite_measures(seed):
+    """Composite (multi-measure) queries vs the oracle: two random base
+    aggregates with independent measure filters + a derived ratio, joined
+    per dim group (query/composite.py). The reference cannot execute
+    these; the oracle defines correctness."""
+    rng = np.random.RandomState(7000 + seed)
+    store, cols, valid = build(seed + 300)
+    svc = QueryService(store)
+    for trial in range(6):
+        f1sql, f1 = FILTER_CHOICES[rng.randint(1, len(FILTER_CHOICES))]
+        f2sql, f2 = FILTER_CHOICES[rng.randint(1, len(FILTER_CHOICES))]
+        dims = DIM_CHOICES[rng.randint(len(DIM_CHOICES))]
+        agg1 = AGG_CHOICES[rng.randint(len(AGG_CHOICES))]
+        agg2 = AGG_CHOICES[rng.randint(len(AGG_CHOICES))]
+        q = {"table": "t",
+             "measures": [
+                 {"sqlExpression": agg1, "alias": "A",
+                  "rowFilters": [f1sql]},
+                 {"sqlExpression": agg2, "alias": "B",
+                  "rowFilters": [f2sql]},
+                 {"sqlExpression": "A / B", "alias": "R"},
+             ],
+             "dimensions": [{"sqlExpression": sql} for sql, _, _ in dims],
+             "now": NOW}
+        resp = svc.handle_aql({"queries": [q]})
+        assert "errors" not in resp, (resp.get("errors"), q)
+
+        exp_a = clean(oracle(cols, valid, f1(cols, valid), dims, agg1), agg1)
+        exp_b = clean(oracle(cols, valid, f2(cols, valid), dims, agg2), agg2)
+        got = flatten(resp["results"][0], len(dims))
+        keys = set(exp_a) | set(exp_b)
+        assert set(got) == keys, (q, set(got) ^ keys)
+        for k, leaf in got.items():
+            a, b = exp_a.get(k), exp_b.get(k)
+            assert leaf["A"] == (pytest.approx(a, rel=1e-4, abs=1e-3)
+                                 if a is not None else None), (q, k)
+            assert leaf["B"] == (pytest.approx(b, rel=1e-4, abs=1e-3)
+                                 if b is not None else None), (q, k)
+            exp_r = (None if a is None or b is None or b == 0 else a / b)
+            assert leaf["R"] == (pytest.approx(exp_r, rel=1e-4, abs=1e-3)
+                                 if exp_r is not None else None), (q, k)

@@ -432,3 +432,54 @@ def test_bootstrap_retry_endpoint(cluster):
         f"http://localhost:{nodes[0].port}/dbg/bootstrap/retry", timeout=5)
     assert r.status_code == 200
     assert r.json()["retried"] == []
+
+
+def test_scan_retry_and_health_marking():
+    """BlockingScanNode parity (broker/query_plan_agg_test.go:346-423):
+    a failing datanode is retried up to 3 times and marked unhealthy; a
+    recovery within the retry budget succeeds and re-marks healthy."""
+    import requests as _requests
+
+    from aresdb_tpu.broker.executor import (RETRIES, BrokerError,
+                                            BrokerExecutor)
+    from aresdb_tpu.cluster.topology import HealthTrackingTopology
+
+    from aresdb_tpu.cluster.topology import StaticTopology
+
+    h1 = HostInstance("n1", "127.0.0.1:59999", 0)
+    view = TopologyView(num_shards=1, shards={0: [(h1, SHARD_AVAILABLE)]})
+    topo = HealthTrackingTopology(StaticTopology(view))
+
+    class FakeResponse:
+        status_code = 200
+
+        def raise_for_status(self):
+            pass
+
+        def json(self):
+            return {"results": [{"x": 1.0}]}
+
+    class FlakySession:
+        def __init__(self, failures):
+            self.failures = failures
+            self.calls = 0
+
+        def post(self, *a, **kw):
+            self.calls += 1
+            if self.calls <= self.failures:
+                raise _requests.ConnectionError("refused")
+            return FakeResponse()
+
+    # fails once, succeeds on retry; host ends healthy
+    ex = BrokerExecutor(topo, session=FlakySession(1))
+    q = {"table": "t", "dimensions": [{"sqlExpression": "a"}],
+         "measures": [{"sqlExpression": "count(*)"}]}
+    assert ex.execute(q) == {"x": 1.0}
+    assert "n1" not in topo._unhealthy
+
+    # fails every time: BrokerError after RETRIES tries, host unhealthy
+    ex2 = BrokerExecutor(topo, session=FlakySession(99))
+    with pytest.raises(BrokerError, match="failed after"):
+        ex2.execute(q)
+    assert ex2.session.calls == RETRIES
+    assert "n1" in topo._unhealthy
