@@ -1,0 +1,339 @@
+"""Lifecycle-metamorphic differential fuzz: storage state must be invisible.
+
+The same logical data answers the same queries identically no matter where
+the rows physically live. This suite drives one random fact table through
+the full storage lifecycle and asserts result equality at every transition:
+
+  A  all rows live (multiple live batches)        -> verified vs numpy oracle
+  B  partially archived (day 0 + half of day 1)   -> equal to A
+  C  more live ingest above the cutoff            -> verified vs oracle
+  D  second archive: streaming merge into the
+     EXISTING day-1 base + a fresh day-2 batch    -> equal to C
+  E  backfill of late updates + late inserts      -> verified vs updated oracle
+  F  cold recovery from disk                      -> equal to E
+
+This is the metamorphic generalization of the targeted archiving tests
+(tests/test_archiving.py) and the reference's archiving/backfill fixtures
+(memstore/archiving_test.go, backfill_test.go): random data + random
+queries instead of hand-picked batches, so it sweeps null-first sort
+order, mode-3 compression boundaries, live/archive double-count seams,
+and backfill merge semantics across many shapes per run.
+
+Time-bucketized dimensions are additionally checked by aggregation
+marginalization: summing a day-bucketed result's leaves must reproduce
+the bucket-free total (sum/count are marginalizable).
+"""
+
+import numpy as np
+import pytest
+
+from aresdb_tpu.common import data_types as dt
+from aresdb_tpu.common.upsert_batch import UpsertBatch, UpsertBatchBuilder
+from aresdb_tpu.diskstore.local_diskstore import LocalDiskStore
+from aresdb_tpu.memstore.archiving import Archiver
+from aresdb_tpu.memstore.memstore import MemStore
+from aresdb_tpu.metastore.disk_metastore import DiskMetaStore
+from aresdb_tpu.query.service import QueryService
+from tests.test_differential import clean, flatten
+
+DAY = 86400
+BASE_T = 1_600_000_000 - (1_600_000_000 % DAY)  # day-aligned
+NOW = BASE_T + 3 * DAY + 1000
+
+ENUMS = ["completed", "canceled", "rejected"]
+
+SCHEMA = {
+    "name": "trips",
+    "columns": [
+        {"name": "ts", "type": "Uint32"},
+        {"name": "id", "type": "Uint32"},
+        {"name": "city_id", "type": "Uint16"},
+        {"name": "fare", "type": "Float32"},
+        {"name": "status", "type": "SmallEnum"},
+        {"name": "flag", "type": "Bool"},
+        {"name": "i32", "type": "Int32"},
+    ],
+    "primaryKeyColumns": [1],
+    "archivingSortColumns": [2, 4, 5],
+    "isFactTable": True,
+    "config": {"batchSize": 64, "recordRetentionInDays": 0},
+}
+
+COL_NAMES = ["ts", "id", "city_id", "fare", "status", "flag", "i32"]
+COL_TYPES = [dt.Uint32, dt.Uint32, dt.Uint16, dt.Float32, dt.SmallEnum,
+             dt.Bool, dt.Int32]
+NULLABLE = ("city_id", "fare", "status", "flag", "i32")
+
+
+def _batch(rows_by_col, valid_by_col, n):
+    b = UpsertBatchBuilder()
+    for ci, tp in enumerate(COL_TYPES):
+        b.add_column(ci, tp)
+    for r in range(n):
+        b.add_row()
+        for ci, name in enumerate(COL_NAMES):
+            if not valid_by_col[name][r]:
+                continue
+            v = rows_by_col[name][r]
+            b.set_value(r, ci, bool(v) if name == "flag" else
+                        float(v) if name == "fare" else int(v))
+    return UpsertBatch(b.to_bytes())
+
+
+def gen_rows(rng, n, id_start, ts_lo, ts_hi, all_valid=False):
+    cols = {
+        "ts": rng.randint(ts_lo, ts_hi, n).astype(np.int64),
+        "id": np.arange(id_start, id_start + n, dtype=np.int64),
+        "city_id": rng.randint(0, 20, n).astype(np.int64),
+        "fare": np.round(rng.randn(n) * 10, 3),
+        "status": rng.randint(0, len(ENUMS), n).astype(np.int64),
+        "flag": rng.randint(0, 2, n).astype(bool),
+        "i32": rng.randint(-100, 100, n).astype(np.int64),
+    }
+    valid = {name: np.ones(n, bool) for name in COL_NAMES}
+    if not all_valid:
+        for name in NULLABLE:
+            valid[name] = rng.rand(n) >= 0.1
+    return cols, valid
+
+
+# ---------------------------------------------------------------------------
+# numpy oracle (row-store semantics over the logical table state)
+# ---------------------------------------------------------------------------
+
+FILTERS = [
+    (None, lambda c, v: np.ones(len(c["ts"]), bool)),
+    ("city_id > 10", lambda c, v: v["city_id"] & (c["city_id"] > 10)),
+    ("i32 <= 0", lambda c, v: v["i32"] & (c["i32"] <= 0)),
+    ("fare IS NOT NULL", lambda c, v: v["fare"]),
+    ("status = 'completed'", lambda c, v: v["status"] & (c["status"] == 0)),
+    ("status != 'canceled'", lambda c, v: v["status"] & (c["status"] != 1)),
+    ("flag IS TRUE", lambda c, v: v["flag"] & c["flag"]),
+    ("city_id IN (1, 2, 3, 4, 5)",
+     lambda c, v: v["city_id"] & np.isin(c["city_id"], [1, 2, 3, 4, 5])),
+    ("NOT (city_id = 7)", lambda c, v: v["city_id"] & (c["city_id"] != 7)),
+    ("city_id > 5 AND fare < 0",
+     lambda c, v: (v["city_id"] & (c["city_id"] > 5)) & (v["fare"] &
+                                                         (c["fare"] < 0))),
+]
+
+DIMS = [
+    [],
+    [("city_id", "u")],
+    [("status", "enum")],
+    [("flag", "bool")],
+    [("i32", "i")],
+    [("city_id", "u"), ("status", "enum")],
+    [("city_id + 1", "expr")],
+]
+
+AGGS = ["count(*)", "sum(fare)", "min(fare)", "max(fare)", "avg(fare)",
+        "sum(i32)"]
+
+
+def _dim_key(cols, valid, r, name, kind):
+    if kind == "expr":  # city_id + 1
+        return (str(int(cols["city_id"][r] + 1)) if valid["city_id"][r]
+                else "NULL")
+    if not valid[name][r]:
+        return "NULL"
+    if kind == "enum":
+        return ENUMS[int(cols[name][r])]
+    if kind == "bool":
+        return str(int(bool(cols[name][r])))
+    return str(int(cols[name][r]))
+
+
+def oracle(cols, valid, mask, dims, agg):
+    n = len(mask)
+    groups = {}
+    for r in range(n):
+        if not mask[r]:
+            continue
+        key = tuple(_dim_key(cols, valid, r, name, kind)
+                    for name, kind in dims)
+        groups.setdefault(key, []).append(r)
+    out = {}
+    for key, rows in groups.items():
+        if agg == "count(*)":
+            out[key] = float(len(rows))
+            continue
+        col = agg[agg.index("(") + 1:-1].strip()
+        vals = [cols[col][r] for r in rows if valid[col][r]]
+        if agg.startswith("sum"):
+            out[key] = float(np.sum(np.asarray(vals, np.float64))) if vals \
+                else 0.0
+        elif agg.startswith("min"):
+            out[key] = float(min(vals)) if vals else None
+        elif agg.startswith("max"):
+            out[key] = float(max(vals)) if vals else None
+        else:  # avg
+            out[key] = float(np.float32(
+                np.sum(np.asarray(vals, np.float64)) / len(vals))) \
+                if vals else None
+    return out
+
+
+def _concat_state(*states):
+    """Concatenate (cols, valid) states into one logical table."""
+    cols = {name: np.concatenate([s[0][name] for s in states])
+            for name in COL_NAMES}
+    valid = {name: np.concatenate([s[1][name] for s in states])
+             for name in COL_NAMES}
+    return cols, valid
+
+
+def _apply_backfill(state, upd_ids, upd_state, new_state):
+    """Oracle for backfill: rows with a matching PK are replaced in full
+    (the update batches carry every column non-null), new PKs append."""
+    cols, valid = _concat_state(state, new_state)
+    idx_by_id = {int(i): r for r, i in enumerate(cols["id"])}
+    ucols, uvalid = upd_state
+    for ur, uid in enumerate(ucols["id"]):
+        r = idx_by_id[int(uid)]
+        for name in COL_NAMES:
+            cols[name][r] = ucols[name][ur]
+            valid[name][r] = uvalid[name][ur]
+    return cols, valid
+
+
+# ---------------------------------------------------------------------------
+
+
+def run_queries(svc, queries):
+    out = []
+    for q, dims in queries:
+        resp = svc.handle_aql({"queries": [q]})
+        assert "errors" not in resp, (resp.get("errors"), q)
+        out.append(flatten(resp["results"][0], len(dims)))
+    return out
+
+
+def check_vs_oracle(results, queries, cols, valid):
+    for got, (q, dims) in zip(results, queries):
+        fsql = (q.get("rowFilters") or [None])[0]
+        f = dict((s, fn) for s, fn in FILTERS)[fsql]
+        agg = q["measures"][0]["sqlExpression"]
+        expected = oracle(cols, valid, f(cols, valid), dims, agg)
+        got_c, exp_c = clean(got, agg), clean(expected, agg)
+        assert set(got_c) == set(exp_c), (q, set(got_c) ^ set(exp_c))
+        for k in exp_c:
+            assert got_c[k] == pytest.approx(exp_c[k], rel=1e-4, abs=1e-3), \
+                (q, k, got_c[k], exp_c[k])
+
+
+def check_equal(a_results, b_results, queries, state):
+    for a, b, (q, _dims) in zip(a_results, b_results, queries):
+        agg = q["measures"][0]["sqlExpression"]
+        a_c, b_c = clean(a, agg), clean(b, agg)
+        assert set(a_c) == set(b_c), (state, q, set(a_c) ^ set(b_c))
+        for k in a_c:
+            assert b_c[k] == pytest.approx(a_c[k], rel=1e-4, abs=1e-3), \
+                (state, q, k, a_c[k], b_c[k])
+
+
+def check_time_marginal(svc, agg, total_result):
+    """Day-bucketed leaves must marginalize to the bucket-free total."""
+    q = {"table": "trips",
+         "measures": [{"sqlExpression": agg}],
+         "dimensions": [{"sqlExpression": "ts", "timeBucketizer": "day"}],
+         "now": NOW}
+    resp = svc.handle_aql({"queries": [q]})
+    assert "errors" not in resp, (resp.get("errors"), q)
+    leaves = [v for v in resp["results"][0].values() if v is not None]
+    total = total_result.get((), 0.0) or 0.0
+    assert sum(leaves) == pytest.approx(total, rel=1e-4, abs=1e-3), \
+        (agg, resp["results"][0], total)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_lifecycle_differential(seed, tmp_path):
+    rng = np.random.RandomState(4200 + seed)
+    root = str(tmp_path)
+    ms = MemStore(DiskMetaStore(root), LocalDiskStore(root))
+    from aresdb_tpu.common.schema import Table
+    ms.create_table(Table.from_json(SCHEMA))
+    ms.init_shards()
+    # extend the enum through both the runtime schema and the metastore,
+    # like the enum API handler does (api/server.py EnumHandler.post) —
+    # only the metastore copy survives cold recovery
+    ms.get_schemas()["trips"].extend_enum("status", ENUMS)
+    ms.metastore.extend_enum_cases("trips", "status", ENUMS)
+    shard = ms.get_table_shard("trips")
+    svc = QueryService(ms)
+
+    # random query set: one per filter, random dims/agg each
+    queries = []
+    for fsql, _fn in FILTERS:
+        dims = DIMS[rng.randint(len(DIMS))]
+        agg = AGGS[rng.randint(len(AGGS))]
+        q = {"table": "trips",
+             "measures": [{"sqlExpression": agg}],
+             "dimensions": [{"sqlExpression": name} for name, _ in dims],
+             "now": NOW}
+        if fsql:
+            q["rowFilters"] = [fsql]
+        queries.append((q, dims))
+    # plus marginalizable totals for the time-bucket check
+    total_q = [({"table": "trips", "now": NOW,
+                 "measures": [{"sqlExpression": agg}], "dimensions": []}, [])
+               for agg in ("count(*)", "sum(fare)")]
+    queries += total_q
+
+    # ---- state A: all live
+    base = gen_rows(rng, 500, 0, BASE_T, BASE_T + 3 * DAY)
+    shard.save_upsert_batch(_batch(*base, 500))
+    res_a = run_queries(svc, queries)
+    check_vs_oracle(res_a, queries, *base)
+    for i, agg in enumerate(("count(*)", "sum(fare)")):
+        check_time_marginal(svc, agg, res_a[len(FILTERS) + i])
+
+    # ---- state B: archive day 0 + the first half of day 1
+    arch = Archiver(shard, ms.metastore, ms.diskstore)
+    stats = arch.archive(BASE_T + DAY + DAY // 2)
+    assert stats.rows_archived > 0
+    res_b = run_queries(svc, queries)
+    check_equal(res_a, res_b, queries, "B:partial-archive")
+
+    # ---- state C: more live rows above the cutoff
+    extra = gen_rows(rng, 100, 5000, BASE_T + DAY + DAY // 2,
+                     BASE_T + 3 * DAY)
+    st = shard.save_upsert_batch(_batch(*extra, 100))
+    assert st.backfilled == 0
+    logical = _concat_state(base, extra)
+    res_c = run_queries(svc, queries)
+    check_vs_oracle(res_c, queries, *logical)
+
+    # ---- state D: second archive — streaming merge into the existing
+    # day-1 base + a fresh day-2 batch
+    stats = arch.archive(BASE_T + 3 * DAY)
+    assert stats.rows_archived > 0
+    res_d = run_queries(svc, queries)
+    check_equal(res_c, res_d, queries, "D:merged-archive")
+    for i, agg in enumerate(("count(*)", "sum(fare)")):
+        check_time_marginal(svc, agg, res_d[len(FILTERS) + i])
+
+    # ---- state E: backfill — late updates of archived PKs (same event
+    # day, every column re-set non-null) + late inserts of new PKs
+    upd_idx = rng.choice(500, 20, replace=False)
+    upd = gen_rows(rng, 20, 0, BASE_T, BASE_T + 1, all_valid=True)
+    upd[0]["id"] = base[0]["id"][upd_idx].copy()
+    upd[0]["ts"] = base[0]["ts"][upd_idx].copy()  # keep the original day
+    late = gen_rows(rng, 20, 10000, BASE_T, BASE_T + 3 * DAY)
+    st1 = shard.save_upsert_batch(_batch(*upd, 20))
+    st2 = shard.save_upsert_batch(_batch(*late, 20))
+    assert st1.backfilled == 20 and st2.backfilled == 20
+    applied = arch.backfill()
+    assert applied == 40
+    logical = _apply_backfill(logical, upd[0]["id"], upd, late)
+    res_e = run_queries(svc, queries)
+    check_vs_oracle(res_e, queries, *logical)
+
+    # ---- state F: cold recovery from disk
+    ms2 = MemStore(DiskMetaStore(root), LocalDiskStore(root))
+    ms2.fetch_schema()
+    ms2.init_shards()
+    res_f = run_queries(QueryService(ms2), queries)
+    check_equal(res_e, res_f, queries, "F:recovery")
+    for i, agg in enumerate(("count(*)", "sum(fare)")):
+        check_time_marginal(QueryService(ms2), agg, res_f[len(FILTERS) + i])
