@@ -337,3 +337,24 @@ def test_lifecycle_differential(seed, tmp_path):
     check_equal(res_e, res_f, queries, "F:recovery")
     for i, agg in enumerate(("count(*)", "sum(fare)")):
         check_time_marginal(QueryService(ms2), agg, res_f[len(FILTERS) + i])
+
+    # ---- state G: purge — retention drops whole archive days (the oracle
+    # drops the same rows by event day), and the purge survives recovery
+    retention = 2
+    schema = ms.get_schemas()["trips"]
+    schema.table.config.record_retention_in_days = retention
+    arch = Archiver(ms.get_table_shard("trips"), ms.metastore, ms.diskstore)
+    purged = arch.purge(NOW)
+    assert purged > 0
+    cutoff_day = NOW // DAY - retention
+    keep = (logical[0]["ts"] // DAY) >= cutoff_day
+    logical = ({n: logical[0][n][keep] for n in COL_NAMES},
+               {n: logical[1][n][keep] for n in COL_NAMES})
+    res_g = run_queries(svc, queries)
+    check_vs_oracle(res_g, queries, *logical)
+
+    ms3 = MemStore(DiskMetaStore(root), LocalDiskStore(root))
+    ms3.fetch_schema()
+    ms3.init_shards()
+    res_h = run_queries(QueryService(ms3), queries)
+    check_equal(res_g, res_h, queries, "H:recovery-after-purge")
