@@ -42,6 +42,17 @@ NOW = BASE_T + 3 * DAY + 1000
 
 ENUMS = ["completed", "canceled", "rejected"]
 
+CITIES = {
+    "name": "cities",
+    "columns": [
+        {"name": "id", "type": "Uint16"},
+        {"name": "population", "type": "Uint32"},
+    ],
+    "primaryKeyColumns": [0],
+    "isFactTable": False,
+    "config": {"batchSize": 8},
+}
+
 SCHEMA = {
     "name": "trips",
     "columns": [
@@ -200,6 +211,51 @@ def _apply_backfill(state, upd_ids, upd_state, new_state):
 # ---------------------------------------------------------------------------
 
 
+def join_queries():
+    """Two foreign-table joins: a joined-column dimension and a joined-
+    column row filter. The fact side crosses live/archive states; the
+    cities dim table stays live (snapshot-managed) — the join seam is the
+    thing under test."""
+    j = [{"table": "cities", "alias": "c", "conditions": ["c.id = city_id"]}]
+    q1 = {"table": "trips", "joins": j, "now": NOW,
+          "measures": [{"sqlExpression": "count(*)"}],
+          "dimensions": [{"sqlExpression": "c.population"}]}
+    q2 = {"table": "trips", "joins": j, "now": NOW,
+          "rowFilters": ["c.population > 500"],
+          "measures": [{"sqlExpression": "sum(fare)"}],
+          "dimensions": [{"sqlExpression": "city_id"}]}
+    return [(q1, [("c.population", "join")]), (q2, [("city_id", "u")])]
+
+
+def check_join_oracle(res_pair, cols, valid, pop, pop_valid):
+    n = len(cols["ts"])
+    # q1: count(*) grouped by joined population (unmatched/null -> NULL)
+    expected = {}
+    for r in range(n):
+        cid = int(cols["city_id"][r]) if valid["city_id"][r] else None
+        if cid is not None and cid in pop and pop_valid[cid]:
+            key = (str(pop[cid]),)
+        else:
+            key = ("NULL",)
+        expected[key] = expected.get(key, 0.0) + 1.0
+    got = clean(res_pair[0], "count(*)")
+    assert got == {k: pytest.approx(v) for k, v in expected.items()}, \
+        (got, expected)
+    # q2: sum(fare) by city where joined population > 500 is TRUE
+    mask = np.zeros(n, bool)
+    for r in range(n):
+        cid = int(cols["city_id"][r]) if valid["city_id"][r] else None
+        mask[r] = (cid is not None and cid in pop and pop_valid[cid]
+                   and pop[cid] > 500)
+    expected = oracle(cols, valid, mask, [("city_id", "u")], "sum(fare)")
+    got = clean(res_pair[1], "sum(fare)")
+    exp_c = clean(expected, "sum(fare)")
+    assert set(got) == set(exp_c), (set(got) ^ set(exp_c))
+    for k in exp_c:
+        assert got[k] == pytest.approx(exp_c[k], rel=1e-4, abs=1e-3), \
+            (k, got[k], exp_c[k])
+
+
 def run_queries(svc, queries):
     out = []
     for q, dims in queries:
@@ -211,6 +267,8 @@ def run_queries(svc, queries):
 
 def check_vs_oracle(results, queries, cols, valid):
     for got, (q, dims) in zip(results, queries):
+        if "joins" in q:
+            continue  # join queries verify via check_join_oracle
         fsql = (q.get("rowFilters") or [None])[0]
         f = dict((s, fn) for s, fn in FILTERS)[fsql]
         agg = q["measures"][0]["sqlExpression"]
@@ -253,6 +311,7 @@ def test_lifecycle_differential(seed, tmp_path):
     ms = MemStore(DiskMetaStore(root), LocalDiskStore(root))
     from aresdb_tpu.common.schema import Table
     ms.create_table(Table.from_json(SCHEMA))
+    ms.create_table(Table.from_json(CITIES))
     ms.init_shards()
     # extend the enum through both the runtime schema and the metastore,
     # like the enum API handler does (api/server.py EnumHandler.post) —
@@ -279,12 +338,31 @@ def test_lifecycle_differential(seed, tmp_path):
                  "measures": [{"sqlExpression": agg}], "dimensions": []}, [])
                for agg in ("count(*)", "sum(fare)")]
     queries += total_q
+    jq = join_queries()
+    queries += jq
+    n_jq = len(jq)
+
+    # cities dim table: ids 0..14 present (15..19 unmatched on purpose),
+    # population null for two of them
+    pop, pop_valid = {}, {}
+    cb = UpsertBatchBuilder()
+    cb.add_column(0, dt.Uint16)
+    cb.add_column(1, dt.Uint32)
+    for i in range(15):
+        pop[i] = int(rng.randint(100, 1000))
+        pop_valid[i] = i not in (3, 11)
+        cb.add_row()
+        cb.set_value(i, 0, i)
+        if pop_valid[i]:
+            cb.set_value(i, 1, pop[i])
+    ms.get_table_shard("cities").save_upsert_batch(UpsertBatch(cb.to_bytes()))
 
     # ---- state A: all live
     base = gen_rows(rng, 500, 0, BASE_T, BASE_T + 3 * DAY)
     shard.save_upsert_batch(_batch(*base, 500))
     res_a = run_queries(svc, queries)
     check_vs_oracle(res_a, queries, *base)
+    check_join_oracle(res_a[-n_jq:], *base, pop, pop_valid)
     for i, agg in enumerate(("count(*)", "sum(fare)")):
         check_time_marginal(svc, agg, res_a[len(FILTERS) + i])
 
@@ -303,6 +381,7 @@ def test_lifecycle_differential(seed, tmp_path):
     logical = _concat_state(base, extra)
     res_c = run_queries(svc, queries)
     check_vs_oracle(res_c, queries, *logical)
+    check_join_oracle(res_c[-n_jq:], *logical, pop, pop_valid)
 
     # ---- state D: second archive — streaming merge into the existing
     # day-1 base + a fresh day-2 batch
@@ -328,6 +407,7 @@ def test_lifecycle_differential(seed, tmp_path):
     logical = _apply_backfill(logical, upd[0]["id"], upd, late)
     res_e = run_queries(svc, queries)
     check_vs_oracle(res_e, queries, *logical)
+    check_join_oracle(res_e[-n_jq:], *logical, pop, pop_valid)
 
     # ---- state F: cold recovery from disk
     ms2 = MemStore(DiskMetaStore(root), LocalDiskStore(root))
@@ -352,6 +432,7 @@ def test_lifecycle_differential(seed, tmp_path):
                {n: logical[1][n][keep] for n in COL_NAMES})
     res_g = run_queries(svc, queries)
     check_vs_oracle(res_g, queries, *logical)
+    check_join_oracle(res_g[-n_jq:], *logical, pop, pop_valid)
 
     ms3 = MemStore(DiskMetaStore(root), LocalDiskStore(root))
     ms3.fetch_schema()
