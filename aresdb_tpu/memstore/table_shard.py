@@ -152,6 +152,12 @@ class TableShard:
             None if schema.table.is_fact_table else
             SnapshotManager(cfg.snapshot_threshold, cfg.snapshot_interval_minutes))
         self.writer_lock = threading.RLock()
+        # per-(table, shard) scoped reporter (reference TableShardReporter,
+        # utils/metrics.go:1113)
+        from aresdb_tpu.utils import metrics as M
+
+        self.reporter = M.root().scoped(table=schema.table.name,
+                                        shard=str(shard_id))
 
     # ------------------------------------------------------------------
     # ingestion entry point (reference: memstore/ingestion.go:25-175)
@@ -161,21 +167,73 @@ class TableShard:
                           recovery: bool = False,
                           redo_file: int = 0, batch_offset: int = 0
                           ) -> IngestionStats:
+        from aresdb_tpu.utils import metrics as M
+
+        t_lock = clock.now()
         with self.writer_lock:
+            self.reporter.record_timer(M.INGESTION_WRITELOCK_AQUIRE_TIME,
+                                       clock.now() - t_lock)
             if not recovery and self.redolog_manager is not None:
                 max_et = self._max_event_time(batch)
                 redo_file, batch_offset = self.redolog_manager.append(
                     batch.buffer, max_et)
-            stats = self.apply_upsert_batch(batch, recovery=recovery,
-                                            redo_file=redo_file,
-                                            batch_offset=batch_offset)
+            try:
+                stats = self.apply_upsert_batch(batch, recovery=recovery,
+                                                redo_file=redo_file,
+                                                batch_offset=batch_offset)
+            except Exception:
+                self.reporter.count(M.INGESTED_ERROR_BATCHES)
+                raise
             self.live_store.advance_last_read_record()
             # post application (reference ingestion.go:143)
             if self.snapshot_manager is not None:
                 self.snapshot_manager.apply_upsert_batch(
                     redo_file, batch_offset, batch.num_rows,
                     self.live_store.last_read_record)
+            self._report_ingestion(batch, stats, recovery)
             return stats
+
+    def _report_ingestion(self, batch: UpsertBatch, stats: IngestionStats,
+                          recovery: bool) -> None:
+        """Per-batch scoped emission mirroring the reference's ingestion
+        reporters (memstore/ingestion.go:143-175)."""
+        from aresdb_tpu.utils import metrics as M
+
+        r = self.reporter
+        n = batch.num_rows
+        if recovery:
+            r.count(M.INGESTED_RECOVERY_BATCHES)
+            r.gauge(M.RECOVERY_UPSERT_BATCH_SIZE, n)
+            if stats.skipped_retention:
+                r.count(M.RECOVERY_IGNORED_RECORDS, stats.skipped_retention)
+        else:
+            r.count(M.INGESTED_UPSERT_BATCHES)
+            r.gauge(M.UPSERT_BATCH_SIZE, n)
+        r.count(M.INGESTED_RECORDS, n)
+        r.count(M.APPENDED_RECORDS, stats.inserted)
+        r.count(M.UPDATED_RECORDS, stats.updated)
+        skipped = (stats.skipped_null_pk + stats.skipped_retention
+                   + stats.skipped_future)
+        if skipped:
+            r.count(M.INGEST_SKIPPED_RECORDS, skipped)
+        if stats.skipped_null_pk:
+            r.count(M.PRIMARY_KEY_MISSING, stats.skipped_null_pk)
+        if stats.skipped_retention:
+            r.count(M.RECORDS_OUT_OF_RETENTION, stats.skipped_retention)
+        if stats.skipped_future:
+            r.count(M.RECORDS_FROM_FUTURE, stats.skipped_future)
+        if n:
+            r.gauge(M.DUPLICATE_RECORD_RATIO, stats.updated / n)
+        if stats.backfilled:
+            r.count(M.BACKFILL_RECORDS, stats.backfilled)
+            r.gauge(M.BACKFILL_RECORDS_RATIO, stats.backfilled / max(1, n))
+        bm = self.backfill_manager
+        if bm is not None:
+            r.gauge(M.BACKFILL_BUFFER_SIZE, bm.current_buffer_bytes)
+            r.gauge(M.BACKFILL_BUFFER_NUM_RECORDS,
+                    sum(len(rows) for _, rows in bm.queue))
+            r.gauge(M.BACKFILL_BUFFER_FILL_RATIO,
+                    bm.current_buffer_bytes / max(1, bm.max_buffer_bytes))
 
     def _max_event_time(self, batch: UpsertBatch) -> int:
         if not self.schema.table.is_fact_table or batch.num_rows == 0:
@@ -209,6 +267,9 @@ class TableShard:
                 if not schema.table.config.allow_missing_event_time:
                     raise ValueError(
                         "fact table upsert batch must carry the event time column")
+                from aresdb_tpu.utils import metrics as _M
+
+                self.reporter.count(_M.TIME_COLUMN_MISSING)
                 event_times = np.zeros(n, dtype=np.int64)
             else:
                 if not tcol.validity.all() and not schema.table.config.allow_missing_event_time:

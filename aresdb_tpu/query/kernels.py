@@ -1085,6 +1085,52 @@ def make_hll_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
     return jax.jit(fn)
 
 
+def dense_slot_lane(dim_vals: List[_Val], dense_plan, n_rows: int = None):
+    """Per-row dense slot index + out-of-domain flag (shared by the XLA
+    dense kernel and the fused pallas kernel in fused_dense.py).
+
+    slot = Σ (dim_idx+1) * stride with 0 = NULL per dim; `bad` marks rows
+    whose VALID dim value falls outside the planned domain (dense overflow).
+    """
+    n = dim_vals[0].value.shape[0] if dim_vals else n_rows
+    slot = jnp.zeros(n, jnp.int32)
+    bad = jnp.zeros(n, jnp.bool_)
+    for dv, dom, stride in zip(dim_vals, dense_plan.domains,
+                               dense_plan.strides):
+        v = dv.value
+        if v.dtype == jnp.bool_:
+            v = v.astype(jnp.int32)
+        elif v.dtype == jnp.float32 and dom.post_div == 0.0:
+            v = v.astype(jnp.int32)
+        if dom.kind == "lookup":
+            table = jnp.asarray(dom.values).astype(v.dtype)
+            idx = jnp.clip(jnp.searchsorted(table, v), 0, dom.size - 1)
+            in_range = table[idx] == v
+            idx = idx.astype(jnp.int32)
+        elif isinstance(dom.step, float) or isinstance(dom.base, float):
+            # float affine (numeric width buckets): values are exact
+            # f32 multiples of step, so rounding recovers the index
+            vf = v.astype(jnp.float32)
+            idxw = jnp.round((vf - jnp.float32(dom.base))
+                             / jnp.float32(dom.step)).astype(jnp.int32)
+            in_range = (idxw >= 0) & (idxw < dom.size)
+            idx = jnp.clip(idxw, 0, dom.size - 1)
+        else:
+            if dom.post_div:
+                # value was divided by post_div on the float path; recover
+                # the integer index directly from the pre-division value
+                v = jnp.round(v * jnp.float32(dom.post_div)).astype(jnp.int32)
+            base = jnp.array(dom.base, v.dtype)
+            step = jnp.array(max(dom.step, 1), v.dtype)
+            idxw = (v - base) // step
+            in_range = (idxw >= 0) & (idxw < dom.size)
+            idx = jnp.clip(idxw, 0, dom.size - 1).astype(jnp.int32)
+        idxp1 = jnp.where(dv.valid & in_range, idx + 1, 0)
+        bad = bad | (dv.valid & ~in_range)
+        slot = slot + idxp1 * jnp.int32(stride)
+    return slot, bad
+
+
 def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
     """Dense slot-indexed aggregation — no sort, no 64-bit keys.
 
@@ -1094,8 +1140,18 @@ def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
     the planned domain are counted in `overflow` — the executor falls back
     to the sort path for that batch when overflow > 0.
 
+    On real TPU backends, eligible plans route to the fully-fused pallas
+    kernel (fused_dense.py): expression eval + slot mapping + factored MXU
+    reduction in one VMEM-resident pass over the raw columns.
+
     Returns (agg[S], cnt[S], rows[S], overflow) with S = n_slots.
     """
+    from aresdb_tpu.query import fused_dense as FD
+
+    fused = FD.maybe_make_fused_kernel(plan, n_rows, dense_plan)
+    if fused is not None:
+        return fused
+
     agg = plan.measure.agg
     out_float = plan.measure.out_float
     n_slots = dense_plan.n_slots
@@ -1105,41 +1161,7 @@ def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
         mask, dim_vals = _eval_common(plan, ctx, n_valid, live_cutoff)
         mlane = _measure_lane(plan, ctx)
 
-        slot = jnp.zeros(n_rows, jnp.int32)
-        bad = jnp.zeros(n_rows, jnp.bool_)
-        for dv, dom, stride in zip(dim_vals, dense_plan.domains,
-                                   dense_plan.strides):
-            v = dv.value
-            if v.dtype == jnp.bool_:
-                v = v.astype(jnp.int32)
-            elif v.dtype == jnp.float32 and dom.post_div == 0.0:
-                v = v.astype(jnp.int32)
-            if dom.kind == "lookup":
-                table = jnp.asarray(dom.values).astype(v.dtype)
-                idx = jnp.clip(jnp.searchsorted(table, v), 0, dom.size - 1)
-                in_range = table[idx] == v
-                idx = idx.astype(jnp.int32)
-            elif isinstance(dom.step, float) or isinstance(dom.base, float):
-                # float affine (numeric width buckets): values are exact
-                # f32 multiples of step, so rounding recovers the index
-                vf = v.astype(jnp.float32)
-                idxw = jnp.round((vf - jnp.float32(dom.base))
-                                 / jnp.float32(dom.step)).astype(jnp.int32)
-                in_range = (idxw >= 0) & (idxw < dom.size)
-                idx = jnp.clip(idxw, 0, dom.size - 1)
-            else:
-                if dom.post_div:
-                    # value was divided by post_div on the float path; recover
-                    # the integer index directly from the pre-division value
-                    v = jnp.round(v * jnp.float32(dom.post_div)).astype(jnp.int32)
-                base = jnp.array(dom.base, v.dtype)
-                step = jnp.array(max(dom.step, 1), v.dtype)
-                idxw = (v - base) // step
-                in_range = (idxw >= 0) & (idxw < dom.size)
-                idx = jnp.clip(idxw, 0, dom.size - 1).astype(jnp.int32)
-            idxp1 = jnp.where(dv.valid & in_range, idx + 1, 0)
-            bad = bad | (dv.valid & ~in_range)
-            slot = slot + idxp1 * jnp.int32(stride)
+        slot, bad = dense_slot_lane(dim_vals, dense_plan, n_rows)
 
         keep = mask & ~bad
         slot = jnp.where(keep, slot, jnp.int32(n_slots))

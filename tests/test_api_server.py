@@ -120,7 +120,8 @@ def test_debug_endpoints(base):
 
     r = requests.get(f"{base}/metrics")
     snap = r.json()
-    assert any(k.startswith("query.received") for k in snap["counters"])
+    # reference scope name (utils/metrics.go scopeNameQueryReceived)
+    assert any(k.startswith("query_received") for k in snap["counters"])
 
 
 def test_bad_requests(base):
