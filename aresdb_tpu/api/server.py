@@ -9,6 +9,7 @@ endpoints) wired by cmd/aresd/cmd/cmd.go:270-283.
 from __future__ import annotations
 
 import json
+import os
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Optional
@@ -61,10 +62,28 @@ class ServerContext:
                 getattr(query_config, "query_timeout", 0) or 0)
         self.device_manager = DeviceMemoryManager(utilization=util,
                                                   default_timeout=choose_timeout)
+        # multi-chip hosts get query-level placement: each admitted query
+        # pins to one chip (reference query/device_manager.go); intra-query
+        # mesh sharding stays opt-in via ARES_MESH
+        self.device_pool = None
+        if os.environ.get("ARES_MESH", "") != "1":
+            try:
+                from aresdb_tpu.utils import jax_env
+
+                devs = jax_env.devices()
+                if len(devs) > 1:
+                    from aresdb_tpu.query.admission import DevicePool
+
+                    self.device_pool = DevicePool(
+                        devices=devs, utilization=util,
+                        default_timeout=choose_timeout)
+            except Exception:  # noqa: BLE001 — no backend in some tests
+                self.device_pool = None
         self.datanode = None  # set by DataNode in distributed mode
         self.query_service = QueryService(memstore,
                                           timezone_table=timezone_table,
                                           device_manager=self.device_manager,
+                                          device_pool=self.device_pool,
                                           query_timeout=query_timeout)
         self.query_pool = ThreadPoolExecutor(max_workers=QUERY_WORKERS)
         self.metrics = M.root()
@@ -552,7 +571,13 @@ class DevicesDebugHandler(_Base):
             ]
         except Exception as e:
             devices = [{"error": str(e)}]
-        self.write_json(devices)
+        out = {"devices": devices}
+        pool = getattr(self.ctx, "device_pool", None)
+        if pool is not None:
+            # per-device placement + admission state (reference
+            # query/device_manager.go DeviceInfos)
+            out["pool"] = pool.stats()
+        self.write_json(out)
 
 
 class HostMemoryDebugHandler(_Base):

@@ -183,3 +183,117 @@ class DeviceMemoryManager:
         with self._cond:
             return {"budgetBytes": self.budget, "inUseBytes": self.in_use,
                     "running": self.running, "waiting": self.waiting}
+
+
+class DeviceLease:
+    """One admitted query's pinned device. Context manager: entering makes
+    the device the thread's JAX default (all staging lands there and jit
+    execution follows the operands), exiting releases the reservation."""
+
+    def __init__(self, pool: "DevicePool", index: int, nbytes: int):
+        self.pool = pool
+        self.index = index
+        self.nbytes = nbytes
+        self.device = pool.devices[index]
+        self._ctx = None
+
+    def __enter__(self):
+        import jax
+
+        self._ctx = jax.default_device(self.device)
+        self._ctx.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            if self._ctx is not None:
+                self._ctx.__exit__(*exc)
+        finally:
+            self.pool.release(self.index, self.nbytes)
+
+
+class DevicePool:
+    """Query-level multi-device placement: each admitted query pins to ONE
+    chip; different queries run concurrently on different chips.
+
+    Reference: query/device_manager.go DeviceManager.FindDevice — pick the
+    device with the most free estimated memory that fits the query, wait on
+    a condition variable otherwise (aql_processor.go:1311 runs the whole
+    query on the chosen device). Mesh sharding (parallel/sharded.py) is the
+    opposite trade (one query over ALL chips) and stays opt-in via
+    ARES_MESH; this pool is the serving default on multi-chip hosts.
+    """
+
+    def __init__(self, devices=None, total_bytes: Optional[int] = None,
+                 utilization: float = 0.95, default_timeout: float = 30.0):
+        if devices is None:
+            import jax
+
+            devices = list(jax.local_devices())
+        self.devices = list(devices)
+        per_dev = (int(total_bytes * utilization) if total_bytes is not None
+                   else device_memory_budget(utilization))
+        self.budget = per_dev
+        self.in_use = [0] * len(self.devices)
+        self.running = [0] * len(self.devices)
+        self.served = [0] * len(self.devices)
+        self.waiting = 0
+        self.default_timeout = default_timeout
+        self._cond = threading.Condition()
+
+    def acquire(self, nbytes: int,
+                timeout: Optional[float] = None) -> DeviceLease:
+        if nbytes > self.budget:
+            raise AdmissionError(
+                f"query requires ~{nbytes >> 20} MiB device memory; "
+                f"per-device budget is {self.budget >> 20} MiB")
+        if timeout is None or timeout <= 0:
+            timeout = self.default_timeout
+        start = time.perf_counter()
+        deadline = start + timeout
+        with self._cond:
+            while True:
+                # most-free-first placement (device_manager.go findDevice)
+                best = min(range(len(self.devices)),
+                           key=lambda i: (self.in_use[i], self.running[i]))
+                if self.in_use[best] + nbytes <= self.budget:
+                    self.in_use[best] += nbytes
+                    self.running[best] += 1
+                    self.served[best] += 1
+                    break
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    M.root().count(M.QUERY_FAILED, 1)
+                    raise AdmissionError(
+                        f"timed out after {timeout:.0f}s waiting for "
+                        f"{nbytes >> 20} MiB on any of "
+                        f"{len(self.devices)} devices")
+                self.waiting += 1
+                try:
+                    self._cond.wait(remaining)
+                finally:
+                    self.waiting -= 1
+        M.root().record_timer(M.QUERY_WAIT_FOR_MEMORY,
+                              time.perf_counter() - start)
+        return DeviceLease(self, best, nbytes)
+
+    def release(self, index: int, nbytes: int) -> None:
+        with self._cond:
+            self.in_use[index] = max(0, self.in_use[index] - nbytes)
+            self.running[index] = max(0, self.running[index] - 1)
+            self._cond.notify_all()
+
+    def stats(self) -> dict:
+        with self._cond:
+            return {
+                "perDeviceBudgetBytes": self.budget,
+                "waiting": self.waiting,
+                "devices": [
+                    {"id": getattr(d, "id", i),
+                     "platform": getattr(d, "platform", "?"),
+                     "inUseBytes": self.in_use[i],
+                     "running": self.running[i],
+                     "served": self.served[i]}
+                    for i, d in enumerate(self.devices)
+                ],
+            }

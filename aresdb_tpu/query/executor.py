@@ -48,6 +48,17 @@ def _check_deadline(plan) -> None:
 DEVICE_CACHE_BYTES = 4 << 30  # HBM residency budget for staged columns
 
 
+def _current_device_id():
+    """Thread-local placement target (None = process default device)."""
+    try:
+        import jax
+
+        d = jax.config.jax_default_device
+        return None if d is None else d.id
+    except Exception:  # noqa: BLE001
+        return None
+
+
 class DeviceColumnCache:
     """LRU cache of staged device column arrays (HBM residency).
 
@@ -77,6 +88,10 @@ class DeviceColumnCache:
         return total
 
     def get_or_stage(self, key, stage_fn):
+        # a query pinned to device k (admission.DevicePool lease sets the
+        # thread's jax.default_device) must not reuse arrays staged on
+        # another chip — placement is part of the cache key
+        key = (_current_device_id(),) + key
         with self._lock:
             hit = self._entries.get(key)
             if hit is not None:

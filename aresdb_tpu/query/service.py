@@ -18,15 +18,20 @@ from aresdb_tpu.query.postprocess import build_agg_result, build_non_agg_result
 class QueryService:
     def __init__(self, memstore, timezone_table: str = "",
                  device_manager=None, admission_timeout: float = -1,
-                 query_timeout: float = 0):
+                 query_timeout: float = 0, device_pool=None):
         """device_manager: optional DeviceMemoryManager admission gate
         (query/device_manager.go FindDeviceForQuery). admission_timeout:
         seconds to wait for device memory (device_choosing_timeout).
-        query_timeout: per-query execution deadline in seconds (0 = off)."""
+        query_timeout: per-query execution deadline in seconds (0 = off).
+        device_pool: optional admission.DevicePool — each admitted query
+        pins to one chip so N queries run on N chips concurrently (the
+        reference DeviceManager's placement model); takes precedence over
+        device_manager."""
         self.memstore = memstore
         self.timezone_table = timezone_table
         self.executor = ShardExecutor(memstore)
         self.device_manager = device_manager
+        self.device_pool = device_pool
         self.admission_timeout = admission_timeout
         self.query_timeout = query_timeout
 
@@ -134,13 +139,18 @@ class QueryService:
 
         if self.query_timeout > 0:
             plan.deadline = _time.time() + self.query_timeout
-        if self.device_manager is None:
+        if self.device_pool is None and self.device_manager is None:
             return contextlib.nullcontext()
 
         from aresdb_tpu.query.admission import estimate_query_memory
 
         reserved = estimate_query_memory(plan, self.memstore)
         plan.memory_required = reserved
+        if self.device_pool is not None:
+            lease = self.device_pool.acquire(reserved,
+                                             timeout=self.admission_timeout)
+            plan.stats["device"] = getattr(lease.device, "id", lease.index)
+            return lease
         self.device_manager.reserve(reserved, timeout=self.admission_timeout)
 
         @contextlib.contextmanager
