@@ -715,13 +715,18 @@ class ShardExecutor:
         if batch_ is None:
             # no candidate shapes: degenerate placeholder, nothing matches
             batch_ = G.empty_shape_batch()
-        return {
+        cols = {
             (-1, 0): (jnp.asarray(batch_.slope), jnp.asarray(batch_.lat1)),
             (-1, 1): (jnp.asarray(batch_.lng1), jnp.asarray(batch_.lng2)),
             (-1, 2): (jnp.asarray(batch_.onehot), jnp.zeros(1, jnp.float32)),
             (-1, 3): (jnp.asarray(np.int32(batch_.n_shapes)),
                       jnp.zeros(1, jnp.float32)),
         }
+        if batch_.prune_ok and G.use_pruned():
+            # bbox-pruned two-pass path (geo.matched_shape_pruned)
+            cols[(-1, 4)] = (jnp.asarray(batch_.tab3),
+                             jnp.asarray(batch_.bbox))
+        return cols
 
     # -- agg execution --
 

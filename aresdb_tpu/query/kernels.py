@@ -717,8 +717,20 @@ def _geo_matched(plan: CompiledQuery, ctx: _EvalCtx):
     onehot, _ = ctx.columns[(-1, 2)]
     n_shapes, _ = ctx.columns[(-1, 3)]
     pv = _emit(plan.geo.point_expr, ctx, plan)
-    matched = G.matched_shape(pv.value[:, 0], pv.value[:, 1], pv.valid,
-                              slope, lat1, lng1, lng2, onehot, n_shapes)
+
+    def dense():
+        return G.matched_shape(pv.value[:, 0], pv.value[:, 1], pv.valid,
+                               slope, lat1, lng1, lng2, onehot, n_shapes)
+
+    if (-1, 4) in ctx.columns:
+        # bbox-pruned two-pass path, bit-equal to the dense sweep; falls
+        # back to it on candidate-count overflow (geo.PRUNE_ROUNDS_CAP)
+        tab3, bbox = ctx.columns[(-1, 4)]
+        pruned, overflow = G.matched_shape_pruned(
+            pv.value[:, 0], pv.value[:, 1], pv.valid, tab3, bbox, n_shapes)
+        matched = jax.lax.cond(overflow, dense, lambda: pruned)
+    else:
+        matched = dense()
     ctx._geo_matched = (matched, pv.valid)
     return ctx._geo_matched
 

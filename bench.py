@@ -179,36 +179,64 @@ def main() -> None:
         na_columns, lambda out: out[0].astype(jnp.float32))
     record("nonagg", na_plan, rps, sec)
 
-    # ---- geo path (point-in-polygon, MXU one-hot ray casting)
-    rng = np.random.RandomState(11)
-    shapes = []
-    for s in range(100):
-        cx, cy = rng.rand(2) * 10
-        ang = np.linspace(0, 2 * np.pi, 33)
-        ring = [(float(cx + 0.5 * np.cos(a)), float(cy + 0.5 * np.sin(a)))
-                for a in ang]
-        shapes.append([ring])
-    sb = G.build_shape_batch(shapes, list(range(100)))
-    plat = jnp.asarray((rng.rand(n_rows) * 10).astype(np.float32))
-    plng = jnp.asarray((rng.rand(n_rows) * 10).astype(np.float32))
-    pvalid = jnp.asarray(rng.rand(n_rows) > 0.02)
-    gargs = tuple(jnp.asarray(a) for a in
-                  (sb.slope, sb.lat1, sb.lng1, sb.lng2, sb.onehot))
+    # ---- geo path (point-in-polygon). Two configs, both 100 shapes /
+    # 3300 edges, run through the production dispatch (bbox-pruned
+    # two-pass kernel with the lax.cond dense fallback, kernels.py):
+    #   geo          — blanket coverage (shape bboxes tile ~92% of the
+    #                  field; ~0.96 bbox candidates/point — the pruning
+    #                  worst case, every point pays an edge slab)
+    #   geo_selective— geofence-style coverage (~4% of the field; the
+    #                  reference's geo use case: zone/airport polygons
+    #                  against a city's worth of points)
+    def geo_config(radius):
+        rng = np.random.RandomState(11)
+        shapes = []
+        for s in range(100):
+            cx, cy = rng.rand(2) * 10
+            ang = np.linspace(0, 2 * np.pi, 33)
+            ring = [(float(cx + radius * np.cos(a)),
+                     float(cy + radius * np.sin(a))) for a in ang]
+            ring[-1] = ring[0]  # polygon rings close exactly (WKT contract)
+            shapes.append([ring])
+        sb = G.build_shape_batch(shapes, list(range(100)))
+        assert sb.prune_ok
+        plat = jnp.asarray((rng.rand(n_rows) * 10).astype(np.float32))
+        plng = jnp.asarray((rng.rand(n_rows) * 10).astype(np.float32))
+        pvalid = jnp.asarray(rng.rand(n_rows) > 0.02)
+        return sb, plat, plng, pvalid
 
-    @jax.jit
-    def geo_chain(plat, plng, pvalid):
-        def body(carry, _):
-            p = plat + (carry - carry)
-            m = G.matched_shape(p, plng, pvalid, *gargs, sb.n_shapes)
-            return carry + jnp.sum(m).astype(jnp.float32), None
-        carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
-        return carry
+    def geo_rps(sb, plat, plng, pvalid):
+        gargs = tuple(jnp.asarray(a) for a in
+                      (sb.slope, sb.lat1, sb.lng1, sb.lng2, sb.onehot))
+        tab3 = jnp.asarray(sb.tab3)
+        bbox = jnp.asarray(sb.bbox)
 
-    float(geo_chain(plat, plng, pvalid))
-    t0 = time.perf_counter()
-    float(geo_chain(plat, plng, pvalid))
-    el = time.perf_counter() - t0
-    record("geo", None, n_rows * iters / el, el / iters)
+        @jax.jit
+        def geo_chain(plat, plng, pvalid):
+            def body(carry, _):
+                p = plat + (carry - carry)
+                pruned, ovf = G.matched_shape_pruned(
+                    p, plng, pvalid, tab3, bbox, sb.n_shapes)
+                m = jax.lax.cond(
+                    ovf,
+                    lambda: G.matched_shape(p, plng, pvalid, *gargs,
+                                            sb.n_shapes),
+                    lambda: pruned)
+                return carry + jnp.sum(m).astype(jnp.float32), None
+            carry, _ = jax.lax.scan(body, jnp.float32(0), None,
+                                    length=iters)
+            return carry
+
+        float(geo_chain(plat, plng, pvalid))
+        t0 = time.perf_counter()
+        float(geo_chain(plat, plng, pvalid))
+        el = time.perf_counter() - t0
+        return n_rows * iters / el, el / iters
+
+    rps, sec = geo_rps(*geo_config(0.5))
+    record("geo", None, rps, sec)
+    rps, sec = geo_rps(*geo_config(0.1))
+    record("geo_selective", None, rps, sec)
 
     print(json.dumps({
         "metric": "agg_query_rows_per_sec_per_chip",

@@ -45,6 +45,26 @@ def timeit(name, fn, *args):
     return el
 
 
+def chained(name, make_body, iters=8):
+    """Time a primitive chained on device: make_body(carry)->carry, scanned
+    `iters` times with an IEEE-unfoldable carry injection (CLAUDE.md), one
+    sync at the end. Reports per-iteration time net of the dispatch floor."""
+    @jax.jit
+    def run():
+        def body(carry, _):
+            return make_body(carry), None
+        carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return carry
+
+    float(run())  # compile
+    t0 = time.perf_counter()
+    float(run())
+    el = time.perf_counter() - t0
+    print(f"{name}: {el / iters * 1e3:.2f}ms/iter ({iters} chained)",
+          flush=True)
+    return el / iters
+
+
 def main():
     rng = np.random.RandomState(0)
     which = set(sys.argv[1:]) or {"sort", "bbox", "while", "extract"}
@@ -140,6 +160,56 @@ def main():
 
         timeit("first-4 candidate extraction [4M,128]", first4, cand)
 
+    if "chain" in which:
+        # chained per-iteration costs for the two-pass geo pipeline pieces
+        lat = jnp.asarray((rng.rand(N) * 10).astype(np.float32))
+        lng = jnp.asarray((rng.rand(N) * 10).astype(np.float32))
+        bb = jnp.asarray(rng.rand(4, 128).astype(np.float32))
+        perm = jnp.asarray(rng.permutation(N).astype(np.int32))
+        iota = jnp.arange(N, dtype=jnp.int32)
+
+        def inj(carry):
+            return lat + (carry - carry)
+
+        chained("bbox [4M,128] cand-count", lambda c: jnp.sum(
+            ((inj(c)[:, None] >= bb[0][None]) & (inj(c)[:, None] <= bb[1][None]) &
+             (lng[:, None] >= bb[2][None]) & (lng[:, None] <= bb[3][None]))
+            .astype(jnp.int8), axis=1).astype(jnp.float32).sum() * 1e-9)
+
+        def sort_i8_iota(c):
+            k8 = (inj(c) * 12.7).astype(jnp.int8)
+            _, idx = jax.lax.sort((k8, iota), num_keys=1, is_stable=True)
+            return idx[0].astype(jnp.float32) * 1e-9
+        chained("i8+iota stable sort 4M", sort_i8_iota)
+
+        def sort_i8_3p(c):
+            k8 = (inj(c) * 12.7).astype(jnp.int8)
+            _, a, b, idx = jax.lax.sort((k8, inj(c), lng, iota), num_keys=1,
+                                        is_stable=True)
+            return (a[0] + b[0]) * 1e-9 + idx[0].astype(jnp.float32) * 1e-9
+        chained("i8+3payload stable sort 4M", sort_i8_3p)
+
+        def gather_4m(c):
+            return inj(c)[perm][0] * 1e-9
+        chained("random gather 4M f32", gather_4m)
+
+        def scatter_4m(c):
+            out = jnp.zeros(N, jnp.float32).at[perm].set(inj(c))
+            return out[0] * 1e-9
+        chained("random scatter 4M f32", scatter_4m)
+
+        def cumsum_rank(c):
+            cand = (inj(c)[:, None] >= bb[0][None]) & (lng[:, None] <= bb[3][None])
+            rank = jnp.cumsum(cand.astype(jnp.int8), axis=1)
+            s_iota = jnp.arange(128, dtype=jnp.int32)[None]
+            outs = 0.0
+            for k in range(4):
+                mk = cand & (rank == (k + 1))
+                sid = jnp.sum(jnp.where(mk, s_iota, 0), axis=1)
+                outs = outs + sid[0].astype(jnp.float32)
+            return outs * 1e-9
+        chained("bbox+rank+first4 extraction (cumsum)", cumsum_rank)
+
     if "while" in which:
         # shape-sorted pairs, chunked edge test via dynamic slices
         CHUNK = 8192
@@ -161,7 +231,8 @@ def main():
                 base = c * CHUNK
                 s0 = jax.lax.dynamic_slice(sshape, (base,), (1,))[0]
                 slab = jax.lax.dynamic_slice(
-                    etab, (s0, 0, 0), (2, 64, 4)).reshape(E_SLAB, 4)
+                    etab, (s0, jnp.int32(0), jnp.int32(0)),
+                    (2, 64, 4)).reshape(E_SLAB, 4)
                 pl_ = jax.lax.dynamic_slice(plat, (base,), (CHUNK,))
                 pg = jax.lax.dynamic_slice(plng, (base,), (CHUNK,))
                 ps = jax.lax.dynamic_slice(sshape, (base,), (CHUNK,))
