@@ -623,6 +623,55 @@ def _packing_type(d) -> int:
     return mdt.SmallEnum if d.geo_dim else d.data_type
 
 
+def pack_modes(dim_types: List[int]) -> Tuple[bool, bool]:
+    """(exact, sortpackable) for a dim-type list — static trace-time facts.
+
+    exact: the u64 key embeds every dim's (value bits, valid bit) losslessly,
+    so group dim values UNPACK from the group key (no iota lane in the sort,
+    no [n]-sized representative-row gathers). key62: the key fits 62 bits,
+    leaving room to fold the measure-validity bit into the key's low bit
+    (drops the i8 sort lane — see reduce_by_key cost table)."""
+    total_bits = sum(min(_dim_bits(t), 64) + 1 for t in dim_types)
+    exact = total_bits <= 63 and not any(t == mdt.UUID for t in dim_types)
+    key62 = total_bits <= 62 and exact
+    return exact, key62
+
+
+def unpack_dim_keys(gkeys, dim_vals: List[_Val], dim_types: List[int],
+                    slot_used):
+    """Invert pack_dim_keys' exact packing: per-slot dim (values, valids)
+    straight from the u64 group keys. Valid only when pack_modes(...)[0].
+
+    Invalid dims unpack as (0, False) — pack_dim_keys canonicalizes null
+    value bits to zero, and no consumer reads a value behind valid=False.
+    """
+    values, valids = [], []
+    shift = 0
+    for dv, t in zip(dim_vals, dim_types):
+        width = min(_dim_bits(t), 64)
+        assert width < 64 and t not in (mdt.UUID, mdt.GeoPoint)
+        bits = (gkeys >> jnp.uint64(shift)) & jnp.uint64((1 << width) - 1)
+        shift += width
+        vbit = ((gkeys >> jnp.uint64(shift)) & jnp.uint64(1)) != 0
+        shift += 1
+        tmpl = dv.value.dtype
+        if tmpl == jnp.float32:
+            val = jax.lax.bitcast_convert_type(
+                bits.astype(jnp.uint32), jnp.float32)
+        elif tmpl == jnp.bool_:
+            val = bits != 0
+        elif jnp.issubdtype(tmpl, jnp.signedinteger) and width < 64:
+            sbit = jnp.uint64(1) << jnp.uint64(width - 1)
+            val = (bits.astype(jnp.int64)
+                   ^ sbit.astype(jnp.int64)) - sbit.astype(jnp.int64)
+            val = val.astype(tmpl)
+        else:
+            val = bits.astype(tmpl)
+        values.append(val)
+        valids.append(vbit & slot_used)
+    return values, valids
+
+
 def pack_dim_keys(dim_vals: List[_Val], dim_types: List[int], mask):
     """Per-row group key; filtered rows get the sentinel.
 
@@ -757,6 +806,48 @@ def _measure_lane(plan: CompiledQuery, ctx: _EvalCtx):
 _PREFIX_BLOCK = 512
 
 
+def sorted_starts_marks(first, num: int, n: int, sent_start):
+    """starts[k] = row index of the k-th run-start mark (sent_start — the
+    first sentinel row, or n when none — when there is no k-th mark, which
+    reproduces lower_bound-over-clipped-segment-ids exactly: sentinel rows
+    sort last with clipped id k_groups, so every needle past the live runs
+    lands on the sentinel run). No 4M cumsum and no binary-search gather
+    rounds (a flat searchsorted costs ~3ms at n=4M/num=32k on one v5e: 13+
+    rounds of random scalar gathers).
+
+    Construction: per-block mark counts -> exclusive block ranks -> a tiny
+    scatter-histogram inverts the monotone rank sequence (count_le), so the
+    k-th mark's block is a direct lookup; one contiguous window gather of
+    the candidate block's marks plus an in-block rank count finishes the
+    job. ~1ms at n=4M, num=32k (measured; replaces 1.9ms cumsum+clip +
+    3.1ms two-level search).
+    """
+    L = _PREFIX_BLOCK
+    if first.shape[0] % L != 0:
+        pad = L - first.shape[0] % L
+        first = jnp.concatenate([first, jnp.zeros(pad, jnp.bool_)])
+    nb = first.shape[0] // L
+    f = first.reshape(nb, L)
+    blk_cnt = jnp.sum(f.astype(jnp.int32), axis=1)            # [nb]
+    crank = jnp.cumsum(blk_cnt)
+    blk_rank = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), crank[:-1]])                # exclusive
+    total = crank[nb - 1]
+    j = jnp.arange(num, dtype=jnp.int32)
+    # count_le[j] = #blocks with blk_rank <= j, via a [nb]-sized scatter
+    # histogram (tiny) — cand block of the j-th mark is the last such block
+    hist = jnp.zeros(num + 1, jnp.int32).at[
+        jnp.clip(blk_rank, 0, num)].add(1)
+    cnt_le = jnp.cumsum(hist)[:num]                           # inclusive
+    cand = jnp.clip(cnt_le - 1, 0, nb - 1)                    # [num]
+    win = f[cand]                                             # [num, L]
+    wrank = jnp.cumsum(win.astype(jnp.int32), axis=1)         # inclusive
+    local_j = j - blk_rank[cand]
+    pos = jnp.sum((wrank <= local_j[:, None]).astype(jnp.int32), axis=1)
+    return jnp.where(j < total, cand * L + pos,
+                     sent_start).astype(jnp.int32)
+
+
 def sorted_starts(seg_c, num: int):
     """starts[k] = first index with seg_c >= k, for MONOTONE seg_c.
 
@@ -830,23 +921,207 @@ def sorted_segment_sum(values, num: int, starts, ends):
     return out.astype(values.dtype)
 
 
+RT_DENSE_CAP = 16384   # runtime-dense slot budget: the fused factored
+                       # reduction beats the u64 packed sort below this
+                       # (4.5ms vs 6.6ms at n=4M on one v5e); above it the
+                       # factored kernel's VMEM accumulator costs more than
+                       # the sort saves
+
+
+def _dim_fields(dim_types: List[int]):
+    """(offset, width) of each dim's value+valid field in the exact u64
+    key pack (pack_dim_keys layout)."""
+    fields = []
+    shift = 0
+    for t in dim_types:
+        width = min(_dim_bits(t), 64) + 1   # value bits + valid bit
+        fields.append((shift, width))
+        shift += width
+    return fields
+
+
+def dim_pack_stride(d) -> int:
+    """Static value stride of a dim's packed bits: regular time bucketizers
+    emit FLOOR(ts, width) so every live value is a multiple of `width` —
+    the runtime-dense range check divides by it (a day of hour buckets is
+    24 values, not 86400). Verified on device (alignment check), so a wrong
+    hint can only force the sort fallback, never corrupt the grouping."""
+    e = getattr(d, "expr", None)
+    if (isinstance(e, E.BinaryExpr) and e.op == "FLOOR"
+            and isinstance(e.rhs, E.NumberLiteral) and e.rhs.int_val > 1):
+        return int(e.rhs.int_val)
+    return 1
+
+
+def _runtime_dense_slots(keys, dim_types: List[int],
+                         dim_strides: Optional[List[int]] = None):
+    """Per-batch dense-domain detection: rebase every dim's value field to
+    its live min (divided by its static stride) and multiply the ranges;
+    each dim's valid bit is its own factor-2 field that collapses when all
+    rows agree. Returns (slot[n] i32 with -1 = dropped, fits bool,
+    slot_keys[RT_DENSE_CAP] u64, slots_total u64).
+
+    Slot order equals key order (ascending offsets get ascending strides),
+    so the compacted dense group table is identical in layout to the sort
+    path's."""
+    live = keys != _sentinel_of(keys)
+    k64 = keys.astype(jnp.uint64)
+    strides = dim_strides or [1] * len(dim_types)
+    # (offset, width, value_stride): value field + 1-bit valid field per dim
+    fields = []
+    for (off, width), vs in zip(_dim_fields(dim_types), strides):
+        fields.append((off, width - 1, vs))
+        fields.append((off + width - 1, 1, 1))
+    slots_total = jnp.uint64(1)
+    stride = jnp.uint64(1)
+    slot = jnp.zeros_like(k64)
+    iota = jnp.arange(RT_DENSE_CAP, dtype=jnp.uint64)
+    slot_keys = jnp.zeros(RT_DENSE_CAP, jnp.uint64)
+    aligned = jnp.bool_(True)
+    for off, width, vs in fields:
+        mask = jnp.uint64((1 << width) - 1)
+        f = (k64 >> jnp.uint64(off)) & mask
+        if vs > 1:
+            aligned = aligned & jnp.all(
+                jnp.where(live, f % jnp.uint64(vs), jnp.uint64(0))
+                == jnp.uint64(0))
+            f = f // jnp.uint64(vs)
+        fmin = jnp.min(jnp.where(live, f, mask))
+        fmax = jnp.max(jnp.where(live, f, jnp.uint64(0)))
+        fmin = jnp.minimum(fmin, fmax)  # no live rows -> range 1
+        r = fmax - fmin + jnp.uint64(1)
+        slot = slot + (f - fmin) * stride
+        slot_keys = slot_keys | ((((iota // stride) % r + fmin)
+                                  * jnp.uint64(vs)) << jnp.uint64(off))
+        stride = stride * r
+        # cap the running product so it cannot wrap u64 (62-bit fields ×
+        # ranges; clamp keeps `fits` meaningful)
+        slots_total = jnp.minimum(slots_total * r,
+                                  jnp.uint64(1) << jnp.uint64(62))
+    fits = (slots_total <= jnp.uint64(RT_DENSE_CAP)) & aligned
+    slot_i32 = jnp.where(
+        live, jnp.minimum(slot, jnp.uint64(RT_DENSE_CAP - 1)),
+        jnp.uint64(0)).astype(jnp.int32)
+    slot_i32 = jnp.where(live, slot_i32, jnp.int32(-1))
+    return slot_i32, fits, slot_keys, slots_total
+
+
+def _runtime_dense_reduce(slot, slot_keys, slots_total, mval, mvalid,
+                          k_groups: int):
+    """Dense branch of the adaptive group-by: fused factored MXU reduction
+    over the rebased slots, then compact the (tiny) slot table to the
+    sort path's first-K-groups-in-key-order layout."""
+    from aresdb_tpu.query import pallas_ops as P
+
+    contrib = jnp.where(mvalid, mval, jnp.float32(0))
+    ones_v = jnp.where(mvalid, jnp.float32(1), jnp.float32(0))
+    present = jnp.ones_like(contrib)
+    stacked = jnp.stack([contrib, ones_v, present], axis=1)
+    table = P.factored_segment_sum_indicator(slot, stacked, RT_DENSE_CAP,
+                                             ones_channels=(2,))
+    sidx = jnp.arange(RT_DENSE_CAP, dtype=jnp.int32)
+    live_slot = (table[:, 2] > 0) & (sidx.astype(jnp.uint64) < slots_total)
+    n_groups = jnp.sum(live_slot).astype(jnp.int32)
+    # first-K live slots in slot (== key) order
+    _, sel = jax.lax.sort(((~live_slot).astype(jnp.int8), sidx),
+                          num_keys=1, is_stable=True)
+    m = min(k_groups, RT_DENSE_CAP)   # n_groups <= slots_total <= CAP
+    sel = sel[:m]
+    slot_used = (jnp.arange(k_groups, dtype=jnp.int32) < n_groups)
+    pad = k_groups - m
+    gkeys = jnp.concatenate([slot_keys[sel], jnp.full(pad, SENTINEL64)]) \
+        if pad else slot_keys[sel]
+    agg_m = table[sel, 0]
+    cnt_m = table[sel, 1]
+    if pad:
+        agg_m = jnp.concatenate([agg_m, jnp.zeros(pad, jnp.float32)])
+        cnt_m = jnp.concatenate([cnt_m, jnp.zeros(pad, jnp.float32)])
+    gkeys = jnp.where(slot_used, gkeys, SENTINEL64)
+    aggv = jnp.where(slot_used, agg_m, jnp.float32(0))
+    cnt = jnp.where(slot_used, cnt_m, jnp.float32(0))
+    return gkeys, slot_used, aggv, cnt, n_groups
+
+
 def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
-                  k_groups: int, dim_vals: Optional[List[_Val]] = None):
+                  k_groups: int, dim_vals: Optional[List[_Val]] = None,
+                  dim_types: Optional[List[int]] = None,
+                  sortpack: bool = False,
+                  dim_strides: Optional[List[int]] = None):
+    """Adaptive group-by: a runtime dense-domain check (lax.cond) routes
+    each batch to the fused factored MXU reduction when the live keys' dim
+    ranges multiply to <= RT_DENSE_CAP slots, and to the packed sort
+    pipeline (_reduce_by_key_sorted) otherwise. Group tables are identical
+    either way: first k_groups distinct keys in ascending key order, dims
+    unpacked from the keys. Applies to f32 sum/count/avg with an exact key
+    pack; everything else goes straight to the sort pipeline."""
+    rt_ok = (dim_types is not None and bool(dim_vals)
+             and agg in ("sum", "count", "avg")
+             and mval.dtype == jnp.float32
+             and _rt_dense_enabled())
+    if not rt_ok:
+        return _reduce_by_key_sorted(keys, mval, mvalid, agg, out_float,
+                                     k_groups, dim_vals, dim_types,
+                                     sortpack)
+    slot, fits, slot_keys, slots_total = _runtime_dense_slots(
+        keys, dim_types, dim_strides)
+
+    def dense_b():
+        return _runtime_dense_reduce(slot, slot_keys, slots_total, mval,
+                                     mvalid, k_groups)
+
+    def sort_b():
+        out = _reduce_by_key_sorted(keys, mval, mvalid, agg, out_float,
+                                    k_groups, None, None, sortpack)
+        return out[:5]
+
+    gkeys, slot_used, aggv, cnt, n_groups = jax.lax.cond(
+        fits, dense_b, sort_b)
+    dim_values, dim_valids = unpack_dim_keys(gkeys, dim_vals, dim_types,
+                                             slot_used)
+    return (gkeys, slot_used, aggv, cnt, n_groups,
+            tuple(dim_values), tuple(dim_valids))
+
+
+def _rt_dense_enabled() -> bool:
+    import os
+
+    return os.environ.get("ARES_RTDENSE", "") != "0"
+
+
+def _reduce_by_key_sorted(keys, mval, mvalid, agg: str, out_float: bool,
+                          k_groups: int,
+                          dim_vals: Optional[List[_Val]] = None,
+                          dim_types: Optional[List[int]] = None,
+                          sortpack: bool = False):
     """Sort + segment-reduce rows (or partial tables) by 64-bit group key.
 
     The shared primitive behind per-batch aggregation AND cross-device /
     cross-batch merges — fixed output capacity `k_groups` plus one overflow
     slot; rows with the sentinel key are dropped.
 
-    TPU cost shape (measured at n=4M on one v5e chip): a multi-operand
-    `lax.sort` carries the measure lanes through the sort network almost
-    for free (44ms vs 44ms key-only), while post-hoc gathers by the argsort
-    permutation cost ~124ms EACH and scatter-based segment ops 65-96ms.
-    So everything downstream of the sort uses sorted-contiguity instead of
-    scatters: slot boundaries come from `searchsorted` over the monotone
-    clipped segment ids, sums run on the factored MXU reduction, and
-    min/max fall out of boundary gathers by making the measure a secondary
-    sort key.
+    TPU cost shape (measured at n=4M on one v5e chip, chained dispatch):
+    every operand carried through `lax.sort` costs real bandwidth — and
+    the i8 validity lane is the expensive one: (u32,f32,i8,i32) 8.7ms,
+    (u32,f32,i8) 8.7ms, (u32,f32) 5.7ms, one packed u64 6.7ms — while
+    post-hoc gathers by the argsort permutation cost ~30ms EACH and
+    scatter-based segment ops 65-96ms. So (round 3):
+    (a) runtime key REBASE: group keys usually have tiny dynamic range
+        (a day of hour buckets × a few thousand cities spans ~2^21 even
+        when the static pack needs 50 bits). When max−min of the live
+        keys fits 30 bits, (key−kmin) << 33 | mvalid << 32 | f32-measure
+        bits pack into ONE u64 sort operand (lax.cond picks per batch);
+    (b) otherwise the mvalid bit folds into the key's low bit when the
+        pack fits 62 bits (key62) — a 2-operand sort, no i8 lane;
+    (c) when the key pack is exact (dim_types given), group dim values
+        UNPACK from the group keys and the iota/argsort lane is dropped;
+    (d) everything downstream of the sort uses sorted-contiguity instead
+        of scatters: slot boundaries come from `sorted_starts` over the
+        monotone clipped segment ids, sums from the block-decomposed
+        boundary reduction, and min/max fall out of boundary gathers by
+        making the measure a secondary sort key.
+    Radix partitioning (split on key high bits, B small sorts) was priced
+    and rejected: the partition pass alone is an i8+payload stable sort
+    (~12ms) — more than the whole packed sort.
 
     Returns (group_keys[K], slot_used[K], agg[K], cnt[K], n_groups,
              dim_values, dim_valids).
@@ -856,8 +1131,10 @@ def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
     n = keys.shape[0]
     num = k_groups + 1
     sent = _sentinel_of(keys)
-    iota = jnp.arange(n, dtype=jnp.int32)
     minmax = agg in ("min", "max")
+    unpackable = dim_types is not None and dim_vals
+    need_order = bool(dim_vals) and not unpackable
+    order = None
     if minmax:
         # measure as secondary sort key: per-group min/max become boundary
         # gathers (invalids sort to the min-end/max-end identity)
@@ -868,23 +1145,86 @@ def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
             ident = -_F32_MAX if out_float else jnp.array(
                 np.iinfo(np.int32).min, mval.dtype)
         contrib0 = jnp.where(mvalid, mval, ident)
-        skeys, contrib, mvalid_i8, order = jax.lax.sort(
-            (keys, contrib0, mvalid.astype(jnp.int8), iota),
-            num_keys=2, is_stable=False)
+        ops = (keys, contrib0, mvalid.astype(jnp.int8))
+        if need_order:
+            ops = ops + (jnp.arange(n, dtype=jnp.int32),)
+        sorted_ = jax.lax.sort(ops, num_keys=2, is_stable=False)
+        skeys, contrib, mvalid_i8 = sorted_[:3]
+        if need_order:
+            order = sorted_[3]
+        mvalid = mvalid_i8.astype(jnp.bool_)
+    elif sortpack and mval.dtype == jnp.float32 and not need_order:
+        # keys widen to the canonical u64 space up front; the sentinel is
+        # all-ones in either width, and real key62 keys stay < 2^62
+        k64 = keys.astype(jnp.uint64)
+        if keys.dtype == jnp.uint32:
+            k64 = jnp.where(keys == SENTINEL32, SENTINEL64, k64)
+        live = k64 != SENTINEL64
+        any_live = jnp.any(live)
+        kmin = jnp.min(jnp.where(live, k64, SENTINEL64))
+        kmax = jnp.max(jnp.where(live, k64, jnp.uint64(0)))
+        krange = jnp.where(any_live, kmax - kmin, jnp.uint64(0))
+        bits = jax.lax.bitcast_convert_type(
+            mval, jnp.uint32).astype(jnp.uint64)
+
+        def packed_sort():
+            # (a) rebased single-operand pack
+            packed = (((k64 - kmin) << jnp.uint64(33))
+                      | (mvalid.astype(jnp.uint64) << jnp.uint64(32))
+                      | bits)
+            packed = jnp.where(live, packed, SENTINEL64)
+            (sp,) = jax.lax.sort((packed,), num_keys=1, is_stable=False)
+            live_s = sp != SENTINEL64
+            sk = jnp.where(live_s, (sp >> jnp.uint64(33)) + kmin,
+                           SENTINEL64)
+            mv = (((sp >> jnp.uint64(32)) & jnp.uint64(1)) != 0) & live_s
+            vals = jax.lax.bitcast_convert_type(
+                (sp & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                jnp.float32)
+            return sk, vals, mv
+
+        def folded_sort():
+            # (b) mvalid folded into the key's low bit (no i8 lane)
+            k2 = (k64 << jnp.uint64(1)) | mvalid.astype(jnp.uint64)
+            k2 = jnp.where(live, k2, SENTINEL64)
+            sk2, vals = jax.lax.sort((k2, mval), num_keys=1,
+                                     is_stable=False)
+            live_s = sk2 != SENTINEL64
+            sk = jnp.where(live_s, sk2 >> jnp.uint64(1), SENTINEL64)
+            mv = ((sk2 & jnp.uint64(1)) != 0) & live_s
+            return sk, vals, mv
+
+        skeys, mval, mvalid = jax.lax.cond(
+            krange < jnp.uint64(1 << 30), packed_sort, folded_sort)
+        sent = SENTINEL64
     else:
-        skeys, mval, mvalid_i8, order = jax.lax.sort(
-            (keys, mval, mvalid.astype(jnp.int8), iota),
-            num_keys=1, is_stable=False)
-    mvalid = mvalid_i8.astype(jnp.bool_)
+        ops = (keys, mval, mvalid.astype(jnp.int8))
+        if need_order:
+            ops = ops + (jnp.arange(n, dtype=jnp.int32),)
+        sorted_ = jax.lax.sort(ops, num_keys=1, is_stable=False)
+        skeys, mval, mvalid_i8 = sorted_[:3]
+        if need_order:
+            order = sorted_[3]
+        mvalid = mvalid_i8.astype(jnp.bool_)
     first = jnp.concatenate([jnp.ones(1, jnp.bool_), skeys[1:] != skeys[:-1]])
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
     live = skeys != sent
-    # sentinel rows sort last and seg ascends, so the clipped ids stay
-    # monotone — each slot owns one contiguous sorted span
-    seg_c = jnp.where(live & (seg < k_groups), seg, k_groups)
     prefix = _prefix_enabled()
-    starts = sorted_starts(seg_c, num) if prefix else jnp.searchsorted(
-        seg_c, jnp.arange(num, dtype=jnp.int32)).astype(jnp.int32)
+
+    def _seg_ids():
+        # sentinel rows sort last and seg ascends, so the clipped ids stay
+        # monotone — each slot owns one contiguous sorted span
+        seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+        return jnp.where(live & (seg < k_groups), seg, k_groups)
+
+    if prefix:
+        # marks ARE the slot boundaries; no per-row segment ids needed on
+        # the f32 path (integer sums below still build them for scatter)
+        sent_start = jnp.sum(live.astype(jnp.int32))  # sentinels sort last
+        starts = sorted_starts_marks(first, num, n, sent_start)
+    else:
+        seg_c = _seg_ids()
+        starts = jnp.searchsorted(
+            seg_c, jnp.arange(num, dtype=jnp.int32)).astype(jnp.int32)
     ends = jnp.concatenate([starts[1:], jnp.array([n], jnp.int32)])
 
     ones = jnp.where(mvalid, jnp.float32(1), jnp.float32(0))
@@ -902,7 +1242,7 @@ def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
             cnt = both[:k_groups, 1]
         else:
             # integer sums keep their wide accumulator (scatter path)
-            aggv = jax.ops.segment_sum(contrib, seg_c,
+            aggv = jax.ops.segment_sum(contrib, _seg_ids(),
                                        num_segments=num)[:k_groups]
             if prefix:
                 cnt = sorted_segment_sum(ones[:, None], num, starts,
@@ -928,7 +1268,7 @@ def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
     # representative row per slot = any member row (same key → same dims):
     # the first sorted position of the span, mapped back to row space
     start_pos = jnp.clip(starts[:k_groups], 0, n - 1)
-    rep_safe = order[start_pos]
+    rep_safe = order[start_pos] if order is not None else None
     gkeys = skeys[start_pos]
     n_live_groups = jnp.sum(first & live).astype(jnp.int32)
     slot_used = (jnp.arange(k_groups, dtype=jnp.int32) < n_live_groups) & \
@@ -942,11 +1282,17 @@ def reduce_by_key(keys, mval, mvalid, agg: str, out_float: bool,
     gkeys = jnp.where(slot_used, gkeys.astype(jnp.uint64), SENTINEL64)
     n_groups = n_live_groups
 
-    dim_values = []
-    dim_valids = []
-    for dv in dim_vals or []:
-        dim_values.append(dv.value[rep_safe])
-        dim_valids.append(dv.valid[rep_safe] & slot_used)
+    if unpackable:
+        # exact key pack: dim values come straight from the group keys
+        # (no [n]-sized representative-row gathers, no argsort lane)
+        dim_values, dim_valids = unpack_dim_keys(
+            gkeys, dim_vals, dim_types, slot_used)
+    else:
+        dim_values = []
+        dim_valids = []
+        for dv in dim_vals or []:
+            dim_values.append(dv.value[rep_safe])
+            dim_valids.append(dv.valid[rep_safe] & slot_used)
     return (gkeys, slot_used, aggv, cnt, n_groups,
             tuple(dim_values), tuple(dim_valids))
 
@@ -957,10 +1303,16 @@ def agg_batch_body(plan: CompiledQuery, n_rows: int, k_groups: int,
     ctx = _EvalCtx(columns, foreign, n_rows)
     mask, dim_vals = _eval_common(plan, ctx, n_valid, live_cutoff)
     mlane = _measure_lane(plan, ctx)
-    keys = pack_dim_keys(dim_vals, [_packing_type(d) for d in plan.dimensions], mask)
+    ptypes = [_packing_type(d) for d in plan.dimensions]
+    keys = pack_dim_keys(dim_vals, ptypes, mask)
+    exact, key62 = pack_modes(ptypes)
     gkeys, slot_used, aggv, cnt, n_groups, dim_values, dim_valids = \
         reduce_by_key(keys, mlane.value, mlane.valid, plan.measure.agg,
-                      plan.measure.out_float, k_groups, dim_vals)
+                      plan.measure.out_float, k_groups, dim_vals,
+                      dim_types=ptypes if (exact and dim_vals) else None,
+                      sortpack=key62,
+                      dim_strides=[dim_pack_stride(d)
+                                   for d in plan.dimensions])
     rep_safe = jnp.zeros_like(gkeys, jnp.int32)  # retained for ABI stability
     return (gkeys, rep_safe, slot_used, aggv, cnt, n_groups,
             dim_values, dim_valids)

@@ -143,12 +143,30 @@ def main() -> None:
     print(f"dense per-iter-sync diagnostic: "
           f"{n_rows*iters/el_sync/1e6:.1f}M rows/s", file=sys.stderr)
 
-    # ---- sort path (general high-cardinality group-by)
+    # ---- sort path, forced past the static dense planner (k=32k). The
+    # runtime dense-domain check (kernels.reduce_by_key) re-detects the
+    # bounded hour×city domain per batch and routes to the factored MXU
+    # reduction — the adaptive-aggregation fast path.
     rps, sec = chained_rps(
         lambda c: K.agg_batch_body(plan, n_rows, 1 << 15, c, (),
                                    np.int32(n_rows)),
         columns, lambda out: jnp.sum(out[3]))
     record("sort", plan, rps, sec)
+
+    # ---- true high-cardinality sort: group by raw fare (f32 bit patterns,
+    # ~4M distinct) — the runtime check cannot compact this, so it runs the
+    # genuine packed-sort pipeline
+    hc_query = dict(demo.DEMO_QUERY)
+    hc_query["dimensions"] = [{"sqlExpression": "fare"}]
+    hc_plan = demo.demo_plan(hc_query)
+    hc_cols_np, _ = demo.demo_columns(hc_plan, n_rows)
+    hc_columns = {k: (jnp.asarray(v), jnp.asarray(b))
+                  for k, (v, b) in hc_cols_np.items()}
+    rps, sec = chained_rps(
+        lambda c: K.agg_batch_body(hc_plan, n_rows, 1 << 15, c, (),
+                                   np.int32(n_rows)),
+        hc_columns, lambda out: jnp.sum(out[3]))
+    record("sort_hicard", hc_plan, rps, sec)
 
     # ---- HLL path (countdistincthll over the UUID column)
     hll_query = dict(demo.DEMO_QUERY)

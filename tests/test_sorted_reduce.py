@@ -151,3 +151,92 @@ def test_u32_narrow_keys_match_u64_packing():
     expect = np.where(mask, expect, K.SENTINEL64)
     # null dims zero their value bits
     assert np.array_equal(wide, expect)
+
+
+@pytest.mark.parametrize("agg", ["sum", "count", "avg"])
+def test_runtime_dense_matches_sort_path(agg, monkeypatch):
+    """The adaptive runtime-dense branch (small live key ranges -> factored
+    MXU reduction) must produce the same group table as the sort pipeline."""
+    from aresdb_tpu.common import data_types as mdt
+
+    rng = np.random.RandomState(5)
+    n, kg = 20000, 256
+    # two dims: Uint32 time bucket with a huge base (static pack 50 bits,
+    # runtime range tiny) + Uint16 city
+    tbucket = (1_600_000_000 + rng.randint(0, 20, n) * 3600).astype(np.uint64)
+    city = rng.randint(0, 50, n).astype(np.uint64)
+    tvalid = rng.rand(n) > 0.05
+    cvalid = rng.rand(n) > 0.05
+    key = jnp.zeros(n, jnp.uint64)
+    key = key | jnp.asarray(np.where(tvalid, tbucket, 0))
+    key = key | (jnp.asarray(tvalid).astype(jnp.uint64) << jnp.uint64(32))
+    key = key | (jnp.asarray(np.where(cvalid, city, 0)) << jnp.uint64(33))
+    key = key | (jnp.asarray(cvalid).astype(jnp.uint64) << jnp.uint64(49))
+    keys = np.asarray(key).copy()
+    keys[rng.rand(n) < 0.1] = K.SENTINEL64
+    mval = rng.rand(n).astype(np.float32) * 10
+    mvalid = rng.rand(n) > 0.15
+
+    class _V:
+        def __init__(self, value, valid):
+            self.value = value
+            self.valid = valid
+
+    dim_vals = [
+        _V(jnp.asarray(np.where(tvalid, tbucket, 0).astype(np.uint32)),
+           jnp.asarray(tvalid)),
+        _V(jnp.asarray(np.where(cvalid, city, 0).astype(np.uint32)),
+           jnp.asarray(cvalid)),
+    ]
+    dim_types = [mdt.Uint32, mdt.Uint16]
+
+    outs = []
+    for flag in ("1", "0"):
+        monkeypatch.setenv("ARES_RTDENSE", flag)
+        out = K.reduce_by_key(jnp.asarray(keys), jnp.asarray(mval),
+                              jnp.asarray(mvalid), agg, True, kg,
+                              dim_vals, dim_types=dim_types, sortpack=True)
+        outs.append(out)
+    (k1, u1, a1, c1, g1, dv1, db1), (k0, u0, a0, c0, g0, dv0, db0) = outs
+    assert np.array_equal(np.asarray(k0), np.asarray(k1))
+    assert np.array_equal(np.asarray(u0), np.asarray(u1))
+    assert int(g0) == int(g1)
+    assert np.array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1),
+                               rtol=3e-4, atol=1e-3)
+    for a, b in zip(dv0, dv1):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(db0, db1):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_runtime_dense_falls_back_on_wide_ranges(monkeypatch):
+    """id-like keys (full 32-bit range) must take the sort branch and agree
+    with ARES_RTDENSE=0."""
+    from aresdb_tpu.common import data_types as mdt
+
+    rng = np.random.RandomState(9)
+    n, kg = 8192, 8192
+    ids = rng.randint(0, 1 << 31, n).astype(np.uint64)
+    key = jnp.asarray(ids) | (jnp.uint64(1) << jnp.uint64(32))
+    keys = np.asarray(key)
+    mval = rng.rand(n).astype(np.float32)
+    mvalid = np.ones(n, bool)
+
+    class _V:
+        def __init__(self, value, valid):
+            self.value = value
+            self.valid = valid
+
+    dim_vals = [_V(jnp.asarray(ids.astype(np.uint32)),
+                   jnp.ones(n, bool))]
+    outs = []
+    for flag in ("1", "0"):
+        monkeypatch.setenv("ARES_RTDENSE", flag)
+        out = K.reduce_by_key(jnp.asarray(keys), jnp.asarray(mval),
+                              jnp.asarray(mvalid), "sum", True, kg,
+                              dim_vals, dim_types=[mdt.Uint32],
+                              sortpack=True)
+        outs.append(out)
+    for a, b in zip(outs[0][:5], outs[1][:5]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
