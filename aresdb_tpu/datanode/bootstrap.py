@@ -9,6 +9,7 @@ metadata, then normal recovery) and datanode/bootstrap/bootstrap_server.go
 from __future__ import annotations
 
 import random
+import time as _time
 from typing import List, Optional
 
 import requests
@@ -18,6 +19,18 @@ from aresdb_tpu.cluster.topology import TopologyView
 
 class BootstrapError(Exception):
     pass
+
+
+def _report_vp_fetch(table: str, shard_id: int, nbytes: int,
+                     seconds: float) -> None:
+    """Per-file transfer metrics (utils/metrics.go RawVPFetch*; throughput
+    parity surface for bootstrap_server_bm_test.go BenchmarkFileTransfer)."""
+    from aresdb_tpu.utils import metrics as M
+
+    rep = M.root().scoped(table=table, shard=str(shard_id))
+    rep.count(M.RAW_VP_BYTES_FETCHED, nbytes)
+    rep.count(M.RAW_VP_FETCH_SUCCESS, 1)
+    rep.record_timer(M.RAW_VP_FETCH_TIME, seconds)
 
 
 def find_bootstrap_source(view: TopologyView, shard_id: int,
@@ -115,19 +128,25 @@ def bootstrap_shard(peer_address: str, table: str, shard_id: int,
         r.raise_for_status()
         meta = r.json()
 
-        copied = {"archive": 0, "snapshot": 0, "redolog": 0, "delta": 0}
+        copied = {"archive": 0, "snapshot": 0, "redolog": 0, "delta": 0,
+                  "bytes": 0}
+        t_copy0 = _time.perf_counter()
 
         # archive batches
         for bid_s, (version, seq, size) in meta["batches"].items():
             bid = int(bid_s)
             cols = meta["archiveColumns"].get(f"{bid}_{version}_{seq}", [])
             for col in cols:
+                t0 = _time.perf_counter()
                 fr = s.get(f"{base}/archive/{bid}/{version}/{seq}/{col}"
                            f"?session={session_id}", timeout=300)
                 fr.raise_for_status()
                 diskstore.write_archive_column(
                     table, shard_id, bid, version, seq, col, fr.content)
                 copied["archive"] += 1
+                copied["bytes"] += len(fr.content)
+                _report_vp_fetch(table, shard_id, len(fr.content),
+                                 _time.perf_counter() - t0)
             metastore.add_archive_batch_version(
                 table, shard_id, bid, version, seq, size)
 
@@ -135,12 +154,16 @@ def bootstrap_shard(peer_address: str, table: str, shard_id: int,
         srf, soff, sbid, sidx = meta["snapshotProgress"]
         for bid_s, cols in meta.get("snapshotBatches", {}).items():
             for col in cols:
+                t0 = _time.perf_counter()
                 fr = s.get(f"{base}/snapshot/{srf}/{soff}/{bid_s}/{col}"
                            f"?session={session_id}", timeout=300)
                 fr.raise_for_status()
                 diskstore.write_snapshot_column(
                     table, shard_id, srf, soff, int(bid_s), col, fr.content)
                 copied["snapshot"] += 1
+                copied["bytes"] += len(fr.content)
+                _report_vp_fetch(table, shard_id, len(fr.content),
+                                 _time.perf_counter() - t0)
         if (srf, soff) != (0, 0):
             metastore.update_snapshot_progress(
                 table, shard_id, srf, soff, sbid, sidx)
@@ -151,6 +174,7 @@ def bootstrap_shard(peer_address: str, table: str, shard_id: int,
             log_sizes[creation_time] = _copy_redolog(
                 s, base, qs, diskstore, table, shard_id, creation_time, 0)
             copied["redolog"] += 1
+            copied["bytes"] += log_sizes[creation_time]
 
         # delta catch-up: rows ingested on the peer while the files were
         # copying live in redolog tails (archive/snapshot files cannot have
@@ -170,6 +194,14 @@ def bootstrap_shard(peer_address: str, table: str, shard_id: int,
             table, shard_id, meta2["archivingCutoff"])
         rf, off = meta2["backfillProgress"]
         metastore.update_backfill_progress(table, shard_id, rf, off)
+        elapsed = max(_time.perf_counter() - t_copy0, 1e-9)
+        copied["seconds"] = round(elapsed, 3)
+        copied["mb_per_sec"] = round(copied["bytes"] / elapsed / 1e6, 2)
+        from aresdb_tpu.utils import metrics as M
+
+        rep = M.root().scoped(table=table, shard=str(shard_id))
+        rep.record_timer(M.TOTAL_RAW_VP_FETCH_TIME, elapsed)
+        rep.gauge(M.RAW_VP_FETCH_BYTES_PER_SEC, copied["bytes"] / elapsed)
         return copied
     finally:
         keepalive.stop()

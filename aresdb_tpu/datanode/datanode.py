@@ -214,10 +214,16 @@ class DataNode:
                 if peer is None:
                     break  # no peer owns the shard: fresh/empty start
                 try:
-                    bootstrap_shard(peer, table, shard_id,
-                                    self.memstore.diskstore,
-                                    self.memstore.metastore,
-                                    session=self.session)
+                    copied = bootstrap_shard(peer, table, shard_id,
+                                             self.memstore.diskstore,
+                                             self.memstore.metastore,
+                                             session=self.session)
+                    log.info(
+                        "bootstrap of %s/%s from %s: %d files, %.1f MB in "
+                        "%.2fs (%.1f MB/s)", table, shard_id, peer,
+                        copied["archive"] + copied["snapshot"]
+                        + copied["redolog"], copied["bytes"] / 1e6,
+                        copied["seconds"], copied["mb_per_sec"])
                     break
                 except Exception as e:
                     if attempt + 1 >= self.BOOTSTRAP_RETRIES:

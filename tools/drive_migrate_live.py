@@ -182,6 +182,18 @@ def main():
     print("post-migration owners:", owners, flush=True)
     assert any("dn1" in v for v in owners.values())
 
+    # peer-copy throughput (reference BenchmarkFileTransfer,
+    # datanode/bootstrap/bootstrap_server_bm_test.go)
+    from aresdb_tpu.utils import metrics as M
+
+    bw = M.root().find("RawVPFetchBytesPerSec")
+    fetched = M.root().find("RawVPBytesFetched")
+    total_mb = sum(fetched.values()) / 1e6 if fetched else 0.0
+    for series, v in sorted(bw.items()):
+        print(f"peer-copy bandwidth {series}: {v/1e6:.1f} MB/s "
+              f"({total_mb:.1f} MB fetched)", flush=True)
+    assert bw, "bootstrap must report transfer bandwidth"
+
     time.sleep(1.5)  # a little post-migration traffic
     stop.set()
     wt.join(timeout=30)
