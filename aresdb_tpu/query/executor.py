@@ -15,6 +15,7 @@ query/aql_batchexecutor.go. The TPU design differs deliberately:
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -345,6 +346,8 @@ class ShardExecutor:
             self._resolve_hll_pending(plan, table)
             table.finalize()
         M.root().count(M.QUERY_ROWS_RETURNED, len(table.groups))
+        M.root().record_timer(M.QUERY_BATCH_TRANSFER_TIME,
+                              plan.stats.get("transfer", 0.0))
         return table, None
 
     @staticmethod
@@ -410,8 +413,11 @@ class ShardExecutor:
                         if plan.to_ts and tmin >= plan.to_ts:
                             continue
             _check_deadline(plan)
-            yield self._stage_live_batch(schema, batch, n, used, stat_keys) \
-                + (live_cutoff,)
+            staged = self._stage_live_batch(schema, batch, n, used,
+                                            stat_keys)
+            M.root().count(M.QUERY_LIVE_BATCH_PROCESSED, 1)
+            M.root().count(M.QUERY_LIVE_RECORDS_PROCESSED, staged[1])
+            yield staged + (live_cutoff,)
 
         # archive batches (fact tables): day-ranged by the time filter —
         # but ONLY when the time filter targets the event time column
@@ -431,6 +437,9 @@ class ShardExecutor:
                 staged = self._stage_archive_batch(schema, ab, used, stat_keys,
                                                    plan)
                 if staged is not None:
+                    M.root().count(M.QUERY_ARCHIVE_BATCH_PROCESSED, 1)
+                    M.root().count(M.QUERY_ARCHIVE_RECORDS_PROCESSED,
+                                   staged[1])
                     yield staged + (0,)
 
     @staticmethod
@@ -938,46 +947,84 @@ class ShardExecutor:
             (k, out, columns, foreign_idx, n_valid, n_padded, live_cutoff))
 
     def _resolve_hll_pending(self, plan, table: GroupTable) -> None:
-        """Two-round gather for all pending HLL batches: group counts first
-        (one round trip), then register/metadata arrays sliced to the live
-        groups — a K×16KB register table would otherwise cross the wire
-        whole for every batch. Overflowed batches re-run on a bigger K."""
-        pending = getattr(plan, "_exec_hll_pending", [])
-        plan._exec_hll_pending = []
-        if not pending:
+        """Resolve all pending HLL batches with ONE device-side cross-batch
+        register merge (segment-max by group key), so the 16KB-per-group
+        register planes cross the wire at most once — and for JSON queries
+        not at all: only the two per-group register reductions the
+        estimator needs (Σ 2^-rho + zeros, #non-zero; 16 bytes per group)
+        are fetched, with hll.estimate_from_stats finishing on host.
+        Binary wire responses (plan.hll_registers, Accept: application/hll
+        — which is also how the broker merges datanode partials) fetch the
+        merged register table, count-sliced in a second round. Overflowed
+        batches re-run on a bigger K first."""
+        sliced = []
+        while True:
+            pending = getattr(plan, "_exec_hll_pending", [])
+            plan._exec_hll_pending = []
+            if not pending:
+                break
+            counts = jax.device_get([entry[1][4] for entry in pending])
+            for entry, n_groups in zip(pending, counts):
+                k, out = entry[0], entry[1]
+                if int(n_groups) <= k:
+                    kg = min(round_up_pow2(max(int(n_groups), 1), 8), k)
+                    (gkeys, slot_used, registers, cnt, _, dim_values,
+                     dim_valids) = out
+                    sliced.append((gkeys[:kg], slot_used[:kg],
+                                   registers[:kg], cnt[:kg],
+                                   tuple(dv[:kg] for dv in dim_values),
+                                   tuple(dv[:kg] for dv in dim_valids)))
+                    continue
+                n_groups = int(n_groups)
+                (old_k, _, columns, foreign_idx, n_valid, n_padded,
+                 live_cutoff) = entry
+                if n_groups > 4096:
+                    raise QueryError(
+                        f"hll group cardinality {n_groups} exceeds 4096")
+                k2 = min(round_up_pow2(n_groups, 256), 4096)
+                from aresdb_tpu.query.kernels import plan_signature
+                sig = "hll:" + plan_signature(plan)
+                self._k_hints[sig] = max(self._k_hints.get(sig, 0), k2)
+                self._run_hll_batch(plan, columns, foreign_idx, n_valid,
+                                    n_padded, table, live_cutoff, k=k2)
+        if not sliced:
             return
-        counts = jax.device_get([entry[1][4] for entry in pending])
-        slices = []
-        retries = []
-        for entry, n_groups in zip(pending, counts):
-            k, out = entry[0], entry[1]
-            if int(n_groups) > k:
-                retries.append((entry, int(n_groups)))
-                continue
-            kg = min(round_up_pow2(max(int(n_groups), 1), 8), k)
-            (gkeys, slot_used, registers, cnt, _, dim_values,
-             dim_valids) = out
-            slices.append((gkeys[:kg], slot_used[:kg], registers[:kg],
-                           cnt[:kg],
-                           tuple(dv[:kg] for dv in dim_values),
-                           tuple(dv[:kg] for dv in dim_valids)))
-        for gkeys, slot_used, registers, cnt, dim_values, dim_valids in \
-                jax.device_get(slices):
-            table.merge_keyed(gkeys, slot_used, registers, cnt,
-                              list(dim_values), list(dim_valids))
-        for (old_k, _, columns, foreign_idx, n_valid, n_padded,
-             live_cutoff), n_groups in retries:
-            if n_groups > 4096:
-                raise QueryError(
-                    f"hll group cardinality {n_groups} exceeds 4096")
-            k2 = min(round_up_pow2(n_groups, 256), 4096)
-            from aresdb_tpu.query.kernels import plan_signature
-            sig = "hll:" + plan_signature(plan)
-            self._k_hints[sig] = max(self._k_hints.get(sig, 0), k2)
-            self._run_hll_batch(plan, columns, foreign_idx, n_valid,
-                                n_padded, table, live_cutoff, k=k2)
-        if plan._exec_hll_pending:
-            self._resolve_hll_pending(plan, table)
+        import jax.numpy as jnp
+
+        gkeys = jnp.concatenate([s[0] for s in sliced])
+        used = jnp.concatenate([s[1] for s in sliced])
+        regs = jnp.concatenate([s[2] for s in sliced])
+        cnt = jnp.concatenate([s[3] for s in sliced])
+        n_dims = len(sliced[0][4])
+        dims = [jnp.concatenate([s[4][d] for s in sliced])
+                for d in range(n_dims)]
+        dvalids = [jnp.concatenate([s[5][d] for s in sliced])
+                   for d in range(n_dims)]
+        want_regs = bool(getattr(plan, "hll_registers", False))
+        merged = _hll_merge_device(gkeys, used, regs, cnt, tuple(dims),
+                                   tuple(dvalids), want_regs)
+        if want_regs:
+            (m_keys, m_used, m_cnt, m_dims, m_dvalids, n_uniq,
+             m_regs) = merged
+            kg = min(round_up_pow2(max(int(jax.device_get(n_uniq)), 1), 8),
+                     int(m_keys.shape[0]))
+            (m_keys, m_used, m_regs, m_cnt, m_dims, m_dvalids) = \
+                jax.device_get((m_keys[:kg], m_used[:kg], m_regs[:kg],
+                                m_cnt[:kg],
+                                tuple(dv[:kg] for dv in m_dims),
+                                tuple(dv[:kg] for dv in m_dvalids)))
+            table.merge_keyed(m_keys, m_used, m_regs, m_cnt,
+                              list(m_dims), list(m_dvalids))
+            return
+        from aresdb_tpu.query import hll as H
+
+        (m_keys, m_used, m_cnt, m_dims, m_dvalids, _,
+         sum_recip, non_zero) = jax.device_get(merged)
+        ests = np.array([
+            H.estimate_from_stats(float(sr), float(nz)) if u else 0.0
+            for sr, nz, u in zip(sum_recip, non_zero, m_used)])
+        table.merge_keyed(m_keys, m_used, ests, m_cnt,
+                          list(m_dims), list(m_dvalids))
 
     # -- non-agg execution --
 
@@ -1072,6 +1119,64 @@ class ShardExecutor:
 # ---------------------------------------------------------------------------
 # staging helpers
 # ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("want_regs",))
+def _hll_merge_device(gkeys, used, regs, cnt, dims, dvalids,
+                      want_regs: bool):
+    """Cross-batch HLL merge ON DEVICE: segment-max the register planes of
+    equal group keys so at most one [G, 16384] table (or, for JSON
+    queries, just per-group estimator stats) ever crosses the host link.
+    Inputs are the concatenated per-batch sliced group tables (a few
+    hundred to a few thousand rows). Returns
+    (keys, used, cnt, dims, dvalids, n_uniq, regs) when want_regs else
+    (keys, used, cnt, dims, dvalids, n_uniq, sum_recip f64, non_zero i32).
+    Reference peer: query/hll.cu:21 builds per-batch register planes and
+    the Go layer merges fetched planes host-side (query/hll.go:28)."""
+    from aresdb_tpu.query.kernels import SENTINEL64
+
+    n = gkeys.shape[0]
+    keyed = jnp.where(used, gkeys, SENTINEL64)
+    skeys, order = jax.lax.sort(
+        (keyed, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
+        is_stable=True)
+    regs_s = regs[order]
+    cnt_s = cnt[order]
+    first = jnp.concatenate([jnp.ones(1, jnp.bool_),
+                             skeys[1:] != skeys[:-1]])
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    live = skeys != SENTINEL64
+    n_uniq = jnp.sum((first & live).astype(jnp.int32))
+    m_regs = jax.ops.segment_max(regs_s.astype(jnp.int32), seg,
+                                 num_segments=n).astype(regs.dtype)
+    m_cnt = jax.ops.segment_sum(cnt_s, seg, num_segments=n)
+    rep = jax.ops.segment_min(jnp.arange(n, dtype=jnp.int32), seg,
+                              num_segments=n)
+    rep = jnp.clip(rep, 0, n - 1)
+    m_keys = skeys[rep]
+    m_used = jnp.arange(n, dtype=jnp.int32) < n_uniq
+    m_keys = jnp.where(m_used, m_keys, SENTINEL64)
+    src = order[rep]
+    m_dims = tuple(dv[src] for dv in dims)
+    m_dvalids = tuple((dv[src] & m_used) for dv in dvalids)
+    if want_regs:
+        return (m_keys, m_used, m_cnt, m_dims, m_dvalids, n_uniq, m_regs)
+    # estimator stats: Σ 2^-rho over present registers + zero count as
+    # 2^0 terms is NOT the formula — zeros contribute 1.0 each
+    # (hll.compute_estimate); 2^-rho built bit-exactly in f64
+    present = m_regs > 0
+    non_zero = jnp.sum(present.astype(jnp.int32), axis=1)
+    rho = jnp.minimum(m_regs.astype(jnp.uint64), jnp.uint64(1022))
+    bits = (jnp.uint64(1023) - rho) << jnp.uint64(52)
+    recip = jax.lax.bitcast_convert_type(bits, jnp.float64)
+    sum_recip = jnp.sum(jnp.where(present, recip, jnp.float64(0)),
+                        axis=1)
+    from aresdb_tpu.query import hll as _H
+
+    sum_recip = sum_recip + (jnp.float64(_H.HLL_M)
+                             - non_zero.astype(jnp.float64))
+    return (m_keys, m_used, m_cnt, m_dims, m_dvalids, n_uniq,
+            sum_recip, non_zero)
+
 
 def _pad_column(values: np.ndarray, validity: np.ndarray, n_padded: int,
                 data_type: int):

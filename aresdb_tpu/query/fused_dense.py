@@ -153,6 +153,12 @@ def plan_fused(plan: CompiledQuery, dense_plan) -> Optional[FusedSpec]:
         return None  # integer sums keep their wide XLA accumulator
     if plan.geo is not None or plan.foreign_tables:
         return None
+    if not plan.dimensions:
+        # no-dims plans make the slot lane a replicated constant, and
+        # Mosaic rejects the i1 relayout into the bf16 one-hot build
+        # ("Invalid relayout ... replicated in destination"); a global
+        # aggregate is a plain reduction the XLA kernel already handles
+        return None
     if any(d.geo_dim for d in plan.dimensions):
         return None
     for dom in dense_plan.domains:

@@ -126,6 +126,24 @@ def _estimate_bias(estimate: float) -> float:
     return float(_BIAS[start:end][order].mean())
 
 
+def estimate_from_stats(sum_recip: float, non_zero: float) -> float:
+    """HLL.Compute's scalar tail given the two register reductions
+    (Σ 2^-rho + zeros, #non-zero) — the only register-dependent inputs.
+    The executor computes these reductions ON DEVICE so JSON queries fetch
+    16 bytes per group instead of the 16KB register plane."""
+    m = float(HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    estimate = alpha * m * m / sum_recip
+    if estimate <= 5.0 * m:
+        estimate -= _estimate_bias(estimate)
+    estimate_h = estimate
+    if non_zero < m:
+        estimate_h = m * np.log(m / (m - non_zero))
+    if estimate_h <= HLL_THRESHOLD:
+        estimate = estimate_h
+    return float(int(estimate))
+
+
 def compute_estimate(registers: np.ndarray) -> float:
     """registers: uint8[16384] holding the STORED rho (0 = never observed).
 
@@ -139,16 +157,7 @@ def compute_estimate(registers: np.ndarray) -> float:
     non_zero = float(np.count_nonzero(present))
     rho = registers[present].astype(np.int64)
     sum_recip = float(np.sum(np.ldexp(1.0, -rho))) + (m - non_zero)
-    alpha = 0.7213 / (1 + 1.079 / m)
-    estimate = alpha * m * m / sum_recip
-    if estimate <= 5.0 * m:
-        estimate -= _estimate_bias(estimate)
-    estimate_h = estimate
-    if non_zero < m:
-        estimate_h = m * np.log(m / (m - non_zero))
-    if estimate_h <= HLL_THRESHOLD:
-        estimate = estimate_h
-    return float(int(estimate))
+    return estimate_from_stats(sum_recip, non_zero)
 
 
 # ---------------------------------------------------------------------------

@@ -84,7 +84,11 @@ def _measure_value(plan: CompiledQuery, agg_value, count: int) -> Optional[float
     m = plan.measure
     if m.agg == "hll":
         from aresdb_tpu.query import hll as H
-        return H.compute_estimate(np.asarray(agg_value))
+        a = np.asarray(agg_value)
+        if a.ndim == 0:
+            # executor already estimated on device stats (JSON fast path)
+            return float(a)
+        return H.compute_estimate(a)
     if m.agg == "avg":
         if count == 0:
             return None

@@ -84,6 +84,10 @@ class QueryService:
                     raise QueryError(
                         "expect hll aggregate function when Accept is "
                         "application/hll")
+                # binary responses (and broker merges) need the raw
+                # register planes; JSON queries fetch only per-group
+                # estimate stats (executor._resolve_hll_pending)
+                plan.hll_registers = True
                 with self._admit(plan):
                     table, _ = self.executor.execute(plan)
                 out.write_result(W.serialize_result_table(plan, table))

@@ -86,6 +86,16 @@ r, cold = timed(q3); r, warm = timed(q3)
 battery.append(("hll distinct ids (8.4M)", cold, warm,
                 abs(r[""] - n) / n < 0.05))
 
+q3b = {"table": "trips",
+       "measures": [{"sqlExpression": "countdistincthll(id)"}],
+       "dimensions": [{"sqlExpression": "city_id"}], "now": NOW}
+r, cold = timed(q3b); r, warm = timed(q3b)
+exp_per_city = np.bincount(city, minlength=300)
+ok3b = (len(r) >= 290 and all(
+    abs(v - exp_per_city[int(c)]) / max(exp_per_city[int(c)], 1) < 0.1
+    for c, v in list(r.items())[:50]))
+battery.append(("hll by city (300 groups)", cold, warm, ok3b))
+
 q4 = {"table": "trips",
       "joins": [{"table": "cities", "alias": "c",
                  "conditions": ["c.id = city_id"]}],
