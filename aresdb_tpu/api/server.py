@@ -29,6 +29,14 @@ class _Base(tornado.web.RequestHandler):
     def initialize(self, ctx):
         self.ctx = ctx
 
+    def on_finish(self):
+        # utils/metrics.go HTTPHandlerCall/Latency (per-handler tags)
+        name = type(self).__name__
+        M.root().count(M.HTTP_HANDLER_CALL, 1, tags={"handler": name})
+        M.root().record_timer(M.HTTP_HANDLER_LATENCY,
+                              self.request.request_time(),
+                              tags={"handler": name})
+
     def write_json(self, obj, status: int = 200):
         self.set_status(status)
         self.set_header("Content-Type", "application/json")

@@ -11,6 +11,7 @@ broker/query_plan_non_agg.go (streaming limit push), result merge lattice
 from __future__ import annotations
 
 import copy
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -142,17 +143,22 @@ class BrokerExecutor:
         hll_binary: request `application/hll` and return the parsed
         (tree, dim_specs) pair (reference dataNodeQueryClient.QueryRaw +
         ParseHLLQueryResults)."""
+        from aresdb_tpu.utils import metrics as M
+
         sub = copy.deepcopy(query)
         sub["shards"] = shards
         last_err = None
         headers = {"Accept": W.CONTENT_TYPE} if hll_binary else None
         for attempt in range(RETRIES):
             try:
+                t0 = time.perf_counter()
                 r = self.session.post(
                     f"http://{host.address}/query/aql",
                     json={"queries": [sub], "verbose": ctx_out is not None},
                     headers=headers, timeout=120)
                 r.raise_for_status()
+                M.root().record_timer(M.TIME_WAITED_FOR_DATA_NODE,
+                                      time.perf_counter() - t0)
                 if hll_binary:
                     results, errors = W.parse_hll_query_results(r.content)
                     if errors and errors[0]:
@@ -178,6 +184,7 @@ class BrokerExecutor:
                 return body["results"][0]
             except (requests.RequestException, BrokerError, ValueError) as e:
                 last_err = e
+                M.root().count(M.DATA_NODE_QUERY_FAILURES, 1)
                 self.topology.mark_unhealthy(host.name)
         raise BrokerError(
             f"datanode {host.address} failed after {RETRIES} tries: {last_err}")

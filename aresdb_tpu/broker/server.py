@@ -61,20 +61,30 @@ class _Base(tornado.web.RequestHandler):
             raise tornado.web.HTTPError(400, reason=str(e))
 
     async def _run_queries(self, queries, verbose: bool = False):
+        import time as _time
+
+        from aresdb_tpu.utils import metrics as M
+
         loop = tornado.ioloop.IOLoop.current()
         results, errors, had_error = [], [], False
         contexts = []
         for q in queries:
+            M.root().count(M.AQL_QUERY_RECEIVED_BROKER, 1)
             ctx = [] if verbose else None
+            t0 = _time.perf_counter()
             try:
                 r = await self.execute_one(loop, q, ctx)
                 results.append(r)
                 errors.append(None)
+                M.root().count(M.QUERY_SUCCEEDED_BROKER, 1)
             except (BrokerError, BrokerValidationError, CompositeError,
                     ValueError, KeyError) as e:
                 results.append({})
                 errors.append(str(e))
                 had_error = True
+                M.root().count(M.QUERY_FAILED_BROKER, 1)
+            M.root().record_timer(M.QUERY_LATENCY_BROKER,
+                                  _time.perf_counter() - t0)
             contexts.append(ctx)
         resp = {"results": results}
         if had_error:
@@ -116,11 +126,19 @@ class BrokerSQLHandler(_Base):
         from aresdb_tpu.query.aql import AQLQuery  # noqa: F401
         from aresdb_tpu.query.sql import SQLParseError, parse_sql
 
+        import time as _time
+
+        from aresdb_tpu.utils import metrics as M
+
         queries = []
         errors = []
         for stmt in self.body().get("queries", []):
             try:
+                M.root().count(M.SQL_QUERY_RECEIVED_BROKER, 1)
+                t0 = _time.perf_counter()
                 q = parse_sql(stmt)
+                M.root().record_timer(M.SQL_PARSING_LATENCY_BROKER,
+                                      _time.perf_counter() - t0)
                 # round-trip via the json form the executor consumes
                 queries.append(_aql_to_json(q))
                 errors.append(None)

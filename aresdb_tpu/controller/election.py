@@ -1,52 +1,59 @@
 """Lease-based leader election for controller replicas.
 
 Reference: controller/tasks/etcd/leader_elector.go:105 — campaign on an
-etcd election key, resign on shutdown, observe leadership changes. etcd is
-not part of this stack; the equivalent coordination substrate here is the
-controllers' SHARED STATE DIRECTORY (they already share `root_path` for
-snapshots, standing in for the etcd keyspace): the lease is a JSON file
-claimed and renewed with atomic O_EXCL/rename operations and a TTL, with a
-monotonically increasing epoch as the fencing token.
+etcd election key, resign on shutdown, observe leadership changes. The
+coordination substrate is abstracted behind cluster.kvstore.KVStore
+(get/put/delete/cas — an etcd client is one adapter); the default backend
+is the controllers' SHARED STATE DIRECTORY (FileKVStore: they already
+share `root_path` for snapshots, standing in for the etcd keyspace; see
+the NFS caveat in cluster/kvstore.py).
 
-Protocol:
-- the lease file holds {name, address, epoch, expires}.
-- the holder renews (rewrites with a fresh expiry) every ttl/3.
-- a candidate acquires when the file is absent or expired, serialized
-  through an O_EXCL claim lock (stale claim locks are broken after ttl).
-- each acquisition bumps `epoch`; an old leader that wakes from a pause
-  sees a lease it no longer owns (name/epoch mismatch) and steps down.
+Protocol (pure CAS, substrate-independent):
+- the lease key holds JSON {name, address, epoch, expires}.
+- the holder renews (CAS the current raw value -> fresh expiry) every
+  ttl/3; a CAS failure means someone changed the lease — step down.
+- a candidate acquires by CAS'ing the absent/expired raw value to a new
+  lease with epoch+1 — the monotonically increasing epoch is the fencing
+  token: an old leader that wakes from a pause sees a lease it no longer
+  owns (name/epoch mismatch) and steps down.
 """
 
 from __future__ import annotations
 
 import json
 import logging
-import os
 import threading
 import time
 from typing import Callable, Optional
 
+from aresdb_tpu.cluster.kvstore import FileKVStore, KVStore
+
 log = logging.getLogger("aresdb.election")
+
+LEASE_KEY = "leader.lease"
 
 
 class LeaderElector:
-    def __init__(self, root_path: str, name: str, address: str,
-                 ttl: float = 3.0,
+    def __init__(self, root_path: Optional[str] = None, name: str = "",
+                 address: str = "", ttl: float = 3.0,
                  on_elected: Optional[Callable[[], None]] = None,
-                 on_revoked: Optional[Callable[[], None]] = None):
+                 on_revoked: Optional[Callable[[], None]] = None,
+                 kv: Optional[KVStore] = None):
+        if kv is None:
+            if root_path is None:
+                raise ValueError("LeaderElector needs root_path or kv")
+            kv = FileKVStore(root_path, lock_ttl=ttl)
+        self.kv = kv
         self.root_path = root_path
         self.name = name
         self.address = address
         self.ttl = ttl
         self.on_elected = on_elected
         self.on_revoked = on_revoked
-        self._lease_path = os.path.join(root_path, "leader.lease")
-        self._claim_path = os.path.join(root_path, "leader.claim")
         self._is_leader = False
         self._epoch = -1
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
-        os.makedirs(root_path, exist_ok=True)
 
     # -- public --
 
@@ -60,7 +67,7 @@ class LeaderElector:
 
     def current_leader(self) -> Optional[dict]:
         """The current UNEXPIRED lease, or None."""
-        lease = self._read_lease()
+        lease = self._read_lease()[1]
         if lease and lease["expires"] > time.time():
             return lease
         return None
@@ -79,69 +86,39 @@ class LeaderElector:
             self._thread.join(timeout=self.ttl * 2)
             self._thread = None
         if self._is_leader:
-            lease = self._read_lease()
+            raw, lease = self._read_lease()
             if lease and lease.get("name") == self.name and \
                     lease.get("epoch") == self._epoch:
                 # expire in place (keeps the epoch for fencing continuity)
-                tmp = self._lease_path + f".{self.name}.tmp"
-                try:
-                    with open(tmp, "w") as f:
-                        json.dump({**lease, "expires": 0.0}, f)
-                    os.replace(tmp, self._lease_path)
-                except OSError:
-                    pass
+                self.kv.cas(LEASE_KEY, raw,
+                            json.dumps({**lease, "expires": 0.0}))
             self._set_leader(False)
 
     # -- internals --
 
-    def _read_lease(self) -> Optional[dict]:
+    def _read_lease(self):
+        raw = self.kv.get(LEASE_KEY)
+        if raw is None:
+            return None, None
         try:
-            with open(self._lease_path) as f:
-                return json.load(f)
-        except (OSError, ValueError):
-            return None
+            return raw, json.loads(raw)
+        except ValueError:
+            return raw, None
 
-    def _write_lease(self, epoch: int) -> None:
-        tmp = self._lease_path + f".{self.name}.tmp"
-        with open(tmp, "w") as f:
-            json.dump({"name": self.name, "address": self.address,
-                       "epoch": epoch, "expires": time.time() + self.ttl}, f)
-        os.replace(tmp, self._lease_path)
-
-    def _try_claim_lock(self) -> bool:
-        try:
-            fd = os.open(self._claim_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(time.time()).encode())
-            os.close(fd)
-            return True
-        except FileExistsError:
-            # break stale claim locks (a candidate died mid-claim)
-            try:
-                if time.time() - os.path.getmtime(self._claim_path) > self.ttl:
-                    os.unlink(self._claim_path)
-            except OSError:
-                pass
-            return False
-
-    def _release_claim_lock(self) -> None:
-        try:
-            os.unlink(self._claim_path)
-        except OSError:
-            pass
+    def _lease_json(self, epoch: int) -> str:
+        return json.dumps({"name": self.name, "address": self.address,
+                           "epoch": epoch,
+                           "expires": time.time() + self.ttl})
 
     def _try_acquire(self) -> bool:
-        if not self._try_claim_lock():
+        raw, lease = self._read_lease()
+        if lease and lease["expires"] > time.time():
             return False
-        try:
-            lease = self._read_lease()
-            if lease and lease["expires"] > time.time():
-                return False
-            epoch = (lease["epoch"] + 1) if lease else 0
-            self._write_lease(epoch)
-            self._epoch = epoch
-            return True
-        finally:
-            self._release_claim_lock()
+        epoch = (lease["epoch"] + 1) if lease else 0
+        if not self.kv.cas(LEASE_KEY, raw, self._lease_json(epoch)):
+            return False
+        self._epoch = epoch
+        return True
 
     def _set_leader(self, val: bool) -> None:
         if val == self._is_leader:
@@ -157,29 +134,24 @@ class LeaderElector:
                 log.exception("election callback failed")
 
     def _renew(self) -> None:
-        """Renew under the claim lock, re-verifying ownership AND expiry:
-        a leader that paused past its ttl must NOT blind-renew — a
-        candidate may be mid-claim about to write epoch+1, and an
-        unserialized overwrite would leave two leaders accepting
-        mutations. If the claim is contended, skip this round; the
-        ownership pre-check fences us next tick."""
-        if not self._try_claim_lock():
-            return
-        try:
-            lease = self._read_lease()
-            if (lease and lease.get("name") == self.name
-                    and lease.get("epoch") == self._epoch
-                    and lease.get("expires", 0) > time.time()):
-                self._write_lease(self._epoch)
-            else:
-                self._set_leader(False)
-        finally:
-            self._release_claim_lock()
+        """Renew via CAS on the exact raw value, re-verifying ownership AND
+        expiry: a leader that paused past its ttl must NOT blind-renew — a
+        candidate may be about to CAS epoch+1, and an unserialized
+        overwrite would leave two leaders accepting mutations. A failed
+        CAS means the lease changed under us; the ownership pre-check
+        fences us next tick."""
+        raw, lease = self._read_lease()
+        if (lease and lease.get("name") == self.name
+                and lease.get("epoch") == self._epoch
+                and lease.get("expires", 0) > time.time()):
+            self.kv.cas(LEASE_KEY, raw, self._lease_json(self._epoch))
+        else:
+            self._set_leader(False)
 
     def _run(self) -> None:
         while not self._stop.is_set():
             if self._is_leader:
-                lease = self._read_lease()
+                _, lease = self._read_lease()
                 if lease is None or lease.get("name") != self.name or \
                         lease.get("epoch") != self._epoch or \
                         lease.get("expires", 0) <= time.time():

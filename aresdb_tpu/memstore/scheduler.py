@@ -133,29 +133,43 @@ class Scheduler:
         result = None
         from aresdb_tpu.memstore.common import GLOBAL_BOOTSTRAP_TOKEN
 
+        from aresdb_tpu.utils import metrics as M
+
+        rep = M.root().scoped(table=table, shard=str(shard_id))
         GLOBAL_BOOTSTRAP_TOKEN.acquire(table, shard_id)
         try:
             if jobtype == "archiving":
                 delay = shard.schema.table.config.archiving_delay_minutes * 60
                 cutoff = max(0, now - delay)
+                old_cutoff = shard.live_store.archiving_cutoff_high_watermark
                 st = archiver.archive(cutoff)
                 result = {"rowsArchived": st.rows_archived, "days": st.days,
                           "cutoff": cutoff}
+                rep.count(M.ARCHIVING_COUNT, 1)
+                rep.count(M.ARCHIVING_RECORDS, st.rows_archived)
+                rep.gauge(M.ARCHIVING_HIGH_WATERMARK, cutoff)
+                rep.gauge(M.ARCHIVING_LOW_WATERMARK, old_cutoff)
                 if st.rows_archived and \
                         self.memstore.host_memory_manager is not None:
                     # async: don't stall the job loop on disk reads
                     self.memstore.host_memory_manager.trigger_preload_sweep()
             elif jobtype == "backfill":
                 result = {"rowsBackfilled": archiver.backfill()}
+                rep.count(M.BACKFILL_COUNT, 1)
+                rep.count(M.BACKFILL_RECORDS, result["rowsBackfilled"])
             elif jobtype == "snapshot":
                 result = {"rowsSnapshotted": archiver.snapshot()}
+                rep.count(M.SNAPSHOT_COUNT, 1)
             elif jobtype == "purge":
                 result = {"batchesPurged": archiver.purge(now)}
+                rep.count(M.PURGE_COUNT, 1)
+                rep.count(M.PURGED_BATCHES, result["batchesPurged"])
             else:
                 raise ValueError(f"unknown job type {jobtype!r}")
             status.last_error = None
         except Exception as e:
             status.last_error = f"{type(e).__name__}: {e}"
+            rep.count(M.JOB_FAILURES_COUNT, 1, tags={"jobType": jobtype})
             raise
         finally:
             GLOBAL_BOOTSTRAP_TOKEN.release(table, shard_id)
@@ -164,6 +178,13 @@ class Scheduler:
             status.last_duration = clock.now() - start
             status.last_result = result
             self._last_run[key] = now
+            _JOB_TIMERS = {"archiving": M.ARCHIVING_TIMING_TOTAL,
+                           "backfill": M.BACKFILL_TIMING_TOTAL,
+                           "snapshot": M.SNAPSHOT_TIMING_TOTAL,
+                           "purge": M.PURGE_TIMING_TOTAL}
+            t = _JOB_TIMERS.get(jobtype)
+            if t is not None:
+                rep.record_timer(t, status.last_duration)
         return result
 
     def job_statuses(self) -> Dict[str, dict]:

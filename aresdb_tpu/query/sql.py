@@ -179,6 +179,9 @@ def parse_sql(sql: str) -> AQLQuery:
     clauses become measure-level rowFilters.
     """
     stripped = sql.lstrip()
+    if not stripped.rstrip().rstrip(";").strip():
+        # reference sql_parser.go:229 (position info n/a in this parser)
+        raise SQLParseError("missing queryNoWith body")
     if stripped.lower().startswith("with"):
         return AQLQuery.from_json(_parse_with(sql))
     clauses = _find_clauses(sql)
@@ -195,14 +198,17 @@ def _parse_plain(sql: str, depth: int = 0) -> Dict:
     # mapping either) — silently misparsing them would return wrong results
     if sql.lstrip().lower().startswith("with"):
         if depth:
-            raise SQLParseError("only 1 level of WITH/subquery is supported")
+            # reference sql_parser.go:264 (line/col n/a in this parser)
+            raise SQLParseError("only support 1 level with query")
         raise SQLParseError("WITH / subqueries are not supported")
     clauses = _find_clauses(sql)
     if depth and any(it.strip().startswith("(")
                      for it in _split_top_level(clauses["from"], r",")):
-        raise SQLParseError("only 1 level of WITH/subquery is supported")
+        # reference sql_parser.go:216
+        raise SQLParseError("only support 1 level subquery")
     if "having" in clauses:
-        raise SQLParseError("HAVING is not supported")
+        # reference sql_parser.go:496
+        raise SQLParseError("having not yet supported")
     if clauses["select"].lower().lstrip().startswith("distinct"):
         raise SQLParseError("DISTINCT is not supported")
     q: Dict = {"measures": [], "dimensions": [], "rowFilters": [], "joins": []}
@@ -431,6 +437,14 @@ def _parse_with(sql: str) -> Dict:
     if not outer_sql:
         raise SQLParseError("missing query body after WITH")
     clauses = _find_clauses(outer_sql)
+    for section in ("where", "select", "group by"):
+        body = clauses.get(section, "")
+        for name in named:
+            if re.search(rf"\b{re.escape(name)}\s*\.", body):
+                # reference sql_parser.go:1052
+                raise SQLParseError(
+                    "subquery/withQuery identifier in expression not "
+                    "supported yet.")
     inners = []
     for item in _split_top_level(clauses["from"], _FROM_SEP):
         ident = _strip_quote(item.strip())
@@ -509,6 +523,11 @@ def _parse_from_subquery(sql: str, clauses: Dict[str, str]) -> Dict:
 
 
 def _parse_inner(sql: str) -> Dict:
+    if re.search(r"\bnatural\s+(?:left\s+|right\s+|full\s+)?"
+                 r"(?:outer\s+)?join\b", sql, re.IGNORECASE):
+        # reference sql_parser.go:773
+        raise SQLParseError(
+            "natural join not supported at subquery/withQuery")
     q = _parse_plain(sql, depth=1)
     if "limit" in q:
         # reference sql_parser.go:390
@@ -545,7 +564,7 @@ def _merge_subqueries(outer_sql: str, clauses: Dict[str, str],
                 "all subquery/withQuery time filters must be the same")
 
     if "having" in clauses:
-        raise SQLParseError("HAVING is not supported")
+        raise SQLParseError("having not yet supported")
     inner_dims = list(first.get("dimensions", []))
     # outer GROUP BY conflicts with an aggregated inner (reference
     # sql_parser.go:483)

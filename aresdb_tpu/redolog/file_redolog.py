@@ -78,6 +78,12 @@ class FileRedoLogManager:
         if max_event_time:
             prev = self.max_event_time_per_file.get(f, 0)
             self.max_event_time_per_file[f] = max(prev, max_event_time)
+        from aresdb_tpu.utils import metrics as M
+
+        rep = M.root().scoped(table=self.table, shard=str(self.shard))
+        rep.gauge(M.CURRENT_REDOLOG_CREATION_TIME, f)
+        rep.gauge(M.CURRENT_REDOLOG_SIZE, self.current_size)
+        rep.gauge(M.NUMBER_OF_REDOLOGS, len(self.batch_count_per_file))
         return f, offset
 
     def update_max_event_time(self, event_time: int, redo_file: int) -> None:
@@ -158,6 +164,11 @@ class FileRedoLogManager:
                 self.diskstore.delete_log(self.table, self.shard, creation)
                 self.max_event_time_per_file.pop(creation, None)
                 self.batch_count_per_file.pop(creation, None)
+        from aresdb_tpu.utils import metrics as M
+
+        rep = M.root().scoped(table=self.table, shard=str(self.shard))
+        rep.gauge(M.NUMBER_OF_REDOLOGS, len(self.batch_count_per_file))
+        rep.gauge(M.SIZE_OF_REDOLOGS, self.get_total_size())
 
     def get_total_size(self) -> int:
         return self.current_size

@@ -184,7 +184,7 @@ def test_sql_rejects_unsupported_clauses():
 
     for frag, kw in [
         ("SELECT count(*) FROM trips GROUP BY city_id HAVING count(*) > 1",
-         "HAVING"),
+         "having"),
         ("WITH RECURSIVE x AS (SELECT count(*) FROM trips) SELECT c FROM x",
          "RECURSIVE"),
         ("SELECT DISTINCT city_id FROM trips", "DISTINCT"),

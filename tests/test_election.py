@@ -192,13 +192,66 @@ def test_stale_leader_steps_down_instead_of_blind_renew(tmp_path):
     e.start()
     try:
         assert wait_for(lambda: e.is_leader)
-        # simulate a long pause: force the on-disk lease to be expired
-        with open(e._lease_path) as f:
-            lease = json.load(f)
+        # simulate a long pause: force the stored lease to be expired
+        from aresdb_tpu.controller.election import LEASE_KEY
+        lease = json.loads(e.kv.get(LEASE_KEY))
         lease["expires"] = _time.time() - 1
-        with open(e._lease_path, "w") as f:
-            json.dump(lease, f)
+        e.kv.put(LEASE_KEY, json.dumps(lease))
         e._renew()
         assert not e.is_leader
     finally:
         e.stop()
+
+
+# ---------------------------------------------------------------------------
+# KV seam: the same election semantics against the in-memory fake
+# (cluster/kvstore.py — an etcd client is one adapter of this interface)
+# ---------------------------------------------------------------------------
+
+def test_election_on_memory_kvstore():
+    from aresdb_tpu.cluster.kvstore import MemoryKVStore
+
+    kv = MemoryKVStore()
+    a = LeaderElector(name="a", address="localhost:1", ttl=TTL, kv=kv)
+    b = LeaderElector(name="b", address="localhost:2", ttl=TTL, kv=kv)
+    a.start()
+    b.start()
+    try:
+        assert wait_for(lambda: a.is_leader or b.is_leader)
+        time.sleep(TTL)
+        assert sum([a.is_leader, b.is_leader]) == 1
+        leader, other = (a, b) if a.is_leader else (b, a)
+        epoch0 = leader.epoch
+        leader.stop()  # resign -> failover
+        assert wait_for(lambda: other.is_leader, timeout=TTL * 6)
+        assert other.epoch > epoch0  # fencing token advanced
+    finally:
+        a.stop()
+        b.stop()
+
+
+def test_memory_kvstore_cas_semantics():
+    from aresdb_tpu.cluster.kvstore import MemoryKVStore
+
+    kv = MemoryKVStore()
+    assert kv.cas("k", None, "v1")        # create-if-absent
+    assert not kv.cas("k", None, "v2")    # exists now
+    assert not kv.cas("k", "wrong", "v2")
+    assert kv.cas("k", "v1", "v2")
+    assert kv.get("k") == "v2"
+    kv.delete("k")
+    assert kv.get("k") is None
+
+
+def test_file_kvstore_cas_matches_fake(tmp_path):
+    from aresdb_tpu.cluster.kvstore import FileKVStore, MemoryKVStore
+
+    for kv in (FileKVStore(str(tmp_path)), MemoryKVStore()):
+        assert kv.cas("x", None, "a")
+        assert not kv.cas("x", None, "b")
+        assert kv.cas("x", "a", "b")
+        assert kv.get("x") == "b"
+        kv.put("x", "c")
+        assert kv.get("x") == "c"
+        kv.delete("x")
+        assert kv.get("x") is None

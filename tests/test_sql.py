@@ -103,7 +103,7 @@ def test_unsupported_sql_constructs_rejected():
 
     for stmt, msg in [
             ("SELECT count(*) FROM t GROUP BY c HAVING count(*) > 5",
-             "HAVING"),
+             "having not yet supported"),
             ("WITH RECURSIVE x AS (SELECT count(*) FROM t) SELECT c FROM x",
              "RECURSIVE"),
             ("SELECT DISTINCT c FROM t", "DISTINCT")]:
@@ -263,3 +263,60 @@ def test_wildcard_select_keeps_star_dimension():
     assert [d.expr for d in q.dimensions] == ["field1", "*"]
     assert q.measures[0].expr == "1"
     assert q.limit == 10
+
+
+def test_reference_parser_error_matrix():
+    """Ported from /root/reference/query/sql/sql_parser_test.go's error
+    cases — per-construct messages match the reference's phrasing (line/col
+    positions are ANTLR artifacts the clause parser doesn't carry)."""
+    import pytest as _pt
+
+    from aresdb_tpu.query.sql import SQLParseError, parse_sql
+
+    cases = [
+        # WITH RECURSIVE (sql_parser_test.go:399)
+        ("""WITH RECURSIVE t(n) AS (SELECT n+1 FROM t WHERE n < 100)
+            SELECT sum(n) FROM t;""",
+         "RECURSIVE not yet supported"),
+        # nested WITH inside a namedQuery (:416)
+        ("""WITH m1 (Requested) AS
+              (With m (Requested) AS (SELECT count(*) AS Requested FROM trips)
+               SELECT Requested FROM m)
+            SELECT Requested FROM m1;""",
+         "only support 1 level with query"),
+        # nested subquery inside a subquery (:216)
+        ("""SELECT c FROM (SELECT c FROM (SELECT c FROM t) GROUP BY c)""",
+         "only support 1 level subquery"),
+        # NATURAL JOIN inside a withQuery body (:432)
+        ("""WITH m1 (Requested) AS (SELECT count(*) AS Requested FROM trips),
+            m2 (Completed) AS (SELECT count(*) AS Completed FROM trips
+                NATURAL LEFT JOIN m1)
+            SELECT Completed, Requested FROM m1 NATURAL LEFT JOIN m2;""",
+         "natural join not supported at subquery/withQuery"),
+        # with-identifier used in an expression (:511)
+        ("""WITH m1 (avg_fare) AS (SELECT avg(fare) AS avg_fare FROM trips)
+            SELECT fare FROM trips WHERE fare > m1.avg_fare;""",
+         "subquery/withQuery identifier in expression not supported yet."),
+        # empty query (:523)
+        ("", "missing queryNoWith body"),
+        ("   ;  ", "missing queryNoWith body"),
+        # duplicate identifier (sql_parser.go:1901)
+        ("""WITH m1 AS (SELECT count(*) FROM trips),
+            m1 AS (SELECT count(*) FROM trips)
+            SELECT 1 FROM m1;""",
+         "subquery/withQuery identifier: m1 already exist"),
+        # unknown identifier (sql_parser.go:1758)
+        ("""WITH m1 AS (SELECT count(*) FROM trips)
+            SELECT c FROM nope;""",
+         "cannot find withQuery identifier: nope"),
+        # HAVING (sql_parser.go:496)
+        ("SELECT count(*) FROM t GROUP BY c HAVING count(*) > 1",
+         "having not yet supported"),
+        # inner LIMIT (sql_parser.go:390)
+        ("""SELECT c FROM (SELECT c FROM t LIMIT 5)""",
+         "limit on query level > 0 not supported"),
+    ]
+    for stmt, msg in cases:
+        with _pt.raises(SQLParseError) as ei:
+            parse_sql(stmt)
+        assert msg in str(ei.value), (stmt, str(ei.value), msg)
