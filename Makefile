@@ -24,6 +24,7 @@ test-all:
 	ARES_MESH=1 $(PY) -m pytest tests/ -q
 	ARES_NATIVE=0 $(PY) -m pytest tests/ -q
 	ARES_PREFIX=0 $(PY) -m pytest tests/ -q
+	ARES_FUSED=interp $(PY) -m pytest tests/ -q
 
 bench:
 	$(PY) bench.py

@@ -6,10 +6,11 @@ controller/mutators/etcd/*.go — the reference coordinates through etcd
 keys with transactions and leases. This stack has no etcd binary, so the
 default backend is the controllers' shared state directory
 (FileKVStore: one file per key, CAS serialized through an O_EXCL claim
-lock with TTL-based stale-lock breaking, atomic rename writes). A real
-etcd client is one adapter implementing this interface (get/put/delete/
-cas); MemoryKVStore is the in-process fake the election/failover tests
-run against.
+lock with TTL-based stale-lock breaking, atomic rename writes). The real
+etcd adapter is cluster/etcd_kvstore.py (v3 gRPC-JSON gateway over HTTP,
+cas -> value-compare Txn); MemoryKVStore is the in-process fake the
+election/failover tests run against. All three pass the shared contract
+suite in tests/test_etcd_kvstore.py.
 
 Substrate caveat (documented, VERDICT-r2 weak #8): FileKVStore's O_EXCL +
 rename atomicity holds on local POSIX filesystems; on NFS-class shared

@@ -483,10 +483,22 @@ def make_fused_dense_kernel(plan: CompiledQuery, n_rows: int, dense_plan,
     return jax.jit(fn)
 
 
+def fused_mode() -> str:
+    """ARES_FUSED: "" (TPU default), "0" (off), "interp" (force the fused
+    kernel in pallas interpreter mode on ANY backend — the CI variant that
+    executes the TPU-default serving path on CPU, mirroring the reference's
+    HOST-mode strategy: /root/reference/CMakeLists.txt:25-31)."""
+    return os.environ.get("ARES_FUSED", "")
+
+
 def use_fused() -> bool:
-    """Fused dense kernel on real TPU backends (ARES_FUSED=0 disables)."""
-    if os.environ.get("ARES_FUSED", "") == "0":
+    """Fused dense kernel on real TPU backends (ARES_FUSED=0 disables,
+    ARES_FUSED=interp forces interpreter mode everywhere)."""
+    mode = fused_mode()
+    if mode == "0":
         return False
+    if mode == "interp":
+        return True
     try:
         return jax.devices()[0].platform not in ("cpu",)
     except Exception:
@@ -498,11 +510,19 @@ FD_MIN_ROWS = 1 << 16   # below this the XLA dense kernel is just as fast,
                         # relayout bugs (seen at te=128 on the 1k_trips
                         # drive: vector<128xi1> "(8,128)" -> "(16,128)")
 
+FD_MIN_ROWS_INTERP = 64  # interpreter mode has no Mosaic tile constraints;
+                         # a tiny floor lets the whole CI suite route its
+                         # small batches through the fused eval/pack/slot
+                         # code instead of only handcrafted plans
+
 
 def maybe_make_fused_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
-    if n_rows < FD_MIN_ROWS or not use_fused():
+    interp = fused_mode() == "interp"
+    min_rows = FD_MIN_ROWS_INTERP if interp else FD_MIN_ROWS
+    if n_rows < min_rows or not use_fused():
         return None
     spec = plan_fused(plan, dense_plan)
     if spec is None:
         return None
-    return make_fused_dense_kernel(plan, n_rows, dense_plan, spec)
+    return make_fused_dense_kernel(plan, n_rows, dense_plan, spec,
+                                   interpret=interp)

@@ -148,8 +148,8 @@ def dense_segment_sum(slots, values, n_slots: int, interpret: bool = False):
         out = pl.pallas_call(
             _make_kernel(n_chunks, k_pad, c_pad),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((c_pad, k_pad), jnp.float32),
@@ -218,6 +218,7 @@ def factored_segment_sum_indicator(slots, values, n_slots: int,
     hi/lo split entirely (the one-hot is already the exact operand)."""
     if _pallas_factored_ok(n_slots):
         return factored_segment_sum_pallas(slots, values, n_slots,
+                                           interpret=_pallas_interp(),
                                            ones_channels=ones_channels)
     return factored_segment_sum(slots, values, n_slots)
 
@@ -395,8 +396,8 @@ def factored_segment_sum_pallas(slots, values, n_slots: int,
             _make_factored_pallas_kernel(n_chunks, khi_pad, c, t,
                                          ones_channels),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((c, khi_pad, klo), jnp.float32),
@@ -405,15 +406,27 @@ def factored_segment_sum_pallas(slots, values, n_slots: int,
     return out.reshape(c, khi_pad * klo)[:, :n_slots].T
 
 
+def _pallas_interp() -> bool:
+    """ARES_FUSED=interp also routes the factored reduction's pallas kernel
+    through interpreter mode, so the CI variant executes the SAME kernel
+    code a real TPU serves (see fused_dense.fused_mode)."""
+    import os
+
+    return os.environ.get("ARES_FUSED", "") == "interp"
+
+
 def _pallas_factored_ok(n_slots: int) -> bool:
     """Route factored_segment_sum through the fused pallas kernel on real
-    TPU backends (ARES_FACTORED_PALLAS=0 disables)."""
+    TPU backends (ARES_FACTORED_PALLAS=0 disables, ARES_FUSED=interp forces
+    interpreter mode on any backend)."""
     import os
 
     if os.environ.get("ARES_FACTORED_PALLAS", "") == "0":
         return False
     if (n_slots + FP_KLO - 1) // FP_KLO > FP_MAX_KHI:
         return False
+    if _pallas_interp():
+        return True
     try:
         return jax.devices()[0].platform not in ("cpu",)
     except Exception:
@@ -422,13 +435,15 @@ def _pallas_factored_ok(n_slots: int) -> bool:
 
 def use_factored(n_slots: int = 0) -> bool:
     """Factored MXU reduction on real TPU backends for any dense slot count
-    (ARES_FACTORED=0 falls back to use_pallas()/scatter, =1 forces it on)."""
+    (ARES_FACTORED=0 falls back to use_pallas()/scatter, =1 forces it on;
+    ARES_FUSED=interp forces it so the CI variant runs the TPU-default
+    reduction stack end to end)."""
     import os
 
     flag = os.environ.get("ARES_FACTORED", "")
     if flag == "0":
         return False
-    if flag == "1":
+    if flag == "1" or _pallas_interp():
         return True
     try:
         return jax.devices()[0].platform not in ("cpu",)

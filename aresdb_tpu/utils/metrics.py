@@ -12,8 +12,9 @@ the registry resolves it to the tally scope name + static tags at emission
 time. Ad-hoc string names not in the catalog still work (e.g. the mesh
 fallback counters), mirroring tally's free-form scopes.
 
-tests/test_metrics_catalog.py diffs this catalog against the reference
-file name-for-name.
+tests/test_metrics_emission.py::test_catalog_name_diff_vs_reference
+parses the reference file's MetricName enum and asserts set equality
+(minus the documented N/As).
 """
 
 from __future__ import annotations

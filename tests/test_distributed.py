@@ -170,6 +170,11 @@ def test_cluster_scatter_gather(cluster):
                 "SELECT count(*) FROM trips WHERE city_id = 1"]}).json()
         assert resp["results"][0] == {"": 3.0}
 
+        # broker metric emission (utils/metrics.go broker rows)
+        from aresdb_tpu.utils import metrics as M
+        assert M.root().find("AQLQueryReceivedBroker")
+        assert M.root().find("QueryLatencyBroker")
+
         # non-agg with limit across shards
         resp = requests.post(
             f"http://localhost:{bport}/query/aql",

@@ -119,9 +119,80 @@ r, warm = timed("SELECT count(*) FROM trips WHERE fare > 25 AND "
 exp6 = int((fare_valid & (fare > 25)).sum())
 battery.append(("sql count fare>25", cold, warm, r[""] == float(exp6)))
 
+# --- the round-3 outage class: NO-DIMS aggregates (plan_fused returns None,
+# the XLA dense kernel must serve them on the chip). Both AQL and SQL forms.
+q7 = {"table": "trips", "measures": [{"sqlExpression": "sum(fare)",
+      "rowFilters": ["status='completed'"]}], "now": NOW}
+r, cold = timed(q7); r, warm = timed(q7)
+battery.append(("no-dims sum (XLA fallback)", cold, warm,
+                abs(float(r[""]) - exp1) / exp1 < 1e-4))
+r, cold = timed("SELECT sum(fare) FROM trips WHERE "
+                f"aql_now(request_at, {NOW})", sql=True)
+r, warm = timed("SELECT sum(fare) FROM trips WHERE "
+                f"aql_now(request_at, {NOW})", sql=True)
+exp7b = float(fare[fare_valid].astype(np.float64).sum())
+battery.append(("no-dims sql sum", cold, warm,
+                abs(float(r[""]) - exp7b) / exp7b < 1e-4))
+
+# --- one query per fused-eligibility branch (plan_fused frontier):
+# count(*) accumulator branch
+q8 = {"table": "trips", "measures": [{"sqlExpression": "count(*)"}],
+      "dimensions": [{"sqlExpression": "city_id"}], "now": NOW}
+r, cold = timed(q8); r, warm = timed(q8)
+exp8 = np.bincount(city, minlength=300)
+battery.append(("fused count by city", cold, warm,
+                all(float(r[str(c)]) == float(exp8[c])
+                    for c in range(0, 300, 37))))
+# numeric bucketizer branch (__numeric_bucket with bucket_width)
+q9 = {"table": "trips", "measures": [{"sqlExpression": "sum(fare)"}],
+      "dimensions": [{"sqlExpression": "fare",
+                      "numericBucketizer": {"bucketWidth": 5.0}}], "now": NOW}
+r, cold = timed(q9); r, warm = timed(q9)
+exp9 = float(fare[fare_valid & (fare >= 25) & (fare < 30)]
+             .astype(np.float64).sum())
+def _fkey(d, want):
+    for k in d:
+        try:
+            if abs(float(k) - want) < 1e-6:
+                return k
+        except (TypeError, ValueError):
+            pass
+    raise KeyError(want)
+battery.append(("fused numeric-bucket sum", cold, warm,
+                abs(float(r[_fkey(r, 25.0)]) - exp9) / exp9 < 1e-3))
+# case-when + IN-list eval branch
+q10 = {"table": "trips", "measures": [{
+       "sqlExpression": "sum(case when status='completed' then fare else 0 end)",
+       "rowFilters": ["status in ('completed', 'canceled')"]}],
+       "dimensions": [{"sqlExpression": "city_id"}], "now": NOW}
+r, cold = timed(q10); r, warm = timed(q10)
+got10 = sum(float(v) for v in r.values())
+battery.append(("fused case+in sum by city", cold, warm,
+                abs(got10 - exp1) / exp1 < 1e-4))
+# calendar bucketizer -> ineligible, XLA dense path WITH dims on chip
+q11 = {"table": "trips", "measures": [{"sqlExpression": "sum(fare)"}],
+       "dimensions": [{"sqlExpression": "request_at",
+                       "timeBucketizer": "month"},
+                      {"sqlExpression": "city_id"}], "now": NOW}
+r, cold = timed(q11); r, warm = timed(q11)
+got11 = sum(float(v) for d in r.values() for v in d.values())
+battery.append(("calendar dims (XLA path)", cold, warm,
+                abs(got11 - exp7b) / exp7b < 1e-4))
+
 print(f"{'query':36s} {'cold':>9s} {'warm':>8s}  correct")
 for name, cold, warm, okk in battery:
     print(f"{name:36s} {cold:8.0f}ms {warm:7.0f}ms  {okk}")
+out_path = sys.argv[1] if len(sys.argv) > 1 else None
+if out_path:
+    with open(out_path, "w") as f:
+        json.dump({
+            "n_rows": n,
+            "platform": __import__("jax").devices()[0].platform,
+            "queries": [{"name": b[0], "cold_ms": round(b[1], 1),
+                         "warm_ms": round(b[2], 1), "correct": bool(b[3])}
+                        for b in battery],
+            "all_correct": bool(all(b[3] for b in battery)),
+        }, f, indent=1)
 assert all(b[3] for b in battery), "CORRECTNESS FAILURE"
 print("all correct on", __import__("jax").devices()[0].platform)
 srv.stop()
