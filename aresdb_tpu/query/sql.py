@@ -51,8 +51,31 @@ _CLAUSES = ("select", "from", "where", "group by", "order by", "limit",
             "having")
 
 
+def _pos(full: str, off: int) -> Tuple[int, int]:
+    """Absolute char offset -> (1-based line, 0-based col), the reference's
+    ANTLR position convention (sql/errorHandler go formats)."""
+    off = max(0, min(off, len(full)))
+    line = full.count("\n", 0, off) + 1
+    col = off - (full.rfind("\n", 0, off) + 1)
+    return line, col
+
+
 class SQLParseError(ValueError):
-    pass
+    """Parse error carrying the reference's (line, col) anchor when the
+    offending construct's offset is known: formatted as
+    `<msg> at (line:L, col:C)` — or `<msg> (line:L, col:C)` for messages
+    ending in '.', matching sql_parser.go's identifier-in-expression
+    error verbatim (sql_parser_test.go:511)."""
+
+    def __init__(self, msg: str, full: Optional[str] = None,
+                 off: Optional[int] = None):
+        self.line: Optional[int] = None
+        self.col: Optional[int] = None
+        if full is not None and off is not None:
+            self.line, self.col = _pos(full, off)
+            sep = "" if msg.rstrip().endswith(".") else " at"
+            msg = f"{msg}{sep} (line:{self.line}, col:{self.col})"
+        super().__init__(msg)
 
 
 def _strip_quote(s: str) -> str:
@@ -62,9 +85,10 @@ def _strip_quote(s: str) -> str:
     return s
 
 
-def _split_top_level(s: str, sep_pattern: str) -> List[str]:
-    """Split on a regex at paren/quote depth 0 (case-insensitive)."""
-    parts = []
+def _split_top_level_pos(s: str, sep_pattern: str) -> List[Tuple[str, int]]:
+    """Split on a regex at paren/quote depth 0 (case-insensitive),
+    returning (part, offset-of-part-within-s) pairs."""
+    parts: List[Tuple[str, int]] = []
     depth = 0
     quote = None
     last = 0
@@ -92,18 +116,48 @@ def _split_top_level(s: str, sep_pattern: str) -> List[str]:
         if depth == 0:
             m = rx.match(s, i)
             if m:
-                parts.append(s[last:i])
+                parts.append((s[last:i], last))
                 i = m.end()
                 last = i
                 continue
         i += 1
-    parts.append(s[last:])
+    parts.append((s[last:], last))
     return parts
 
 
-def _find_clauses(sql: str) -> Dict[str, str]:
-    """Locate top-level clause bodies."""
+def _split_top_level(s: str, sep_pattern: str) -> List[str]:
+    """Split on a regex at paren/quote depth 0 (case-insensitive)."""
+    return [p for p, _ in _split_top_level_pos(s, sep_pattern)]
+
+
+def _word_char(c: str) -> bool:
+    """Identifier chars for keyword boundaries — includes '_', so
+    `having_fun` / `fromage` never read as clause keywords (regex \\b
+    semantics; the round-4 splitter fuzz caught isalnum() missing '_')."""
+    return c.isalnum() or c == "_"
+
+
+def _skip_ws(s: str, off: int) -> int:
+    """Offset of the first non-whitespace char at or after off."""
+    while off < len(s) and s[off].isspace():
+        off += 1
+    return off
+
+
+def _find_clauses(sql: str, full: Optional[str] = None,
+                  base: int = 0) -> Tuple[Dict[str, str],
+                                          Dict[str, Tuple[int, int]]]:
+    """Locate top-level clause bodies.
+
+    Returns (clauses, offsets) where offsets[kw] = (keyword offset,
+    stripped-body offset), both absolute within `full` (the original
+    statement text that `sql` is a slice of, starting at `base`) — the
+    position anchors SQLParseError carries."""
+    if full is None:
+        full, base = sql, 0
+    lead = len(sql) - len(sql.lstrip())
     s = sql.strip().rstrip(";")
+    abs0 = base + lead
     # find clause keyword positions at depth 0
     positions: List[Tuple[int, int, str]] = []
     depth = 0
@@ -129,11 +183,11 @@ def _find_clauses(sql: str) -> Dict[str, str]:
             depth -= 1
             i += 1
             continue
-        if depth == 0 and (i == 0 or not s[i - 1].isalnum()):
+        if depth == 0 and (i == 0 or not _word_char(s[i - 1])):
             for kw in _CLAUSES:
                 if low.startswith(kw, i) and (
                         i + len(kw) == len(s)
-                        or not s[i + len(kw)].isalnum()):
+                        or not _word_char(s[i + len(kw)])):
                     positions.append((i, i + len(kw), kw))
                     i += len(kw)
                     break
@@ -142,14 +196,20 @@ def _find_clauses(sql: str) -> Dict[str, str]:
             continue
         i += 1
     clauses: Dict[str, str] = {}
+    offsets: Dict[str, Tuple[int, int]] = {}
     for n, (start, body_start, kw) in enumerate(positions):
         end = positions[n + 1][0] if n + 1 < len(positions) else len(s)
         if kw in clauses:
-            raise SQLParseError(f"duplicate {kw.upper()} clause")
-        clauses[kw] = s[body_start:end].strip()
+            raise SQLParseError(f"duplicate {kw.upper()} clause",
+                                full, abs0 + start)
+        raw = s[body_start:end]
+        clauses[kw] = raw.strip()
+        offsets[kw] = (abs0 + start,
+                       abs0 + body_start + len(raw) - len(raw.lstrip()))
     if "select" not in clauses or "from" not in clauses:
-        raise SQLParseError("query must have SELECT ... FROM ...")
-    return clauses
+        raise SQLParseError("query must have SELECT ... FROM ...",
+                            full, abs0)
+    return clauses, offsets
 
 
 def _parse_call(text: str) -> Optional[Tuple[str, List[str]]]:
@@ -180,58 +240,76 @@ def parse_sql(sql: str) -> AQLQuery:
     """
     stripped = sql.lstrip()
     if not stripped.rstrip().rstrip(";").strip():
-        # reference sql_parser.go:229 (position info n/a in this parser)
-        raise SQLParseError("missing queryNoWith body")
+        # reference sql_parser.go:229, positioned at statement start
+        # (sql_parser_test.go:523: "... at (line:1, col:0)")
+        raise SQLParseError("missing queryNoWith body", sql, 0)
     if stripped.lower().startswith("with"):
         return AQLQuery.from_json(_parse_with(sql))
-    clauses = _find_clauses(sql)
+    clauses, offs = _find_clauses(sql)
     from_items = _split_top_level(clauses["from"], r",")
     if any(it.strip().startswith("(") for it in from_items):
-        return AQLQuery.from_json(_parse_from_subquery(sql, clauses))
+        return AQLQuery.from_json(_parse_from_subquery(sql, clauses, offs))
     return AQLQuery.from_json(_parse_plain(sql))
 
 
-def _parse_plain(sql: str, depth: int = 0) -> Dict:
-    """Parse a plain (no WITH/subquery) statement into the AQL JSON dict."""
+def _parse_plain(sql: str, depth: int = 0, full: Optional[str] = None,
+                 base: int = 0) -> Dict:
+    """Parse a plain (no WITH/subquery) statement into the AQL JSON dict.
+
+    full/base: the original statement text and sql's offset within it,
+    for (line, col) error anchors."""
+    if full is None:
+        full, base = sql, 0
     # constructs AQL cannot express are rejected up front (reference:
     # sql_parser.go "having not yet supported"; DISTINCT has no AQL
     # mapping either) — silently misparsing them would return wrong results
     if sql.lstrip().lower().startswith("with"):
+        at = _skip_ws(full, base)
         if depth:
-            # reference sql_parser.go:264 (line/col n/a in this parser)
-            raise SQLParseError("only support 1 level with query")
-        raise SQLParseError("WITH / subqueries are not supported")
-    clauses = _find_clauses(sql)
-    if depth and any(it.strip().startswith("(")
-                     for it in _split_top_level(clauses["from"], r",")):
-        # reference sql_parser.go:216
-        raise SQLParseError("only support 1 level subquery")
+            # reference sql_parser.go:264, anchored at the inner WITH token
+            # (sql_parser_test.go:416: "... at (line:2, col:5)")
+            raise SQLParseError("only support 1 level with query", full, at)
+        raise SQLParseError("WITH / subqueries are not supported", full, at)
+    clauses, offs = _find_clauses(sql, full, base)
+    if depth:
+        for it, it_off in _split_top_level_pos(clauses["from"], r","):
+            if it.strip().startswith("("):
+                # reference sql_parser.go:216
+                raise SQLParseError(
+                    "only support 1 level subquery", full,
+                    _skip_ws(full, offs["from"][1] + it_off))
     if "having" in clauses:
         # reference sql_parser.go:496
-        raise SQLParseError("having not yet supported")
+        raise SQLParseError("having not yet supported", full,
+                            offs["having"][0])
     if clauses["select"].lower().lstrip().startswith("distinct"):
-        raise SQLParseError("DISTINCT is not supported")
+        raise SQLParseError("DISTINCT is not supported", full,
+                            offs["select"][1])
     q: Dict = {"measures": [], "dimensions": [], "rowFilters": [], "joins": []}
 
     # FROM: main table + joins
     from_body = clauses["from"]
-    join_parts = _split_top_level(
+    from_off = offs["from"][1]
+    join_parts_pos = _split_top_level_pos(
         from_body, r"(?:left\s+|inner\s+|cross\s+)?join\b")
+    join_parts = [p for p, _ in join_parts_pos]
     main = join_parts[0].strip()
     mparts = _split_top_level(main, r"\bas\b")
     main_name = _strip_quote(mparts[0])
     if len(mparts) == 2:
         pass  # alias of the main table equals the table name in AQL
-    else:
+    elif not (len(main) >= 2 and main[0] == main[-1] and main[0] in "\"'`"):
+        # a fully-quoted name ('FROM "weird table"') is never name+alias
         toks = main.split()
         if len(toks) == 2:
             main_name = _strip_quote(toks[0])
     q["table"] = main_name
 
-    for jp in join_parts[1:]:
+    for jp, jp_off in join_parts_pos[1:]:
         on_split = _split_top_level(jp, r"\bon\b")
         if len(on_split) != 2:
-            raise SQLParseError(f"JOIN missing ON condition: {jp!r}")
+            raise SQLParseError(f"JOIN missing ON condition: {jp!r}",
+                                full, _skip_ws(full, from_off + jp_off))
         tbl_part, cond = on_split[0].strip(), on_split[1].strip()
         tp = _split_top_level(tbl_part, r"\bas\b")
         if len(tp) == 2:
@@ -252,18 +330,21 @@ def _parse_plain(sql: str, depth: int = 0) -> Dict:
     # filter string, sql_parser_test.go:38).
     timezone = ""
     where_clause = clauses.get("where", "")
+    where_off = offs["where"][1] if "where" in offs else 0
     if len(_split_top_level(where_clause, r"\bor\b")) > 1:
-        conjuncts = [where_clause]
+        conjuncts = [(where_clause, 0)]
     else:
-        conjuncts = _split_top_level(where_clause, r"\band\b")
-    for conj in conjuncts:
+        conjuncts = _split_top_level_pos(where_clause, r"\band\b")
+    for conj, c_off in conjuncts:
         conj = conj.strip()
         if not conj:
             continue
+        at = _skip_ws(full, where_off + c_off)
         call = _parse_call(conj)
         if call and call[0] == "aql_time_filter":
             if len(call[1]) != 4:
-                raise SQLParseError("aql_time_filter requires 4 arguments")
+                raise SQLParseError("aql_time_filter requires 4 arguments",
+                                    full, at)
             col, frm, to, tz = call[1]
             q["timeFilter"] = {"column": _strip_quote(col),
                                "from": _strip_quote(frm),
@@ -274,20 +355,25 @@ def _parse_plain(sql: str, depth: int = 0) -> Dict:
             continue
         if call and call[0] == "aql_now":
             if len(call[1]) != 2:
-                raise SQLParseError("aql_now requires 2 arguments")
+                raise SQLParseError("aql_now requires 2 arguments",
+                                    full, at)
             q["now"] = int(_strip_quote(call[1][1]))
             continue
         q["rowFilters"].append(conj)
 
     # GROUP BY: dimensions
-    for item in _split_top_level(clauses.get("group by", ""), r","):
+    gb_off = offs["group by"][1] if "group by" in offs else 0
+    for item, it_off in _split_top_level_pos(clauses.get("group by", ""),
+                                             r","):
         item = item.strip()
         if not item:
             continue
+        at = _skip_ws(full, gb_off + it_off)
         call = _parse_call(item)
         if call and call[0] in TIME_BUCKET_UDFS:
             if len(call[1]) != 3:
-                raise SQLParseError(f"{call[0]} requires 3 arguments")
+                raise SQLParseError(f"{call[0]} requires 3 arguments",
+                                    full, at)
             col, unit, tz = (_strip_quote(a) for a in call[1])
             q["dimensions"].append({
                 "sqlExpression": col,
@@ -297,12 +383,14 @@ def _parse_plain(sql: str, depth: int = 0) -> Dict:
             if tz and tz.lower() != "null":
                 if timezone and timezone != tz:
                     raise SQLParseError(
-                        f"conflicting timezones {timezone!r} vs {tz!r}")
+                        f"conflicting timezones {timezone!r} vs {tz!r}",
+                        full, at)
                 timezone = tz
             continue
         if call and call[0] in NUMERIC_BUCKET_UDFS:
             if len(call[1]) != 2:
-                raise SQLParseError(f"{call[0]} requires 2 arguments")
+                raise SQLParseError(f"{call[0]} requires 2 arguments",
+                                    full, at)
             col, expr_arg = call[1]
             kind = NUMERIC_BUCKET_UDFS[call[0]]
             nb: Dict = {}
@@ -342,6 +430,16 @@ def _parse_plain(sql: str, depth: int = 0) -> Dict:
                 d["alias"] = alias
                 matched = True
                 break
+            if alias and d["sqlExpression"] == alias:
+                # GROUP BY referenced the select alias ('SELECT population
+                # AS pop ... GROUP BY aql_numeric_bucket_logbase(pop, 2)');
+                # resolve the dim to the real expression, like the
+                # reference's late alias resolution (sql_parser_test.go
+                # "parse numeric bucketizer should work")
+                d["sqlExpression"] = expr_text
+                d["alias"] = alias
+                matched = True
+                break
         if expr_text in group_dim_exprs:
             matched = True
         if not matched:
@@ -354,10 +452,12 @@ def _parse_plain(sql: str, depth: int = 0) -> Dict:
     elif select_dims:
         # selected non-grouped expressions are additional dimensions
         q["dimensions"] = q["dimensions"] + select_dims
-    # inner (depth>0) queries may carry several aggregates — the outer
-    # selection narrows to one and the rest become supporting measures
-    if len(q["measures"]) > 1 and depth == 0:
-        raise SQLParseError("exactly one aggregate measure supported")
+    # multiple aggregates parse fine (the reference's Parse accepts them,
+    # sql_parser_test.go "parse row filters should work"); non-composite
+    # execution rejects later with the compiler's "exactly 1 measure is
+    # required" (compiler.py:192), matching reference staging. Inner
+    # (depth>0) queries legitimately carry several — the outer selection
+    # narrows to one and the rest become supporting measures.
 
     # ORDER BY / LIMIT
     sorts = []
@@ -377,7 +477,8 @@ def _parse_plain(sql: str, depth: int = 0) -> Dict:
         try:
             q["limit"] = int(clauses["limit"].strip())
         except ValueError:
-            raise SQLParseError(f"invalid LIMIT {clauses['limit']!r}")
+            raise SQLParseError(f"invalid LIMIT {clauses['limit']!r}",
+                                full, offs["limit"][1])
     if timezone:
         q["timezone"] = timezone
     q["sql"] = sql
@@ -392,10 +493,13 @@ def _parse_plain(sql: str, depth: int = 0) -> Dict:
 
 def _parse_with(sql: str) -> Dict:
     """'WITH a AS (q) [, b AS (q)] SELECT ...' → flattened AQL dict."""
+    base = len(sql) - len(sql.lstrip())
     s = sql.strip().rstrip(";")
     m = re.match(r"\s*with\b(\s+recursive\b)?", s, re.IGNORECASE)
     if m.group(1):
-        raise SQLParseError("RECURSIVE not yet supported")
+        # anchored at the WITH statement start, like the reference's ANTLR
+        # production anchor (sql_parser_test.go:400 "(line:1, col:0)")
+        raise SQLParseError("RECURSIVE not yet supported", sql, base)
     i = m.end()
     named: Dict[str, Dict] = {}
     while True:
@@ -407,11 +511,16 @@ def _parse_with(sql: str) -> Dict:
                         r"(?:\(([^)]*)\)\s*)?as\s*\(",
                         re.IGNORECASE).match(s, i)
         if not nm:
-            raise SQLParseError("WITH requires 'name AS (query)'")
+            # reference sql_parser.go namedQuery miss, anchored at the
+            # token where the named query was expected
+            # (sql_parser_test.go:449 "(line:2, col:3)")
+            raise SQLParseError("missing with query body", sql,
+                                _skip_ws(sql, base + i))
         name = nm.group(1)
         if name in named:
             raise SQLParseError(
-                f"subquery/withQuery identifier: {name} already exist")
+                f"subquery/withQuery identifier: {name} already exist",
+                sql, base + nm.start(1))
         start = nm.end()
         depth = 1
         j = start
@@ -422,8 +531,9 @@ def _parse_with(sql: str) -> Dict:
                 depth -= 1
             j += 1
         if depth:
-            raise SQLParseError("unbalanced parentheses in WITH query")
-        inner = _parse_inner(s[start:j - 1])
+            raise SQLParseError("unbalanced parentheses in WITH query",
+                                sql, base + start - 1)
+        inner = _parse_inner(s[start:j - 1], full=sql, base=base + start)
         if nm.group(2):
             _apply_column_aliases(
                 inner, [a.strip() for a in nm.group(2).split(",")], name)
@@ -433,26 +543,31 @@ def _parse_with(sql: str) -> Dict:
         if not comma:
             break
         i = comma.end()
-    outer_sql = s[i:].strip()
-    if not outer_sql:
-        raise SQLParseError("missing query body after WITH")
-    clauses = _find_clauses(outer_sql)
+    outer_sql = s[i:]
+    if not outer_sql.strip():
+        raise SQLParseError("missing query body after WITH", sql,
+                            base + i)
+    clauses, coffs = _find_clauses(outer_sql, sql, base + i)
     for section in ("where", "select", "group by"):
         body = clauses.get(section, "")
         for name in named:
-            if re.search(rf"\b{re.escape(name)}\s*\.", body):
-                # reference sql_parser.go:1052
+            hit = re.search(rf"\b{re.escape(name)}\s*\.", body)
+            if hit:
+                # reference sql_parser.go:1052, anchored at the identifier
+                # (sql_parser_test.go:511 "(line:4, col:16)")
                 raise SQLParseError(
                     "subquery/withQuery identifier in expression not "
-                    "supported yet.")
+                    "supported yet.", sql, coffs[section][1] + hit.start())
     inners = []
-    for item in _split_top_level(clauses["from"], _FROM_SEP):
+    for item, it_off in _split_top_level_pos(clauses["from"], _FROM_SEP):
         ident = _strip_quote(item.strip())
         if ident not in named:
             raise SQLParseError(
-                f"cannot find withQuery identifier: {ident}")
+                f"cannot find withQuery identifier: {ident}", sql,
+                _skip_ws(sql, coffs["from"][1] + it_off))
         inners.append(named[ident])
-    return _merge_subqueries(outer_sql, clauses, inners, sql)
+    return _merge_subqueries(outer_sql, clauses, inners, sql,
+                             offs=coffs)
 
 
 # FROM-clause separators between subquery relations: commas and NATURAL
@@ -502,41 +617,52 @@ def _apply_column_aliases(inner: Dict, aliases: List[str],
         obj["alias"] = _strip_quote(alias)
 
 
-def _parse_from_subquery(sql: str, clauses: Dict[str, str]) -> Dict:
+def _parse_from_subquery(sql: str, clauses: Dict[str, str],
+                         offs: Dict[str, Tuple[int, int]]) -> Dict:
     """'SELECT ... FROM (SELECT ...) [AS alias] [NATURAL JOIN ...]' →
     flattened AQL dict."""
     inners = []
-    for item in _split_top_level(clauses["from"], _FROM_SEP):
+    for item, it_off in _split_top_level_pos(clauses["from"], _FROM_SEP):
+        lead = len(item) - len(item.lstrip())
         item = item.strip()
+        at = offs["from"][1] + it_off + lead
         if not item.startswith("("):
             # reference sql_parser_test.go:437 — both sides of a join
             # relation must be subqueries (or both table names)
             raise SQLParseError(
-                "from clause cannot mix tables with subqueries")
+                "from clause cannot mix tables with subqueries", sql, at)
         depth = 0
         for j, c in enumerate(item):
             depth += (c == "(") - (c == ")")
             if depth == 0:
                 break
-        inners.append(_parse_inner(item[1:j]))
-    return _merge_subqueries(sql, clauses, inners, sql)
+        inners.append(_parse_inner(item[1:j], full=sql, base=at + 1))
+    return _merge_subqueries(sql, clauses, inners, sql, offs=offs)
 
 
-def _parse_inner(sql: str) -> Dict:
-    if re.search(r"\bnatural\s+(?:left\s+|right\s+|full\s+)?"
-                 r"(?:outer\s+)?join\b", sql, re.IGNORECASE):
+def _parse_inner(sql: str, full: Optional[str] = None,
+                 base: int = 0) -> Dict:
+    if full is None:
+        full, base = sql, 0
+    hit = re.search(r"\bnatural\s+(?:left\s+|right\s+|full\s+)?"
+                    r"(?:outer\s+)?join\b", sql, re.IGNORECASE)
+    if hit:
         # reference sql_parser.go:773
         raise SQLParseError(
-            "natural join not supported at subquery/withQuery")
-    q = _parse_plain(sql, depth=1)
+            "natural join not supported at subquery/withQuery",
+            full, base + hit.start())
+    q = _parse_plain(sql, depth=1, full=full, base=base)
     if "limit" in q:
         # reference sql_parser.go:390
-        raise SQLParseError("limit on query level > 0 not supported")
+        raise SQLParseError("limit on query level > 0 not supported",
+                            full, _skip_ws(full, base))
     return q
 
 
 def _merge_subqueries(outer_sql: str, clauses: Dict[str, str],
-                      inners: List[Dict], full_sql: str) -> Dict:
+                      inners: List[Dict], full_sql: str,
+                      offs: Optional[Dict[str, Tuple[int, int]]] = None
+                      ) -> Dict:
     """Flatten one-level subqueries per the reference's AQL merge rules."""
     if not inners:
         raise SQLParseError("missing subquery in from clause")
