@@ -30,3 +30,20 @@ import pytest  # noqa: E402
 def tmp_root(tmp_path):
     """A scratch ares root directory (diskstore + metastore layout)."""
     return str(tmp_path)
+
+
+if os.environ.get("ARES_MESH") == "1":
+    # The mesh variant compiles every (plan, shape) over an 8-device
+    # virtual CPU mesh; by ~600 tests the accumulated native executables
+    # crash the XLA CPU client (SIGSEGV/SIGABRT in its thread pool, no
+    # Python frames — first seen round 4 when the suite grew past ~830
+    # tests). Dropping the in-process executable caches periodically keeps
+    # the client healthy; recompiles are cheap on CPU.
+    _mesh_test_count = {"n": 0}
+
+    @pytest.fixture(autouse=True)
+    def _mesh_cache_relief():
+        yield
+        _mesh_test_count["n"] += 1
+        if _mesh_test_count["n"] % 40 == 0:
+            jax.clear_caches()

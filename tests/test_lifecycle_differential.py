@@ -65,6 +65,11 @@ SCHEMA = {
         {"name": "status", "type": "SmallEnum"},
         {"name": "flag", "type": "Bool"},
         {"name": "i32", "type": "Int32"},
+        # round-4 column classes: the ones where round-2 fixture replay
+        # found silent data loss (arrays nulled by archiving, backfill
+        # refusing array updates) now sweep the whole lifecycle too
+        {"name": "tags", "type": "ArrayInt32"},
+        {"name": "pt", "type": "GeoPoint"},
     ],
     "primaryKeyColumns": [1],
     "archivingSortColumns": [2, 4, 5],
@@ -72,10 +77,22 @@ SCHEMA = {
     "config": {"batchSize": 64, "recordRetentionInDays": 0},
 }
 
-COL_NAMES = ["ts", "id", "city_id", "fare", "status", "flag", "i32"]
+ZONES = {
+    "name": "zones",
+    "columns": [
+        {"name": "geo_uuid", "type": "UUID"},
+        {"name": "shape", "type": "GeoShape"},
+    ],
+    "primaryKeyColumns": [0],
+    "isFactTable": False,
+    "config": {"batchSize": 16},
+}
+
+COL_NAMES = ["ts", "id", "city_id", "fare", "status", "flag", "i32",
+             "tags", "pt"]
 COL_TYPES = [dt.Uint32, dt.Uint32, dt.Uint16, dt.Float32, dt.SmallEnum,
-             dt.Bool, dt.Int32]
-NULLABLE = ("city_id", "fare", "status", "flag", "i32")
+             dt.Bool, dt.Int32, dt.ArrayInt32, dt.GeoPoint]
+NULLABLE = ("city_id", "fare", "status", "flag", "i32", "tags", "pt")
 
 
 def _batch(rows_by_col, valid_by_col, n):
@@ -88,9 +105,41 @@ def _batch(rows_by_col, valid_by_col, n):
             if not valid_by_col[name][r]:
                 continue
             v = rows_by_col[name][r]
-            b.set_value(r, ci, bool(v) if name == "flag" else
-                        float(v) if name == "fare" else int(v))
+            if name == "tags":
+                b.set_value(r, ci, list(v))
+            elif name == "pt":
+                b.set_value(r, ci, (float(v[0]), float(v[1])))
+            else:
+                b.set_value(r, ci, bool(v) if name == "flag" else
+                            float(v) if name == "fare" else int(v))
     return UpsertBatch(b.to_bytes())
+
+
+def _gen_tags(rng, n, allow_null_elem=True):
+    out = np.empty(n, object)
+    for i in range(n):
+        ln = rng.randint(0, 4)
+        tags = [int(x) for x in rng.randint(0, 10, ln)]
+        if allow_null_elem and ln and rng.rand() < 0.15:
+            tags[rng.randint(ln)] = None
+        out[i] = tags
+    return out
+
+
+def _gen_pts(rng, n):
+    """Points: ~60% inside zone A ([0,1]^2), 20% zone B ([10,11]^2),
+    20% outside everything (interior sampling, away from edges)."""
+    out = np.empty(n, object)
+    pick = rng.rand(n)
+    for i in range(n):
+        u, v = rng.uniform(0.05, 0.95, 2)
+        if pick[i] < 0.6:
+            out[i] = (u, v)
+        elif pick[i] < 0.8:
+            out[i] = (10 + u, 10 + v)
+        else:
+            out[i] = (50 + u, 50 + v)
+    return out
 
 
 def gen_rows(rng, n, id_start, ts_lo, ts_hi, all_valid=False):
@@ -102,6 +151,8 @@ def gen_rows(rng, n, id_start, ts_lo, ts_hi, all_valid=False):
         "status": rng.randint(0, len(ENUMS), n).astype(np.int64),
         "flag": rng.randint(0, 2, n).astype(bool),
         "i32": rng.randint(-100, 100, n).astype(np.int64),
+        "tags": _gen_tags(rng, n, allow_null_elem=not all_valid),
+        "pt": _gen_pts(rng, n),
     }
     valid = {name: np.ones(n, bool) for name in COL_NAMES}
     if not all_valid:
@@ -258,6 +309,127 @@ def check_join_oracle(res_pair, cols, valid, pop, pop_valid):
             (k, got[k], exp_c[k])
 
 
+Z_UUIDS = [(1, 0), (2, 0)]  # zone uuid raw (hi, lo) pairs
+
+
+def _in_zone(p, z):
+    lat, lng = p
+    if z == 0:
+        return 0 <= lat <= 1 and 0 <= lng <= 1
+    return 10 <= lat <= 11 and 10 <= lng <= 11
+
+
+def special_queries():
+    """Array / HLL / geo query classes (round-4: the column classes where
+    round-2 fixture replay found silent lifecycle data loss)."""
+    znames = [dt.uuid_to_string(*u) for u in Z_UUIDS]
+    gj = [{"table": "zones", "alias": "g",
+           "conditions": ["geography_intersects(g.shape, pt)"]}]
+    return {
+        "arr_len": {"table": "trips", "now": NOW,
+                    "measures": [{"sqlExpression": "count(*)"}],
+                    "dimensions": [{"sqlExpression": "length(tags)"}]},
+        "arr_contains": {
+            "table": "trips", "now": NOW,
+            "measures": [{"sqlExpression": "sum(fare)",
+                          "rowFilters": ["contains(tags, 3)"]}]},
+        "hll_total": {
+            "table": "trips", "now": NOW,
+            "measures": [{"sqlExpression": "countdistincthll(id)"}]},
+        "hll_by_status": {
+            "table": "trips", "now": NOW,
+            "measures": [{"sqlExpression": "countdistincthll(id)"}],
+            "dimensions": [{"sqlExpression": "status"}]},
+        "geo_dim": {
+            "table": "trips", "joins": gj, "now": NOW,
+            "measures": [{"sqlExpression": "count(*)"}],
+            "dimensions": [{"sqlExpression": "g.geo_uuid"}],
+            "rowFilters": [
+                f"g.geo_uuid IN ('{znames[0]}', '{znames[1]}')"]},
+        "geo_filter": {
+            "table": "trips", "joins": gj, "now": NOW,
+            "measures": [{"sqlExpression": "sum(fare)",
+                          "rowFilters": [f"g.geo_uuid IN ('{znames[0]}')"]}]},
+    }
+
+
+def run_specials(svc, qs):
+    out = {}
+    for k, q in qs.items():
+        resp = svc.handle_aql({"queries": [q]})
+        assert "errors" not in resp, (k, resp.get("errors"))
+        out[k] = resp["results"][0]
+    return out
+
+
+def check_specials(got, cols, valid):
+    n = len(cols["ts"])
+    # arrays: length() counts elements INCLUDING null elements; a null
+    # array keys as NULL (test_array_queries.py::test_length semantics)
+    exp = {}
+    for r in range(n):
+        key = str(len(cols["tags"][r])) if valid["tags"][r] else "NULL"
+        exp[key] = exp.get(key, 0.0) + 1.0
+    assert got["arr_len"] == {k: pytest.approx(v) for k, v in exp.items()}
+    # contains: any VALID element equals the literal
+    s, any_hit = 0.0, False
+    for r in range(n):
+        if valid["tags"][r] and any(
+                e == 3 for e in cols["tags"][r] if e is not None):
+            any_hit = True
+            if valid["fare"][r]:
+                s += float(cols["fare"][r])
+    if any_hit or got["arr_contains"]:
+        assert got["arr_contains"].get("", 0.0) == pytest.approx(
+            s, rel=1e-4, abs=1e-3)
+    # hll: estimates within 5% of exact distinct counts (ids are unique)
+    distinct = len({int(i) for i in cols["id"]})
+    assert got["hll_total"][""] == pytest.approx(distinct, rel=0.05)
+    per = {}
+    for r in range(n):
+        key = ENUMS[int(cols["status"][r])] if valid["status"][r] else "NULL"
+        per.setdefault(key, set()).add(int(cols["id"][r]))
+    assert set(got["hll_by_status"]) == set(per)
+    for k, ids in per.items():
+        assert got["hll_by_status"][k] == pytest.approx(
+            len(ids), rel=0.07), k
+    # geo: exact point-in-zone counts/sums; unmatched points drop
+    def norm(u):
+        return u.replace("-", "").upper()
+
+    zc = {0: 0.0, 1: 0.0}
+    s1 = 0.0
+    for r in range(n):
+        if not valid["pt"][r]:
+            continue
+        for z in (0, 1):
+            if _in_zone(cols["pt"][r], z):
+                zc[z] += 1.0
+                if z == 0 and valid["fare"][r]:
+                    s1 += float(cols["fare"][r])
+    exp_dim = {norm(dt.uuid_to_string(*Z_UUIDS[z])): zc[z]
+               for z in (0, 1) if zc[z]}
+    assert got["geo_dim"] == {k: pytest.approx(v)
+                              for k, v in exp_dim.items()}
+    if s1 or got["geo_filter"]:
+        assert got["geo_filter"].get("", 0.0) == pytest.approx(
+            s1, rel=1e-4, abs=1e-3)
+
+
+def check_specials_equal(a, b, state):
+    assert set(a) == set(b)
+    for k in a:
+        ra, rb = a[k], b[k]
+        assert set(ra) == set(rb), (state, k, set(ra) ^ set(rb))
+        for kk in ra:
+            va, vb = ra[kk], rb[kk]
+            if va is None or vb is None:
+                assert va == vb, (state, k, kk)
+            else:
+                assert vb == pytest.approx(va, rel=1e-4, abs=1e-3), \
+                    (state, k, kk)
+
+
 def run_queries(svc, queries):
     out = []
     for q, dims in queries:
@@ -307,9 +479,13 @@ def check_time_marginal(svc, agg, total_result):
 
 
 # the mesh variant recompiles every (plan, shape) over the virtual device
-# mesh (~170s/seed vs ~7s default); one seed keeps the cross-path coverage
-# without doubling the ARES_MESH=1 suite wall time
-_N_SEEDS = 1 if os.environ.get("ARES_MESH") == "1" else 3
+# mesh (~170s/seed vs ~7s default). Round-3 capped it to ONE seed; round-4
+# instead runs ALL seeds with a reduced per-seed filter-case count (the
+# VERDICT-r3 ask: cap per-seed cases, not seeds — the mesh path is where a
+# cross-path disagreement is costliest)
+_MESH = os.environ.get("ARES_MESH") == "1"
+_N_SEEDS = 3
+_N_FILTERS_PER_SEED = 4 if _MESH else len(FILTERS)
 
 
 @pytest.mark.parametrize("seed", range(_N_SEEDS))
@@ -320,6 +496,7 @@ def test_lifecycle_differential(seed, tmp_path):
     from aresdb_tpu.common.schema import Table
     ms.create_table(Table.from_json(SCHEMA))
     ms.create_table(Table.from_json(CITIES))
+    ms.create_table(Table.from_json(ZONES))
     ms.init_shards()
     # extend the enum through both the runtime schema and the metastore,
     # like the enum API handler does (api/server.py EnumHandler.post) —
@@ -329,9 +506,17 @@ def test_lifecycle_differential(seed, tmp_path):
     shard = ms.get_table_shard("trips")
     svc = QueryService(ms)
 
-    # random query set: one per filter, random dims/agg each
+    # random query set: one per filter (subsampled under ARES_MESH),
+    # random dims/agg each
     queries = []
-    for fsql, _fn in FILTERS:
+    if _N_FILTERS_PER_SEED < len(FILTERS):
+        picks = sorted(rng.choice(len(FILTERS), _N_FILTERS_PER_SEED,
+                                  replace=False))
+        filter_set = [FILTERS[i] for i in picks]
+    else:
+        filter_set = FILTERS
+    n_f = len(filter_set)
+    for fsql, _fn in filter_set:
         dims = DIMS[rng.randint(len(DIMS))]
         agg = AGGS[rng.randint(len(AGGS))]
         q = {"table": "trips",
@@ -349,6 +534,20 @@ def test_lifecycle_differential(seed, tmp_path):
     jq = join_queries()
     queries += jq
     n_jq = len(jq)
+    specials = special_queries()
+
+    # zones dim table: the two squares the pt generator targets
+    zb = UpsertBatchBuilder()
+    zb.add_column(0, dt.UUID)
+    zb.add_column(1, dt.GeoShape)
+    for i, (uid, wkt) in enumerate([
+            (Z_UUIDS[0], "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+            (Z_UUIDS[1], "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))")]):
+        zb.add_row()
+        zb.set_value(i, 0, uid)
+        zb.set_value(i, 1, dt.parse_geoshape(wkt))
+    ms.get_table_shard("zones").save_upsert_batch(
+        UpsertBatch(zb.to_bytes()))
 
     # cities dim table: ids 0..14 present (15..19 unmatched on purpose),
     # population null for two of them
@@ -371,8 +570,10 @@ def test_lifecycle_differential(seed, tmp_path):
     res_a = run_queries(svc, queries)
     check_vs_oracle(res_a, queries, *base)
     check_join_oracle(res_a[-n_jq:], *base, pop, pop_valid)
+    sp_a = run_specials(svc, specials)
+    check_specials(sp_a, *base)
     for i, agg in enumerate(("count(*)", "sum(fare)")):
-        check_time_marginal(svc, agg, res_a[len(FILTERS) + i])
+        check_time_marginal(svc, agg, res_a[n_f + i])
 
     # ---- state B: archive day 0 + the first half of day 1
     arch = Archiver(shard, ms.metastore, ms.diskstore)
@@ -380,6 +581,8 @@ def test_lifecycle_differential(seed, tmp_path):
     assert stats.rows_archived > 0
     res_b = run_queries(svc, queries)
     check_equal(res_a, res_b, queries, "B:partial-archive")
+    check_specials_equal(sp_a, run_specials(svc, specials),
+                         "B:partial-archive")
 
     # ---- state C: more live rows above the cutoff
     extra = gen_rows(rng, 100, 5000, BASE_T + DAY + DAY // 2,
@@ -390,6 +593,8 @@ def test_lifecycle_differential(seed, tmp_path):
     res_c = run_queries(svc, queries)
     check_vs_oracle(res_c, queries, *logical)
     check_join_oracle(res_c[-n_jq:], *logical, pop, pop_valid)
+    sp_c = run_specials(svc, specials)
+    check_specials(sp_c, *logical)
 
     # ---- state D: second archive — streaming merge into the existing
     # day-1 base + a fresh day-2 batch
@@ -397,8 +602,10 @@ def test_lifecycle_differential(seed, tmp_path):
     assert stats.rows_archived > 0
     res_d = run_queries(svc, queries)
     check_equal(res_c, res_d, queries, "D:merged-archive")
+    check_specials_equal(sp_c, run_specials(svc, specials),
+                         "D:merged-archive")
     for i, agg in enumerate(("count(*)", "sum(fare)")):
-        check_time_marginal(svc, agg, res_d[len(FILTERS) + i])
+        check_time_marginal(svc, agg, res_d[n_f + i])
 
     # ---- state E: backfill — late updates of archived PKs (same event
     # day, every column re-set non-null) + late inserts of new PKs
@@ -416,6 +623,8 @@ def test_lifecycle_differential(seed, tmp_path):
     res_e = run_queries(svc, queries)
     check_vs_oracle(res_e, queries, *logical)
     check_join_oracle(res_e[-n_jq:], *logical, pop, pop_valid)
+    sp_e = run_specials(svc, specials)
+    check_specials(sp_e, *logical)
 
     # ---- state F: cold recovery from disk
     ms2 = MemStore(DiskMetaStore(root), LocalDiskStore(root))
@@ -423,8 +632,10 @@ def test_lifecycle_differential(seed, tmp_path):
     ms2.init_shards()
     res_f = run_queries(QueryService(ms2), queries)
     check_equal(res_e, res_f, queries, "F:recovery")
+    check_specials_equal(sp_e, run_specials(QueryService(ms2), specials),
+                         "F:recovery")
     for i, agg in enumerate(("count(*)", "sum(fare)")):
-        check_time_marginal(QueryService(ms2), agg, res_f[len(FILTERS) + i])
+        check_time_marginal(QueryService(ms2), agg, res_f[n_f + i])
 
     # ---- state G: purge — retention drops whole archive days (the oracle
     # drops the same rows by event day), and the purge survives recovery
@@ -441,9 +652,13 @@ def test_lifecycle_differential(seed, tmp_path):
     res_g = run_queries(svc, queries)
     check_vs_oracle(res_g, queries, *logical)
     check_join_oracle(res_g[-n_jq:], *logical, pop, pop_valid)
+    sp_g = run_specials(svc, specials)
+    check_specials(sp_g, *logical)
 
     ms3 = MemStore(DiskMetaStore(root), LocalDiskStore(root))
     ms3.fetch_schema()
     ms3.init_shards()
     res_h = run_queries(QueryService(ms3), queries)
     check_equal(res_g, res_h, queries, "H:recovery-after-purge")
+    check_specials_equal(sp_g, run_specials(QueryService(ms3), specials),
+                         "H:recovery-after-purge")
