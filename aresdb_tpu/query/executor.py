@@ -311,9 +311,20 @@ class ShardExecutor:
                         _time.perf_counter() - me.t0)
             return _T()
 
+        def _staged_nbytes(tree) -> int:
+            import jax as _jax
+
+            return sum(getattr(x, "nbytes", 0)
+                       for x in _jax.tree_util.tree_leaves(tree))
+
         with stage("foreignTransfer"):
             foreign = self._stage_foreign_tables(plan)
             plan._exec_geo_cols = self._stage_geo(plan)
+        # reserved (admission estimate) vs ACTUAL staged bytes surface in
+        # verbose stats so over-reservation is observable (VERDICT r3 #9)
+        plan.stats["stagedBytes"] = _staged_nbytes(foreign) + _staged_nbytes(
+            plan._exec_geo_cols)
+        plan.stats["peakBatchStagedBytes"] = 0
         shards = plan.shards or [0]
 
         if plan.is_non_agg:
@@ -340,6 +351,10 @@ class ShardExecutor:
                                         n_padded, table, stats, cutoff)
                 plan.stats["batches"] += 1
                 plan.stats["rows_scanned"] += n_valid
+                nb = _staged_nbytes(batch_cols)
+                plan.stats["stagedBytes"] += nb
+                plan.stats["peakBatchStagedBytes"] = max(
+                    plan.stats["peakBatchStagedBytes"], nb)
         with stage("resultFetch"):
             self._resolve_pending(plan, table)
             self._resolve_sort_pending(plan, table)

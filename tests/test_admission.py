@@ -88,6 +88,85 @@ def test_estimate_hll_fixed(tmp_root):
     assert estimate_query_memory(plan, ms) == HLL_QUERY_REQUIRED_BYTES
 
 
+def test_estimate_uses_visible_rows_not_allocation(tmp_root):
+    """Round-4 (VERDICT r3 #9): the executor stages vp.values[:visible]
+    padded to the next pow2 — NOT the allocated batchSize. A table with a
+    2M-row allocation but 1000 visible rows must charge ~1024 rows, so
+    queries that actually fit together are admitted together."""
+    schema = dict(FACT_SCHEMA)
+    schema["config"] = {"batchSize": 1 << 21, "recordRetentionInDays": 0}
+    ms = MemStore(DiskMetaStore(tmp_root), LocalDiskStore(tmp_root))
+    ms.create_table(Table.from_json(schema))
+    ms.init_shards()
+    b = UpsertBatchBuilder()
+    b.add_column(0, dt.Uint32)
+    b.add_column(1, dt.Uint32)
+    b.add_column(2, dt.Float32)
+    for i in range(1000):
+        b.add_row()
+        b.set_value(i, 0, NOW - 1000 + i)
+        b.set_value(i, 1, i)
+        b.set_value(i, 2, float(i))
+    ms.handle_ingestion("trips", 0, UpsertBatch(b.to_bytes()))
+    plan = Compiler(ms.get_schemas()).compile(AQLQuery.from_json(COUNT_Q))
+    est = estimate_query_memory(plan, ms)
+    # allocation-based charge would be >= 2M rows x bytes/row x pipeline;
+    # the visible-rows charge is ~1024 rows — three orders smaller
+    assert 0 < est < 1 << 20, est
+
+    # the old over-reservation would have SERIALIZED these two admissible
+    # queries on a budget that genuinely fits both
+    mgr = DeviceMemoryManager(total_bytes=est * 3, utilization=1.0,
+                              default_timeout=0.5)
+    mgr.reserve(est)
+    mgr.reserve(est)  # must not block or time out
+    assert mgr.stats()["running"] == 2
+    mgr.release(est)
+    mgr.release(est)
+
+
+def test_reserved_vs_staged_bytes_surface_in_stats(tmp_root):
+    """Verbose stats expose the admission reservation next to the ACTUAL
+    staged bytes, and the reservation covers the peak batch working set."""
+    ms = make_store(tmp_root)
+    mgr = DeviceMemoryManager(total_bytes=1 << 40, utilization=1.0)
+    svc = QueryService(ms, device_manager=mgr)
+    _result, plan = svc._run(AQLQuery.from_json(dict(COUNT_Q)))
+    assert plan.stats["stagedBytes"] > 0
+    assert 0 < plan.stats["peakBatchStagedBytes"] <= plan.stats["stagedBytes"]
+    assert plan.stats["memoryRequired"] >= plan.stats["peakBatchStagedBytes"]
+
+
+def test_device_pool_per_device_budgets():
+    """DevicePool derives budgets per device (memory_stats when present)
+    and places most-free-first against each device's own budget."""
+    from aresdb_tpu.query.admission import DevicePool
+
+    class Dev:
+        def __init__(self, i, limit):
+            self.id = i
+            self.platform = "fake"
+            self._limit = limit
+
+        def memory_stats(self):
+            return {"bytes_limit": self._limit}
+
+    small, big = Dev(0, 1000), Dev(1, 10000)
+    pool = DevicePool(devices=[small, big], utilization=1.0,
+                      default_timeout=0.5)
+    assert pool.budgets == [1000, 10000]
+    # a 6000-byte query only fits the big device
+    lease = pool.acquire(6000)
+    assert lease.index == 1
+    # a second one must wait (neither device can take it), then time out
+    with pytest.raises(AdmissionError):
+        pool.acquire(6000, timeout=0.2)
+    pool.release(lease.index, lease.nbytes)
+    # stats carry per-device budgets
+    st = pool.stats()
+    assert [d["budgetBytes"] for d in st["devices"]] == [1000, 10000]
+
+
 # ---------------------------------------------------------------------------
 # reservation gate
 # ---------------------------------------------------------------------------
