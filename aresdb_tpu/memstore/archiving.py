@@ -477,9 +477,24 @@ class Archiver:
                     if not c.deleted]
         sort_cols = list(schema.table.archiving_sort_columns)
 
-        with live.lock:
-            snapshots = [(bid, live.visible_rows_in_batch(bid),
-                          live.batches[bid]) for bid in live.get_batch_ids()]
+        # Advance the high watermark UNDER THE WRITER LOCK **BEFORE**
+        # snapshotting, so ingestion redirects every new sub-cutoff row to
+        # the backfill queue from this point on (reference archiving.go:283
+        # "so ingestion won't update records below the new target cutoff").
+        # Advancing it after the snapshot loses rows: an ingest that
+        # classified against the old watermark could append a [old, new)
+        # row to live AFTER the snapshot — hidden by the published cutoff,
+        # never archived. Found by tests/test_race_harness.py's storm.
+        # Queries stay consistent throughout: they filter live rows by the
+        # CURRENT VERSION's cutoff (still old until the swap below), so
+        # rows captured in the snapshot remain visible exactly once.
+        with shard.writer_lock:
+            with live.lock:
+                live.archiving_cutoff_high_watermark = new_cutoff
+                live.primary_key.update_event_time_cutoff(new_cutoff)
+                snapshots = [(bid, live.visible_rows_in_batch(bid),
+                              live.batches[bid])
+                             for bid in live.get_batch_ids()]
 
         # select rows to archive, grouped by day
         day_rows: Dict[int, List[Tuple[int, np.ndarray]]] = {}
@@ -542,13 +557,12 @@ class Archiver:
             stats.days += 1
             stats.rows_archived += n_patch
 
-        # publish: cutoff + version swap + PK expiry + live purge
+        # publish: cutoff + version swap + live purge (the watermark and PK
+        # expiry advanced up front, before the snapshot)
         self.metastore.update_archiving_cutoff(
             schema.table.name, shard.shard_id, new_cutoff)
         shard.archive_store.swap_version(new_version)
         with live.lock:
-            live.archiving_cutoff_high_watermark = new_cutoff
-            live.primary_key.update_event_time_cutoff(new_cutoff)
             last = live.last_read_record
             for bid in sorted(live.batches):
                 if bid >= last.batch_id:
