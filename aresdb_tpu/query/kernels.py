@@ -650,10 +650,10 @@ def unpack_dim_keys(gkeys, dim_vals: List[_Val], dim_types: List[int],
     for dv, t in zip(dim_vals, dim_types):
         width = min(_dim_bits(t), 64)
         assert width < 64 and t not in (mdt.UUID, mdt.GeoPoint)
-        bits = (gkeys >> jnp.uint64(shift)) & jnp.uint64((1 << width) - 1)
-        shift += width
         vbit = ((gkeys >> jnp.uint64(shift)) & jnp.uint64(1)) != 0
         shift += 1
+        bits = (gkeys >> jnp.uint64(shift)) & jnp.uint64((1 << width) - 1)
+        shift += width
         tmpl = dv.value.dtype
         if tmpl == jnp.float32:
             val = jax.lax.bitcast_convert_type(
@@ -689,13 +689,20 @@ def pack_dim_keys(dim_vals: List[_Val], dim_types: List[int], mask):
         shift = 0
         for dv, t in zip(dim_vals, dim_types):
             # canonical NULL: zero the value bits so every null row lands in
-            # one group regardless of the undefined value lane
+            # one group regardless of the undefined value lane.
+            # The valid bit sits BELOW the value bits (round 4): the total
+            # order is identical either way (null key 0 still sorts first,
+            # valid values keep their relative order), but nulls now sit
+            # NEXT to the value range instead of 2^width away — so the
+            # packed sort's runtime key rebase (kmax - kmin) stays within
+            # one value-range even when null rows are present, unlocking
+            # the single-operand sort for f32/u32-wide dims
             bits = jnp.where(dv.valid, _value_bits_u64(dv, t)[0], jnp.uint64(0))
             width = min(_dim_bits(t), 64)
-            key = key | (bits << jnp.uint64(shift))
-            shift += width
             key = key | (dv.valid.astype(jnp.uint64) << jnp.uint64(shift))
             shift += 1
+            key = key | (bits << jnp.uint64(shift))
+            shift += width
     else:
         key = jnp.uint64(0)
         acc = jnp.zeros(n, jnp.uint64)
@@ -803,7 +810,79 @@ def _measure_lane(plan: CompiledQuery, ctx: _EvalCtx):
     return _Val(mv.value.astype(dtype), mv.valid)
 
 
-_PREFIX_BLOCK = 512
+_PREFIX_BLOCK = 256   # round-4 (tools/bench_prefix_block.py, n=4M num=32k
+                      # on one v5e): post-sort reduce 5.03ms at L=512,
+                      # 2.45 at 256, 2.33 at 128, 3.39 at 64 — the
+                      # [num, L] boundary windows dominate above the knee,
+                      # the [n/L] block prefix below it. 128 measured best
+                      # standalone but blows XLA's 16MB scoped-vmem limit
+                      # inside the full fused batch program (reduce-window
+                      # cumsum stack allocation); 256 keeps ~all the win
+
+
+def _cumsum_2lvl(x, axis: int = 0):
+    """Cumulative sum via 128-wide two-level decomposition (f64 path).
+
+    XLA lowers long cumsums to reduce-window programs whose scoped-vmem
+    stack scales with the surrounding fusion; inside the fully-fused batch
+    program that blows the 16MB scoped limit ('Ran out of memory in memory
+    space vmem ... reduce-window'). Splitting into within-128 cumsums plus
+    a short offset cumsum keeps every window tiny. Exact for integer
+    dtypes and f64 (addition re-association only)."""
+    B = 128
+    if axis != 0:
+        x = jnp.moveaxis(x, axis, 0)
+    n = x.shape[0]
+    if n <= B:
+        out = jnp.cumsum(x, axis=0)
+        return jnp.moveaxis(out, 0, axis) if axis != 0 else out
+    pad = (-n) % B
+    xp = jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
+    m = xp.shape[0] // B
+    rows = xp.reshape((m, B) + x.shape[1:])
+    within = jnp.cumsum(rows, axis=1)
+    offs = _cumsum_2lvl(within[:, -1])
+    offs = jnp.concatenate(
+        [jnp.zeros((1,) + x.shape[1:], x.dtype), offs[:-1]])
+    out = (within + offs[:, None]).reshape((m * B,) + x.shape[1:])[:n]
+    return jnp.moveaxis(out, 0, axis) if axis != 0 else out
+
+
+def _row_cumsum_mxu(rows, small_ints: bool = False):
+    """[m, B] inclusive row-wise cumsum as ONE triangular f32 matmul on
+    the MXU — no reduce-window lowering at all, so no scoped-vmem
+    lottery. Exact for integer inputs whose prefix totals stay below
+    2^24. small_ints=True means every input is an integer <= 256
+    (bf16-exact), so the single-pass DEFAULT dot is already exact;
+    otherwise HIGHEST keeps f32-exact products."""
+    b = rows.shape[1]
+    tri = jnp.triu(jnp.ones((b, b), jnp.float32))
+    prec = (jax.lax.Precision.DEFAULT if small_ints
+            else jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(
+        rows.astype(jnp.float32), tri, (((1,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32)
+
+
+def _cumsum_int(x, axis: int = 0, small_ints: bool = False):
+    """Exact integer cumsum via MXU triangular matmuls (see
+    _row_cumsum_mxu). Valid for prefix totals < 2^24 — callers here sum
+    mark/count flags over at most one batch (n <= 2^22 rows)."""
+    B = 128
+    if x.ndim == 2 and axis == 1:
+        return _row_cumsum_mxu(x, small_ints).astype(x.dtype)
+    assert axis == 0 and x.ndim == 1
+    n = x.shape[0]
+    pad = (-n) % B
+    xp = jnp.concatenate([x, jnp.zeros(pad, x.dtype)]) if pad else x
+    m = xp.shape[0] // B
+    within = _row_cumsum_mxu(xp.reshape(m, B), small_ints)
+    if m == 1:
+        return within.reshape(-1)[:n].astype(x.dtype)
+    offs = _row_cumsum_mxu(within[:, -1].reshape(1, m)).reshape(m)
+    offs = jnp.concatenate([jnp.zeros(1, jnp.float32), offs[:-1]])
+    return (within + offs[:, None]).reshape(-1)[:n].astype(x.dtype)
 
 
 def sorted_starts_marks(first, num: int, n: int, sent_start):
@@ -829,7 +908,7 @@ def sorted_starts_marks(first, num: int, n: int, sent_start):
     nb = first.shape[0] // L
     f = first.reshape(nb, L)
     blk_cnt = jnp.sum(f.astype(jnp.int32), axis=1)            # [nb]
-    crank = jnp.cumsum(blk_cnt)
+    crank = _cumsum_int(blk_cnt)
     blk_rank = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), crank[:-1]])                # exclusive
     total = crank[nb - 1]
@@ -838,10 +917,11 @@ def sorted_starts_marks(first, num: int, n: int, sent_start):
     # histogram (tiny) — cand block of the j-th mark is the last such block
     hist = jnp.zeros(num + 1, jnp.int32).at[
         jnp.clip(blk_rank, 0, num)].add(1)
-    cnt_le = jnp.cumsum(hist)[:num]                           # inclusive
+    cnt_le = _cumsum_int(hist)[:num]                          # inclusive
     cand = jnp.clip(cnt_le - 1, 0, nb - 1)                    # [num]
     win = f[cand]                                             # [num, L]
-    wrank = jnp.cumsum(win.astype(jnp.int32), axis=1)         # inclusive
+    wrank = _cumsum_int(win.astype(jnp.int32), axis=1,
+                        small_ints=True)                      # inclusive
     local_j = j - blk_rank[cand]
     pos = jnp.sum((wrank <= local_j[:, None]).astype(jnp.int32), axis=1)
     return jnp.where(j < total, cand * L + pos,
@@ -897,27 +977,54 @@ def sorted_segment_sum(values, num: int, starts, ends):
         values = jnp.concatenate(
             [values, jnp.zeros((n_pad - n, c), values.dtype)])
     nb = n_pad // L
-    v3 = values.reshape(nb, L, c)
-    blk = jnp.sum(v3, axis=1).astype(jnp.float64)             # [nb, c]
-    # bpref[i] = exact sum of blocks < i
-    bpref = jnp.concatenate(
-        [jnp.zeros((1, c), jnp.float64), jnp.cumsum(blk, axis=0)])
 
-    last = jnp.clip(ends - 1, 0, n_pad - 1)                   # inclusive end
-    hb = jnp.clip(starts, 0, n_pad - 1) // L
-    tb = last // L
-    same = hb == tb
-    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-    so = (starts % L)[:, None]
-    eo = (last % L)[:, None]
-    hmask = (pos >= so) & (pos <= jnp.where(same[:, None], eo, L - 1))
-    tmask = (pos <= eo) & (~same)[:, None]
-    head = jnp.sum(v3[hb] * hmask[..., None], axis=1)         # [num, c] f32
-    tail = jnp.sum(v3[tb] * tmask[..., None], axis=1)
-    mid = jnp.where(same[:, None], jnp.float64(0),
-                    bpref[tb] - bpref[jnp.minimum(hb + 1, nb)])
-    out = head.astype(jnp.float64) + tail.astype(jnp.float64) + mid
-    out = jnp.where((starts < ends)[:, None], out, jnp.float64(0))
+    def span_sums(vals):
+        v3 = vals.reshape(nb, L, c)
+        blk = jnp.sum(v3, axis=1).astype(jnp.float64)         # [nb, c]
+        # bpref[i] = exact sum of blocks < i
+        bpref = jnp.concatenate(
+            [jnp.zeros((1, c), jnp.float64), _cumsum_2lvl(blk)])
+        last = jnp.clip(ends - 1, 0, n_pad - 1)               # inclusive end
+        hb = jnp.clip(starts, 0, n_pad - 1) // L
+        tb = last // L
+        same = hb == tb
+        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+        so = (starts % L)[:, None]
+        eo = (last % L)[:, None]
+        hmask = (pos >= so) & (pos <= jnp.where(same[:, None], eo, L - 1))
+        tmask = (pos <= eo) & (~same)[:, None]
+        head = jnp.sum(v3[hb] * hmask[..., None], axis=1)     # [num, c] f32
+        tail = jnp.sum(v3[tb] * tmask[..., None], axis=1)
+        mid = jnp.where(same[:, None], jnp.float64(0),
+                        bpref[tb] - bpref[jnp.minimum(hb + 1, nb)])
+        out = head.astype(jnp.float64) + tail.astype(jnp.float64) + mid
+        return jnp.where((starts < ends)[:, None], out, jnp.float64(0))
+
+    finite = jnp.isfinite(values)
+
+    def clean():
+        return span_sums(values)
+
+    def poisoned():
+        # a NaN/Inf anywhere would contaminate the running block prefix
+        # for EVERY later group (mid = bpref difference), so nonfinite
+        # contributions are split out: the finite part rides the prefix
+        # machinery, the nonfinite part is an exact per-group scatter over
+        # reconstructed segment ids (rare branch; the searchsorted +
+        # scatter cost only executes when nonfinite measures exist).
+        # f32 `finite + nonfinite` then reproduces direct-summation
+        # semantics: NaN poisons its own group, +/-inf propagates.
+        base = span_sums(jnp.where(finite, values, jnp.zeros((), values.dtype)))
+        seg = (jnp.searchsorted(
+            starts, jnp.arange(n_pad, dtype=starts.dtype), side="right")
+            .astype(jnp.int32) - 1)
+        seg = jnp.clip(seg, 0, num - 1)
+        extra = jax.ops.segment_sum(
+            jnp.where(finite, jnp.zeros((), values.dtype), values),
+            seg, num_segments=num).astype(jnp.float64)
+        return base + extra
+
+    out = jax.lax.cond(jnp.all(finite), clean, poisoned)
     return out.astype(values.dtype)
 
 
@@ -967,11 +1074,12 @@ def _runtime_dense_slots(keys, dim_types: List[int],
     live = keys != _sentinel_of(keys)
     k64 = keys.astype(jnp.uint64)
     strides = dim_strides or [1] * len(dim_types)
-    # (offset, width, value_stride): value field + 1-bit valid field per dim
+    # (offset, width, value_stride): 1-bit valid field BELOW the value
+    # field per dim (pack_dim_keys round-4 layout)
     fields = []
     for (off, width), vs in zip(_dim_fields(dim_types), strides):
-        fields.append((off, width - 1, vs))
-        fields.append((off + width - 1, 1, 1))
+        fields.append((off, 1, 1))
+        fields.append((off + 1, width - 1, vs))
     slots_total = jnp.uint64(1)
     stride = jnp.uint64(1)
     slot = jnp.zeros_like(k64)
@@ -1161,26 +1269,52 @@ def _reduce_by_key_sorted(keys, mval, mvalid, agg: str, out_float: bool,
             k64 = jnp.where(keys == SENTINEL32, SENTINEL64, k64)
         live = k64 != SENTINEL64
         any_live = jnp.any(live)
-        kmin = jnp.min(jnp.where(live, k64, SENTINEL64))
-        kmax = jnp.max(jnp.where(live, k64, jnp.uint64(0)))
+        # the ALL-NULL-dims key is 0 while valid value keys can sit near
+        # 2^32 (f32's monotone bit transform sets the sign bit), which
+        # would blow the rebase range whenever null rows exist. Remap it
+        # to (smallest nonzero live key - 1): still strictly below every
+        # valid key (null-first order preserved, no collisions — no live
+        # key exists in (0, klo)), and trivially inverted after the sort.
+        knz = jnp.where(live & (k64 != jnp.uint64(0)), k64, SENTINEL64)
+        klo = jnp.min(knz)
+        klo = jnp.where(klo == SENTINEL64, jnp.uint64(1), klo)
+        k64r = jnp.where(live & (k64 == jnp.uint64(0)),
+                         klo - jnp.uint64(1), k64)
+        kmin = jnp.min(jnp.where(live, k64r, SENTINEL64))
+        kmax = jnp.max(jnp.where(live, k64r, jnp.uint64(0)))
         krange = jnp.where(any_live, kmax - kmin, jnp.uint64(0))
         bits = jax.lax.bitcast_convert_type(
             mval, jnp.uint32).astype(jnp.uint64)
 
         def packed_sort():
-            # (a) rebased single-operand pack
-            packed = (((k64 - kmin) << jnp.uint64(33))
-                      | (mvalid.astype(jnp.uint64) << jnp.uint64(32))
-                      | bits)
+            # (a) rebased single-operand pack: 32 bits of rebased key above
+            # 32 bits of measure. Measure VALIDITY rides in the measure
+            # lane itself: invalid rows canonicalize to the reserved quiet
+            # -NaN 0xFFFFFFFF, and a valid measure carrying exactly those
+            # bits remaps to another quiet -NaN (0xFFBFFFFF) — IEEE NaN
+            # payloads are not preserved by f32 aggregation anyway, so
+            # group results are bit-identical (NaN poisoning included).
+            # This widened the eligible key range from 2^30 to 2^32-2
+            # (round 4): with the valid-below-value key layout, a whole
+            # f32/u32-wide dim rebases into range, so the true-hicard path
+            # rides the 8-byte one-operand sort (5.2ms at n=4M on one v5e)
+            # instead of the 12-byte folded sort (6.9ms).
+            mb = jnp.where(bits == jnp.uint64(0xFFFFFFFF),
+                           jnp.uint64(0xFFBFFFFF), bits)
+            mb = jnp.where(mvalid, mb, jnp.uint64(0xFFFFFFFF))
+            packed = ((k64r - kmin) << jnp.uint64(32)) | mb
             packed = jnp.where(live, packed, SENTINEL64)
             (sp,) = jax.lax.sort((packed,), num_keys=1, is_stable=False)
             live_s = sp != SENTINEL64
-            sk = jnp.where(live_s, (sp >> jnp.uint64(33)) + kmin,
+            sk = jnp.where(live_s, (sp >> jnp.uint64(32)) + kmin,
                            SENTINEL64)
-            mv = (((sp >> jnp.uint64(32)) & jnp.uint64(1)) != 0) & live_s
-            vals = jax.lax.bitcast_convert_type(
-                (sp & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
-                jnp.float32)
+            # invert the all-null-key remap (klo-1 never collides with a
+            # real live key)
+            sk = jnp.where(live_s & (sk == klo - jnp.uint64(1)),
+                           jnp.uint64(0), sk)
+            low = (sp & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+            mv = (low != jnp.uint32(0xFFFFFFFF)) & live_s
+            vals = jax.lax.bitcast_convert_type(low, jnp.float32)
             return sk, vals, mv
 
         def folded_sort():
@@ -1195,7 +1329,7 @@ def _reduce_by_key_sorted(keys, mval, mvalid, agg: str, out_float: bool,
             return sk, vals, mv
 
         skeys, mval, mvalid = jax.lax.cond(
-            krange < jnp.uint64(1 << 30), packed_sort, folded_sort)
+            krange <= jnp.uint64((1 << 32) - 2), packed_sort, folded_sort)
         sent = SENTINEL64
     else:
         ops = (keys, mval, mvalid.astype(jnp.int8))
@@ -1206,6 +1340,13 @@ def _reduce_by_key_sorted(keys, mval, mvalid, agg: str, out_float: bool,
         if need_order:
             order = sorted_[3]
         mvalid = mvalid_i8.astype(jnp.bool_)
+    # fusion barrier between the sort and the boundary/reduction stages:
+    # XLA fusing the whole pipeline (especially under a chained lax.scan)
+    # can blow the 16MB scoped-vmem stack lowering the [num, L] cumsums
+    # ("Ran out of memory in memory space vmem ... reduce-window");
+    # identity-semantics, sort outputs are materialized anyway
+    skeys, mval, mvalid = jax.lax.optimization_barrier(
+        (skeys, mval, mvalid))
     first = jnp.concatenate([jnp.ones(1, jnp.bool_), skeys[1:] != skeys[:-1]])
     live = skeys != sent
     prefix = _prefix_enabled()

@@ -138,16 +138,18 @@ def test_u32_narrow_keys_match_u64_packing():
     assert np.array_equal(np.asarray(out32[0]), np.asarray(out64[0]))
     assert np.array_equal(np.asarray(out32[3]), np.asarray(out64[3]))
     # u64(narrow key) must equal the wide packing bit-for-bit
-    # (SmallEnum packs 8 value bits + 1 valid bit, Bool packs 1 + 1)
+    # (round-4 layout: per dim the 1 VALID bit sits BELOW the value bits —
+    # SmallEnum packs 1 valid + 8 value bits, Bool packs 1 + 1)
     wide = np.asarray(keys32.astype(jnp.uint64))
     # the u32 sentinel widens to 0xFFFFFFFF; reduce_by_key re-sentinels
     # group keys on output, so only in-mask keys must match bit-for-bit
     wide = np.where(wide == np.uint64(K.SENTINEL32), K.SENTINEL64, wide)
     lo = (np.asarray(v1).astype(np.uint64) & np.uint64(0xFF))
-    expect = np.where(b1, lo, 0) | (np.uint64(1) << np.uint64(8)) * b1
+    expect = np.uint64(1) * b1  # dim-1 valid bit at bit 0
+    expect = expect | (np.where(b1, lo, 0) << np.uint64(1))
+    expect = expect | (np.uint64(1) << np.uint64(9)) * b2
     expect = expect | ((np.asarray(v2).astype(np.uint64) & np.uint64(1))
-                       * b2 << np.uint64(9))
-    expect = expect | (np.uint64(1) << np.uint64(10)) * b2
+                       * b2 << np.uint64(10))
     expect = np.where(mask, expect, K.SENTINEL64)
     # null dims zero their value bits
     assert np.array_equal(wide, expect)
@@ -240,3 +242,46 @@ def test_runtime_dense_falls_back_on_wide_ranges(monkeypatch):
         outs.append(out)
     for a, b in zip(outs[0][:5], outs[1][:5]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_sort_nan_measure_semantics():
+    """The widened 1-op packed sort carries measure validity IN the
+    measure lane: invalid rows canonicalize to the reserved quiet -NaN
+    0xFFFFFFFF, and a VALID measure with exactly those bits remaps to
+    another quiet -NaN — the group sum must still be NaN (poisoning kept)
+    and the count must still include the row."""
+    n = 4096
+    rng = np.random.RandomState(5)
+    keys = jnp.asarray(rng.randint(0, 7, n).astype(np.uint64))
+    mval_np = rng.rand(n).astype(np.float32)
+    # group 3: one valid reserved-payload NaN; group 5: one invalid row
+    g3 = int(np.nonzero(np.asarray(keys) == 3)[0][0])
+    mval_np[g3] = np.uint32(0xFFFFFFFF).view(np.float32)
+    mvalid_np = np.ones(n, bool)
+    g5 = np.nonzero(np.asarray(keys) == 5)[0][:4]
+    mvalid_np[g5] = False
+    out = K._reduce_by_key_sorted(
+        keys, jnp.asarray(mval_np), jnp.asarray(mvalid_np),
+        "sum", True, 16, sortpack=True)
+    gkeys, slot_used, aggv, cnt = (np.asarray(x) for x in out[:4])
+    n_groups = int(out[4])
+    assert n_groups == 7
+    per_key = {int(gkeys[i]): i for i in range(7)}
+    # group 3: NaN poisons the sum, count includes the NaN row
+    assert np.isnan(aggv[per_key[3]])
+    assert cnt[per_key[3]] == (np.asarray(keys) == 3).sum()
+    # group 5: invalid rows dropped from count and sum
+    k5 = np.asarray(keys) == 5
+    assert cnt[per_key[5]] == k5.sum() - 4
+    expect5 = mval_np[k5 & mvalid_np].astype(np.float64).sum()
+    assert abs(aggv[per_key[5]] - expect5) < 1e-3
+    # every other group sums exactly (within f32) and counts exactly
+    for k in (0, 1, 2, 4, 6):
+        kk = np.asarray(keys) == k
+        ok = kk & mvalid_np
+        ok[g3] = False  # only relevant for group 3
+        expect = mval_np[kk & mvalid_np]
+        if k != 3:
+            assert abs(aggv[per_key[k]]
+                       - expect.astype(np.float64).sum()) < 1e-3
+        assert cnt[per_key[k]] == (kk & mvalid_np).sum()

@@ -55,6 +55,8 @@ def _mix_f32(x, carry):
 def _mix_u64(x, carry):
     """Carry injection for integer arrays: add a f32-roundtripped zero the
     compiler cannot fold (carry - carry could be NaN for inf carries)."""
+    if carry is None:
+        return x
     z = (carry - carry).astype(jnp.float32)
     return x + z.astype(x.dtype)
 
@@ -162,6 +164,50 @@ def main():
 
     ms = chain(post_sort, (sp,), lambda out: jnp.sum(out[0]))
     print(f"post-sort reduce:    {ms:7.2f} ms")
+
+    # post-sort sub-stages
+    def unpack_only(sp, carry):
+        sp = _mix_u64(sp, carry)
+        live_s = sp != jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        skeys = jnp.where(live_s, sp >> jnp.uint64(33),
+                          jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        mv = (((sp >> jnp.uint64(32)) & jnp.uint64(1)) != 0) & live_s
+        vals = jax.lax.bitcast_convert_type(
+            (sp & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.float32)
+        return skeys, mv, vals
+
+    ms = chain(unpack_only, (sp,),
+               lambda out: (jnp.sum(out[0].astype(jnp.float32))
+                            + jnp.sum(out[2])))
+    print(f"  unpack only:       {ms:7.2f} ms")
+
+    def marks_only(sp, carry):
+        skeys, mv, vals = unpack_only(sp, carry)
+        live_s = skeys != jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        first = jnp.concatenate(
+            [jnp.ones(1, jnp.bool_), skeys[1:] != skeys[:-1]])
+        sent_start = jnp.sum(live_s.astype(jnp.int32))
+        starts = K.sorted_starts_marks(first, KG + 1, N, sent_start)
+        return (starts,)
+
+    ms = chain(marks_only, (sp,),
+               lambda out: jnp.sum(out[0].astype(jnp.float32)))
+    print(f"  unpack+marks:      {ms:7.2f} ms")
+
+    # segment sum alone on precomputed starts/ends/values
+    st = np.asarray(jax.jit(lambda a: marks_only(a, None))(sp)[0])
+    ends_np = np.concatenate([st[1:], [N]]).astype(np.int32)
+    starts_j, ends_j = jnp.asarray(st), jnp.asarray(ends_np)
+    vals_j = jnp.asarray(np.random.RandomState(0)
+                         .rand(N, 2).astype(np.float32))
+
+    def segsum_only(vals, starts, ends, carry):
+        vals = _mix_f32(vals, carry)
+        return (K.sorted_segment_sum(vals, KG + 1, starts, ends),)
+
+    ms = chain(segsum_only, (vals_j, starts_j, ends_j),
+               lambda out: jnp.sum(out[0]))
+    print(f"  segment-sum only:  {ms:7.2f} ms")
 
     # full path for reference
     def full(columns, carry):
