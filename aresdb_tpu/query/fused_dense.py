@@ -313,7 +313,7 @@ def _make_kernel(plan: CompiledQuery, dense_plan, spec: FusedSpec,
                             vmask, jnp.int32(spec.keep_bit)),
                         jnp.int32(1)) == 1
 
-                    ctx = K._EvalCtx(cols, (), te)
+                    ctx = K._EvalCtx(cols, (), te, mosaic=True)
                     mask = keep_pre
                     for f in plan.filters + plan.time_filter_expr:
                         fv = K._truthy(K._emit(f, ctx, plan))
@@ -323,20 +323,35 @@ def _make_kernel(plan: CompiledQuery, dense_plan, spec: FusedSpec,
                     mlane = K._measure_lane(plan, ctx)
                     slot_ix, bad = K.dense_slot_lane(dim_vals, dense_plan, te)
 
-                    keep = mask & ~bad
+                    # combine keep/bad/measure-valid in INT32 multiplies
+                    # and NEVER `where`-select against the measure: for
+                    # count(*)'s
+                    # LITERAL measure both select branches are splats, so
+                    # Mosaic infers a replicated result layout and then
+                    # demands the per-lane i1 condition replicated too —
+                    # "Invalid relayout: ... replicated in destination but
+                    # not in source", which crashed every filterless
+                    # count-by-dim query on the real chip (caught by the
+                    # round-4 battery gate's fused-count branch).
+                    mask32 = mask.astype(jnp.int32)
+                    bad32 = bad.astype(jnp.int32)
+                    keep32 = mask32 * (jnp.int32(1) - bad32)
                     # f32 count reduction: integer jnp.sum traces an int64
                     # upcast internally, which Mosaic rejects; f32 is exact
                     # for sub-chunk counts <= 2^24
                     ovf_ref[0, 0] = ovf_ref[0, 0] + jnp.sum(
-                        (mask & bad).astype(jnp.float32)).astype(jnp.int32)
-                    sl = jnp.where(keep, slot_ix, jnp.int32(-1))
-                    mvalid = mlane.valid & keep
-                    mval = mlane.value.astype(jnp.float32)
+                        (mask32 * bad32).astype(jnp.float32)).astype(
+                            jnp.int32)
+                    # sl = slot when kept else -1, in pure int arithmetic
+                    sl = keep32 * (slot_ix + jnp.int32(1)) - jnp.int32(1)
+                    mvalid32 = mlane.valid.astype(jnp.int32) * keep32
 
-                    hi = jnp.where(sl < 0, jnp.int32(-1),
-                                   jax.lax.shift_right_logical(sl, 7))
-                    lo = jnp.where(sl < 0, jnp.int32(-1),
-                                   jax.lax.bitwise_and(sl, jnp.int32(127)))
+                    # hi/lo split: sl == -1 maps to -1/-1 via sign
+                    # arithmetic (no i1 select)
+                    hi = jax.lax.shift_right_arithmetic(sl, 7)
+                    lo = jax.lax.bitwise_or(
+                        jax.lax.bitwise_and(sl, jnp.int32(127)),
+                        jax.lax.shift_right_arithmetic(sl, 31))
                     # bf16 one-hots via astype (a bf16 `where` on the
                     # [khi, te] i1 mask hits a Mosaic relayout bug —
                     # multiply instead, like pallas_ops)
@@ -347,15 +362,18 @@ def _make_kernel(plan: CompiledQuery, dense_plan, spec: FusedSpec,
                         jnp.int32, (FD_KLO, te), 0)
                         == lo[None, :]).astype(jnp.bfloat16)
 
-                    # measure → exact bf16 hi+lo parts, invalid rows
-                    # selected to zero BEFORE any multiply (their raw
-                    # lanes can be NaN bits)
+                    # measure → exact bf16 hi+lo parts. Invalid rows zero
+                    # via an INTEGER multiply on the raw bit pattern
+                    # (0 * bits = 0x00000000 = +0.0f) — their f32 lanes
+                    # can be NaN bits, and NaN * 0.0 would stay NaN, so
+                    # the scrub must happen in bit space, not value space
+                    mbits = jax.lax.bitcast_convert_type(
+                        mlane.value.astype(jnp.float32), jnp.int32)
+                    mval = jax.lax.bitcast_convert_type(
+                        mbits * mvalid32, jnp.float32)
                     vh = mval.astype(jnp.bfloat16)
                     vl = (mval - vh.astype(jnp.float32)).astype(jnp.bfloat16)
-                    zero = jnp.zeros((), jnp.bfloat16)
-                    vh = jnp.where(mvalid, vh, zero)
-                    vl = jnp.where(mvalid, vl, zero)
-                    mvalid_bf = mvalid.astype(jnp.bfloat16)
+                    mvalid_bf = mvalid32.astype(jnp.bfloat16)
                     W = jnp.concatenate(
                         [oh_hi * vh[None, :], oh_hi * vl[None, :],
                          oh_hi * mvalid_bf[None, :], oh_hi], axis=0)

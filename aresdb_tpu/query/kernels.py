@@ -76,12 +76,18 @@ class _Val:
 class _EvalCtx:
     """Per-trace context: staged column arrays + lazily-joined foreign rows."""
 
-    def __init__(self, columns, foreign, n_rows: int):
+    def __init__(self, columns, foreign, n_rows: int,
+                 mosaic: bool = False):
         # columns: {(table_id, column_id): (values, validity)}
         self.columns = columns
         # foreign: list of (sorted_keys, perm) per foreign table (device arrays)
         self.foreign = foreign
         self.n_rows = n_rows
+        # True when this trace runs INSIDE a pallas TPU kernel
+        # (fused_dense): emitters must avoid Mosaic-hostile ops — i1
+        # select_n ("Unsupported target bitwidth for truncation") and
+        # selects whose branches are both splats (invalid-relayout)
+        self.mosaic = mosaic
         self._foreign_rows: Dict[int, Tuple] = {}
         self._geo_matched = None
 
@@ -480,6 +486,33 @@ def _emit_numeric_bucket(node: E.Call, ctx: _EvalCtx, plan: CompiledQuery) -> _V
     return _Val(lower, c.valid)
 
 
+def _case_select(take, a, b, ctx: _EvalCtx):
+    """Branch select for CASE emission. In Mosaic (fused kernel) contexts
+    select_n is avoided entirely: i1 selects fail to lower ("Unsupported
+    target bitwidth for truncation"), and a select whose branches are both
+    splats (e.g. `then fare else 0` with literal arms) makes Mosaic infer
+    a replicated result layout and demand the per-lane condition
+    replicated ("Invalid relayout"). The bit-space integer blend is
+    value-exact for every dtype, NaN payloads included."""
+    if not ctx.mosaic or a.dtype in (jnp.int64, jnp.float64):
+        # 64-bit never occurs under Mosaic (x64 is disabled in-kernel and
+        # plan_fused rejects int64 lanes); keep XLA's native select
+        return jnp.where(take, a, b)
+    t32 = take.astype(jnp.int32)
+    nt32 = jnp.int32(1) - t32
+    a = jnp.broadcast_to(a, take.shape)
+    b = jnp.broadcast_to(b, take.shape)
+    if a.dtype == jnp.bool_:
+        return (t32 * a.astype(jnp.int32) + nt32 * b.astype(jnp.int32)) > 0
+    if a.dtype == jnp.float32:
+        ab = jax.lax.bitcast_convert_type(a, jnp.int32)
+        bb = jax.lax.bitcast_convert_type(b, jnp.int32)
+        return jax.lax.bitcast_convert_type(t32 * ab + nt32 * bb,
+                                            jnp.float32)
+    return (t32 * a.astype(jnp.int32)
+            + nt32 * b.astype(jnp.int32)).astype(a.dtype)
+
+
 def _emit_case(node: E.Case, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
     dt = _dtype_for_expr_type(node.type)
     if node.else_expr is not None:
@@ -492,8 +525,8 @@ def _emit_case(node: E.Case, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
         c = _truthy(_emit(cond, ctx, plan))
         r = _to_numeric(_emit(res, ctx, plan), dt)
         take = c.value & c.valid
-        value = jnp.where(take, r.value, value)
-        valid = jnp.where(take, r.valid, valid)
+        value = _case_select(take, r.value, value, ctx)
+        valid = _case_select(take, r.valid, valid, ctx)
     return _Val(value, valid)
 
 
