@@ -488,3 +488,30 @@ def test_scan_retry_and_health_marking():
         ex2.execute(q)
     assert ex2.session.calls == RETRIES
     assert "n1" in topo._unhealthy
+
+
+def test_controller_ui_and_helpers(cluster):
+    """The controller serves its web UI and the two UI helper endpoints
+    (reference: controller/ui React app; rebuilt as a dependency-free
+    page at /ui)."""
+    ctrl, cport, nodes = cluster
+    base = f"http://localhost:{cport}"
+
+    r = requests.get(f"{base}/ui")
+    assert r.status_code == 200
+    assert "text/html" in r.headers["Content-Type"]
+    for marker in ("aresdb controller", "/namespaces", "placement",
+                   "Initializing", "rebalance"):
+        assert marker in r.text, marker
+
+    # placement-kinds helper lists the datanode placement the fixture made
+    assert requests.get(f"{base}/placements/{NS}").json() == ["datanode"]
+
+    # membership ?all=1 carries liveness + load for the instances tab
+    m = requests.get(f"{base}/membership/{NS}/instances",
+                     params={"all": "1"}).json()
+    assert set(m) == {n.instance_name for n in nodes}
+    for v in m.values():
+        assert v["alive"] is True
+        assert v["lastHeartbeatAgoSec"] is not None
+        assert "rows" in v and "host" in v and "port" in v
