@@ -138,10 +138,14 @@ class AQLHandler(_Base):
             self.ctx.metrics.count(M.QUERY_SUCCEEDED)
             self.set_header("Content-Type", W.CONTENT_TYPE)
             return self.finish(bytes(blob))
+        # ?dataonly=1 keeps enum dims as untranslated ranks (reference
+        # api/common/query_request.go:48 — distributed/broker mode)
+        data_only = self.get_argument("dataonly", "") not in ("", "0")
         with self.ctx.metrics.timer(M.QUERY_LATENCY):
             resp = await loop.run_in_executor(
                 self.ctx.query_pool,
-                self.ctx.query_service.handle_aql, body)
+                lambda: self.ctx.query_service.handle_aql(
+                    body, data_only=data_only))
         if resp.get("errors"):
             self.ctx.metrics.count(M.QUERY_FAILED)
         else:
@@ -452,9 +456,11 @@ class BatchInspectHandler(_Base):
         vp = get_col(cid)
         if vp is None:
             return self.write_json({"column": column, "allDefault": True})
-        n = min(size, 20)
-        sample = [vp.read_value(i) for i in range(n)]
-        self.write_json({"column": column, "rows": size,
+        off = max(0, int(self.get_argument("offset", "0")))
+        n = min(max(0, size - off),
+                min(1000, int(self.get_argument("rows", "20"))))
+        sample = [vp.read_value(off + i) for i in range(n)]
+        self.write_json({"column": column, "rows": size, "offset": off,
                          "bytes": getattr(vp, "bytes_estimate", lambda: 0)(),
                          "sample": [None if v is None else str(v)
                                     for v in sample]})
@@ -720,7 +726,7 @@ input,select{font-family:inherit;padding:3px 6px}
 </style></head><body>
 <div id=nav><b>aresdb_tpu</b></div><div id=page>loading...</div>
 <script>
-const TABS=["Overview","Jobs","Memory","Schema","Query","Metrics","Redologs","Profiler"];
+const TABS=["Overview","Jobs","Memory","Schema","Storage","Query","Metrics","Redologs","Node","Profiler"];
 let cur="Overview";
 async function j(u,opt){const r=await fetch(u,opt);
   const t=await r.text();try{return JSON.parse(t)}catch(e){return t}}
@@ -796,6 +802,38 @@ const PAGES={
   for(const s of shards){const files=await j(`/dbg/${s.table}/${s.shard}/redologs`);
     h+=`<h2>${esc(s.table)}/${s.shard}</h2><pre>`+esc(JSON.stringify(files,null,1))+"</pre>"}
   return h},
+ async Storage(){
+  const shards=await j("/dbg/shards");
+  const opts=shards.map(s=>`<option>${esc(s.table)}/${s.shard}</option>`).join("");
+  return `<h2>Batch inspector</h2>
+  <div>shard <select id=bshard>${opts}</select>
+  batch id <input id=bid size=12 placeholder="-1 = live batch 0">
+  <button onclick="inspectBatch()">inspect</button></div>
+  <div>column <input id=bcol size=14>
+  offset <input id=boff size=6 value=0> rows <input id=bn size=6 value=20>
+  <button onclick="sampleVP()">sample values</button>
+  <button onclick="evictVP()">evict from host memory</button></div>
+  <pre id=bout></pre>
+  <h2>Primary-key lookup</h2>
+  <div>shard <select id=pkshard>${opts}</select>
+  key <input id=pkkey size=30 placeholder="v1,v2">
+  <button onclick="pkLookup()">lookup</button></div><pre id=pkout></pre>
+  <h2>Backfill queue</h2>
+  <div>shard <select id=bfshard>${opts}</select>
+  offset <input id=bfoff size=6 value=0>
+  <button onclick="peekBackfill()">peek</button></div><pre id=bfout></pre>`},
+ async Node(){
+  const health=await fetch("/health");
+  return `<h2>Health drain switch</h2>
+  <p>liveness probe now: <b class=${health.ok?"ok":"err"}>${health.status}</b>
+  (load balancers drain the node when off — reference
+  debug_handler HealthSwitch)</p>
+  <button onclick="healthSwitch('on')">on</button>
+  <button onclick="healthSwitch('off')">off</button>
+  <pre id=hout></pre>
+  <h2>Peer bootstrap</h2>
+  <button onclick="bootstrapRetry()">retry failed shards</button>
+  <pre id=bsout></pre>`},
  async Profiler(){
   return `<h2>XLA profiler</h2>
   <div>trace dir <input id=pdir value="/tmp/ares-profile" size=40>
@@ -811,6 +849,42 @@ async function detail(t,s){
 async function trig(t,s,job){
   const r=await j(`/dbg/${t}/${s}/${job}`,{method:"POST",body:"{}"});
   document.getElementById("trigout").textContent=JSON.stringify(r,null,1)}
+function shardOf(id){const[t,s]=document.getElementById(id).value.split("/");
+  return[t,s]}
+async function inspectBatch(){
+  const[t,s]=shardOf("bshard");
+  const b=document.getElementById("bid").value||"-1";
+  const r=await j(`/dbg/${t}/${s}/batches/${b}`);
+  document.getElementById("bout").textContent=JSON.stringify(r,null,1)}
+async function sampleVP(){
+  const[t,s]=shardOf("bshard");
+  const b=document.getElementById("bid").value||"-1";
+  const c=document.getElementById("bcol").value;
+  const off=document.getElementById("boff").value,n=document.getElementById("bn").value;
+  const r=await j(`/dbg/${t}/${s}/batches/${b}/vector-parties/${c}?offset=${off}&rows=${n}`);
+  document.getElementById("bout").textContent=JSON.stringify(r,null,1)}
+async function evictVP(){
+  const[t,s]=shardOf("bshard");
+  const b=document.getElementById("bid").value||"-1";
+  const c=document.getElementById("bcol").value;
+  const r=await j(`/dbg/${t}/${s}/batches/${b}/vector-parties/${c}`,{method:"DELETE"});
+  document.getElementById("bout").textContent=JSON.stringify(r,null,1)}
+async function pkLookup(){
+  const[t,s]=shardOf("pkshard");
+  const k=encodeURIComponent(document.getElementById("pkkey").value);
+  const r=await j(`/dbg/${t}/${s}/primary-keys?key=${k}`);
+  document.getElementById("pkout").textContent=JSON.stringify(r,null,1)}
+async function peekBackfill(){
+  const[t,s]=shardOf("bfshard");
+  const off=document.getElementById("bfoff").value;
+  const r=await j(`/dbg/${t}/${s}/backfill-queue/${off}`);
+  document.getElementById("bfout").textContent=JSON.stringify(r,null,1)}
+async function healthSwitch(x){
+  const r=await fetch(`/health/${x}`,{method:"POST"});
+  document.getElementById("hout").textContent=await r.text();go("Node")}
+async function bootstrapRetry(){
+  const r=await j("/dbg/bootstrap/retry",{method:"POST",body:"{}"});
+  document.getElementById("bsout").textContent=JSON.stringify(r,null,1)}
 async function prof(a){
   const dir=document.getElementById("pdir").value;
   const r=await j(`/dbg/profiler/${a}`,{method:"POST",body:JSON.stringify({dir})});

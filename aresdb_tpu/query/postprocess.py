@@ -69,9 +69,12 @@ def format_dimension(value, valid: bool, dim: DimensionPlan,
     iv = int(value)
     if dt in (mdt.Int64, mdt.Int32, mdt.Int16, mdt.Int8, mdt.Bool):
         return str(iv)
-    # unsigned path: enum translation first, then time formatting
+    # unsigned path: enum translation first, then time formatting.
+    # dataonly mode keeps ranks untranslated (reference ?dataonly=1,
+    # aql_postprocessor.go:116 — distributed merges happen on ranks)
     rev = dim.enum_reverse_dict
-    if rev is not None and 0 <= iv < len(rev):
+    if rev is not None and not getattr(plan, "data_only", False) \
+            and 0 <= iv < len(rev):
         return rev[iv]
     if is_time:
         return TU.format_time_dimension(

@@ -35,13 +35,20 @@ class QueryService:
         self.admission_timeout = admission_timeout
         self.query_timeout = query_timeout
 
-    def handle_aql(self, request: Dict[str, Any]) -> Dict[str, Any]:
-        """Process an AQLRequest JSON dict; returns AQLResponse-shaped dict."""
+    def handle_aql(self, request: Dict[str, Any],
+                   data_only: bool = False) -> Dict[str, Any]:
+        """Process an AQLRequest JSON dict; returns AQLResponse-shaped dict.
+
+        data_only: keep enum dimensions as untranslated ranks (reference
+        `?dataonly=1`, api/common/query_request.go:48 — the distributed
+        mode where the broker merges on ranks and translates once,
+        aql_postprocessor.go:116)."""
         results: List[Dict[str, Any]] = []
         errors: List[Any] = []
         had_error = False
         contexts: List[Any] = []
         verbose = bool(request.get("verbose") or request.get("debug"))
+        data_only = data_only or bool(request.get("dataonly"))
         for qd in request.get("queries", []):
             try:
                 q = AQLQuery.from_json(qd)
@@ -50,7 +57,7 @@ class QueryService:
                     errors.append(None)
                     contexts.append(None)
                     continue
-                result, plan = self._run(q)
+                result, plan = self._run(q, data_only=data_only)
                 results.append(result)
                 errors.append(None)
                 contexts.append(plan.stats)
@@ -165,13 +172,14 @@ class QueryService:
                 self.device_manager.release(reserved)
         return _held()
 
-    def _run(self, q: AQLQuery):
+    def _run(self, q: AQLQuery, data_only: bool = False):
         import time as _time
 
         compiler = Compiler(self.memstore.get_schemas(),
                             timezone_table=self.timezone_table)
         t0 = _time.perf_counter()
         plan = compiler.compile(q)
+        plan.data_only = data_only
         compile_s = _time.perf_counter() - t0
         with self._admit(plan):
             table, rows = self.executor.execute(plan)

@@ -218,6 +218,26 @@ def test_batch_inspection_and_health_switch(base):
     r = requests.get(
         f"{base}/dbg/trips/0/batches/-2147483648/vector-parties/{col}")
     assert r.status_code == 200 and len(r.json()["sample"]) > 0
+
+    # paged sampling: offset/rows windows agree with the full sample
+    full = requests.get(
+        f"{base}/dbg/trips/0/batches/-2147483648/vector-parties/{col}",
+        params={"rows": "1000"}).json()
+    page = requests.get(
+        f"{base}/dbg/trips/0/batches/-2147483648/vector-parties/{col}",
+        params={"offset": "1", "rows": "2"}).json()
+    assert page["offset"] == 1
+    assert page["sample"] == full["sample"][1:3]
+    past_end = requests.get(
+        f"{base}/dbg/trips/0/batches/-2147483648/vector-parties/{col}",
+        params={"offset": str(full["rows"] + 5)}).json()
+    assert past_end["sample"] == []
+
+    # the debug UI page carries the storage/node tooling tabs
+    ui = requests.get(f"{base}/dbg").text
+    for marker in ("Storage", "Batch inspector", "Primary-key lookup",
+                   "Backfill queue", "healthSwitch", "bootstrapRetry"):
+        assert marker in ui, marker
     r = requests.get(f"{base}/dbg/trips/0/batches/999")
     assert r.status_code == 404
 
@@ -321,3 +341,40 @@ def test_update_table_config_only(base):
     assert t["config"]["batchSize"] == 32
     assert t["config"]["recordRetentionInDays"] == 5
     assert [c["name"] for c in t["columns"]] == ["t", "id"]
+
+
+def test_dataonly_query_param(base, server):
+    """/query/aql?dataonly=1 returns enum dims as untranslated ranks
+    (reference api/common/query_request.go:48). Uses its own table — the
+    module fixture's trips.status is tombstoned by test_delete_column."""
+    _, port = server
+    conn = Connector("localhost", port)
+    conn.create_table({
+        "name": "dq_trips",
+        "columns": [
+            {"name": "request_at", "type": "Uint32"},
+            {"name": "id", "type": "Uint32"},
+            {"name": "color", "type": "SmallEnum"},
+        ],
+        "primaryKeyColumns": [1],
+        "isFactTable": True,
+        "config": {"batchSize": 64, "recordRetentionInDays": 0},
+    })
+    conn.insert("dq_trips", ["request_at", "id", "color"],
+                [(NOW - 100, 1, "red"), (NOW - 200, 2, "red"),
+                 (NOW - 300, 3, "blue"), (NOW - 400, 4, None)])
+    q = {"queries": [{
+        "table": "dq_trips",
+        "measures": [{"sqlExpression": "count(*)"}],
+        "dimensions": [{"sqlExpression": "color"}],
+        "now": NOW,
+    }]}
+    translated = requests.post(f"{base}/query/aql", json=q).json()
+    assert translated["results"][0] == {
+        "red": 2.0, "blue": 1.0, "NULL": 1.0}
+    cases = requests.get(
+        f"{base}/schema/tables/dq_trips/columns/color/enum-cases").json()
+    ranks = requests.post(f"{base}/query/aql?dataonly=1", json=q).json()
+    assert ranks["results"][0] == {
+        str(cases.index("red")): 2.0, str(cases.index("blue")): 1.0,
+        "NULL": 1.0}

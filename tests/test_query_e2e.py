@@ -521,3 +521,35 @@ def test_wildcard_dimension_expands_to_all_columns(service):
                 service.memstore.get_schemas()["trips"].table.columns]
     assert result["headers"] == expected
     assert len(result["matrixData"]) == 2
+
+
+def test_data_only_mode(service):
+    """?dataonly=1 keeps enum dims as untranslated ranks — reference
+    api/common/query_request.go:48 + aql_postprocessor.go:116 (the
+    distributed mode where the broker merges on ranks). Covers the agg
+    and non-agg cases of aql_postprocessor_test.go:503,550."""
+    q = {"table": "trips", "now": NOW,
+         "measures": [{"sqlExpression": "count(*)"}],
+         "dimensions": [{"sqlExpression": "status"}]}
+    # via the request body field (json:"dataonly")
+    resp = service.handle_aql({"queries": [q], "dataonly": 1})
+    assert resp["results"][0] == {"0": 8.0, "1": 2.0, "2": 1.0,
+                                  "NULL": 1.0}
+    # via the keyword (what the HTTP handler passes for ?dataonly=1)
+    resp = service.handle_aql({"queries": [q]}, data_only=True)
+    assert resp["results"][0] == {"0": 8.0, "1": 2.0, "2": 1.0,
+                                  "NULL": 1.0}
+    # default still translates
+    resp = service.handle_aql({"queries": [q]})
+    assert resp["results"][0] == {"completed": 8.0, "canceled": 2.0,
+                                  "rejected": 1.0, "NULL": 1.0}
+
+    # non-agg: enum column comes back as rank strings
+    nq = {"table": "trips", "now": NOW,
+          "measures": [{"sqlExpression": "1"}],
+          "dimensions": [{"sqlExpression": "status"}],
+          "rowFilters": ["status='canceled'"], "limit": 10}
+    resp = service.handle_aql({"queries": [nq], "dataonly": 1})
+    r = resp["results"][0]
+    assert r["headers"] == ["status"]
+    assert r["matrixData"] == [["1"], ["1"]]
