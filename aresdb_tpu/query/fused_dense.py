@@ -80,6 +80,11 @@ _SIGNED_SUB = (mdt.Int16, mdt.Int8)
 
 _ALLOWED_CALLS = (E.HOUR, E.DAY_OF_WEEK, E.CONVERT_TZ, "__numeric_bucket")
 
+# experiment flag (read at import time): split the stacked 4-channel dot
+# into four [KHI, te] @ [te, KLO] dots whose channel scale rides the
+# smaller oh_lo operand — same MXU FLOPs, less VPU operand prep
+_SPLIT_DOT = bool(os.environ.get("ARES_FD_SPLITDOT", ""))
+
 
 @dataclass
 class _Slot:
@@ -221,7 +226,9 @@ def _row_tile(khi_pad: int, n: int) -> int:
     # sub-step size te = t/8; the stacked [(4·khi), te] bf16 W buffer is
     # the VMEM govenor: te=8192 at the headline khi (W ~7.3 MB), smaller
     # for wide slot spaces
-    if khi_pad <= 128:
+    if os.environ.get("ARES_FD_T", ""):
+        t = int(os.environ["ARES_FD_T"])
+    elif khi_pad <= 128:
         t = 65536
     elif khi_pad <= 256:
         t = 32768
@@ -374,22 +381,35 @@ def _make_kernel(plan: CompiledQuery, dense_plan, spec: FusedSpec,
                     vh = mval.astype(jnp.bfloat16)
                     vl = (mval - vh.astype(jnp.float32)).astype(jnp.bfloat16)
                     mvalid_bf = mvalid32.astype(jnp.bfloat16)
-                    W = jnp.concatenate(
-                        [oh_hi * vh[None, :], oh_hi * vl[None, :],
-                         oh_hi * mvalid_bf[None, :], oh_hi], axis=0)
 
-                    # issue this sub-step's stacked dot into a
-                    # double-buffered scratch, then accumulate the
-                    # PREVIOUS one (accumulate-before-issue measured 1.8x
-                    # WORSE — the scratch write after the conditional read
-                    # stalls; this order lets the MXU retire the dot while
-                    # the next chunk's DMA completes)
+                    # issue this sub-step's dots into a double-buffered
+                    # scratch, then accumulate the PREVIOUS one
+                    # (accumulate-before-issue measured 1.8x WORSE — the
+                    # scratch write after the conditional read stalls;
+                    # this order lets the MXU retire the dot while the
+                    # next chunk's DMA completes)
                     step = chunk * jnp.int32(_R_SUB) + jnp.int32(h)
                     dslot = jax.lax.rem(step, jnp.int32(2))
-                    dotbuf[dslot] = jax.lax.dot_general(
-                        W, oh_lo, (((1,), (1,)), ((), ())),
-                        precision=jax.lax.Precision.DEFAULT,
-                        preferred_element_type=jnp.float32)  # [4*KHI, KLO]
+                    if _SPLIT_DOT:
+                        # channel scales ride the SMALLER [KLO, te]
+                        # operand — dot(oh_hi, oh_lo*s) == the stacked-W
+                        # channel block, with no [4*KHI, te] concatenate
+                        # and no 4x oh_hi broadcasts
+                        for ci, s in enumerate((vh, vl, mvalid_bf, None)):
+                            rhs = oh_lo if s is None else oh_lo * s[None, :]
+                            dotbuf[dslot, ci * khi:(ci + 1) * khi] = (
+                                jax.lax.dot_general(
+                                    oh_hi, rhs, (((1,), (1,)), ((), ())),
+                                    precision=jax.lax.Precision.DEFAULT,
+                                    preferred_element_type=jnp.float32))
+                    else:
+                        W = jnp.concatenate(
+                            [oh_hi * vh[None, :], oh_hi * vl[None, :],
+                             oh_hi * mvalid_bf[None, :], oh_hi], axis=0)
+                        dotbuf[dslot] = jax.lax.dot_general(
+                            W, oh_lo, (((1,), (1,)), ((), ())),
+                            precision=jax.lax.Precision.DEFAULT,
+                            preferred_element_type=jnp.float32)  # [4KHI,KLO]
 
                     @pl.when(step > 0)
                     def _():

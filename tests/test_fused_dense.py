@@ -140,3 +140,13 @@ def test_ineligible_plans_fall_back():
 def test_uses_fused_on_tpu_only(monkeypatch):
     monkeypatch.setenv("ARES_FUSED", "0")
     assert not FD.use_fused()
+
+
+def test_split_dot_variant_parity(monkeypatch):
+    """ARES_FD_SPLITDOT swaps the stacked 4-channel dot for four
+    channel-scaled dots (priced on-chip: ~4% slower, kept as a documented
+    alternative — docs/PERFORMANCE.md round 4). Results must be identical
+    to the default formulation."""
+    monkeypatch.setattr(FD, "_SPLIT_DOT", True)
+    _run_both({**demo.DEMO_QUERY})
+    monkeypatch.setattr(FD, "_SPLIT_DOT", False)
