@@ -279,6 +279,10 @@ def parse_value(value: Any, dt: int) -> Optional[Any]:
     """
     if value is None:
         return None
+    if isinstance(value, str) and value.strip().lower() == "null":
+        # reference ValueFromString treats the literal "null" as null for
+        # every type (memstore/common/data_value.go ValueFromString)
+        return None
     if is_array_type(dt):
         items = value
         if isinstance(value, str):

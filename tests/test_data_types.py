@@ -121,3 +121,74 @@ def test_agg_identity():
     assert dt.agg_identity(np.dtype(np.float32), "sum") == 0
     assert dt.agg_identity(np.dtype(np.float32), "min") == np.inf
     assert dt.agg_identity(np.dtype(np.int32), "max") == np.iinfo(np.int32).min
+
+
+def test_value_from_string_matrix():
+    """Port of the reference's ValueFromString matrix
+    (memstore/common/data_value_test.go:104 "test value from string"):
+    per-type bound rejections at exactly one past the max, acceptance at
+    the max, the "null" literal, malformed floats, and both UUID string
+    forms."""
+    # "null" parses as null for any type
+    assert dt.parse_value("null", dt.Bool) is None
+    assert dt.parse_value("null", dt.Uint32) is None
+    with pytest.raises(ValueError):
+        dt.parse_value("invalid bool", dt.Bool)
+    assert dt.parse_value("true", dt.Bool) is True
+
+    cases = [
+        # (max-accepted, one-past, type)
+        ("127", "128", dt.Int8),
+        ("255", "256", dt.Uint8),
+        ("255", "256", dt.SmallEnum),
+        ("32767", "32768", dt.Int16),
+        ("65535", "65536", dt.Uint16),
+        ("65535", "65536", dt.BigEnum),
+        ("2147483647", "2147483648", dt.Int32),
+        ("4294967295", "4294967296", dt.Uint32),
+    ]
+    for ok, bad, ty in cases:
+        assert dt.parse_value(ok, ty) == int(ok), dt.data_type_name(ty)
+        with pytest.raises(ValueError):
+            dt.parse_value(bad, ty)
+    # int64 takes what uint32 rejects
+    assert dt.parse_value("4294967296", dt.Int64) == 4294967296
+
+    # float32: malformed rejected, plain parse accepted
+    with pytest.raises(ValueError):
+        dt.parse_value("0.10.1", dt.Float32)
+    assert abs(dt.parse_value("0.1", dt.Float32) - 0.1) < 1e-7
+
+    # UUID: 32-hex (no dashes) and dash-grouped forms both read as raw
+    # little-endian u64 halves (data_value_test.go:188-196)
+    assert dt.parse_value("01000000000000000100000000000000",
+                          dt.UUID) == (1, 1)
+    assert dt.parse_value("01000000-00000000-01000000-00000000",
+                          dt.UUID) == (1, 1)
+    with pytest.raises(ValueError):
+        dt.parse_value("01000000000000000100000000000", dt.UUID)
+
+    # GeoPoint: bare "Point" rejected, full WKT accepted as (lat, lng)
+    with pytest.raises(ValueError):
+        dt.parse_value("Point", dt.GeoPoint)
+    assert dt.parse_value("Point(1.0 1.0)", dt.GeoPoint) == (1.0, 1.0)
+
+
+def test_value_to_human_matrix():
+    """Port of ConvertToHumanReadable (data_value_test.go:267): scalars
+    pass through, geo points format as Point(lng,lat) with 4 decimals,
+    UUIDs render dashed."""
+    assert dt.value_to_human(True, dt.Bool) is True
+    assert dt.value_to_human(False, dt.Bool) is False
+    for ty in (dt.Uint8, dt.Uint16, dt.Uint32, dt.Int16, dt.Int32,
+               dt.Int64):
+        assert dt.value_to_human(1, ty) == 1
+    assert dt.value_to_human(1.0, dt.Float32) == 1.0
+    assert dt.value_to_human((1.0, 1.0), dt.GeoPoint) == \
+        "Point(1.0000,1.0000)"
+    hi, lo = dt.parse_value("d585cc25-5ca9-4655-855d-dcb94a0b9f04", dt.UUID)
+    assert dt.value_to_human((hi, lo), dt.UUID) == \
+        "d585cc25-5ca9-4655-855d-dcb94a0b9f04"
+    # arrays keep per-item rendering with nulls preserved
+    assert dt.value_to_human([11, None, 13], dt.ArrayInt16) == \
+        [11, None, 13]
