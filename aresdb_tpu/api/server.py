@@ -51,6 +51,19 @@ class _Base(tornado.web.RequestHandler):
         except json.JSONDecodeError as e:
             raise tornado.web.HTTPError(400, reason=f"invalid json: {e}")
 
+    def query_body(self) -> Dict[str, Any]:
+        """Request body, with the `q` query parameter taking precedence —
+        the reference's GET query form (api/common/query_request.go:46,
+        query_handler.go:136 json-decodes `q` over the body)."""
+        qparam = self.get_argument("q", "")
+        if qparam:
+            try:
+                return json.loads(qparam)
+            except json.JSONDecodeError as e:
+                raise tornado.web.HTTPError(400,
+                                            reason=f"invalid json: {e}")
+        return self.json_body()
+
 
 class ServerContext:
     def __init__(self, memstore, scheduler=None, timezone_table: str = "",
@@ -122,9 +135,15 @@ class HealthSwitchHandler(_Base):
 
 
 class AQLHandler(_Base):
+    async def get(self):
+        """GET form: the request body rides the `q` query parameter
+        (reference api/query_handler.go:67 registers GET+POST and :136
+        JSON-decodes `q` over the body)."""
+        await self.post()
+
     async def post(self):
         self.ctx.metrics.count(M.QUERY_RECEIVED)
-        body = self.json_body()
+        body = self.query_body()
         loop = tornado.ioloop.IOLoop.current()
         # Accept: application/hll → binary register pass-through
         # (api/query_handler.go:76,382 HLLQueryResponseWriter)
@@ -138,14 +157,28 @@ class AQLHandler(_Base):
             self.ctx.metrics.count(M.QUERY_SUCCEEDED)
             self.set_header("Content-Type", W.CONTENT_TYPE)
             return self.finish(bytes(blob))
-        # ?dataonly=1 keeps enum dims as untranslated ranks (reference
-        # api/common/query_request.go:48 — distributed/broker mode)
+        # query params (api/common/query_request.go:36-52): dataonly keeps
+        # enum dims as untranslated ranks, verbose/debug/profiling request
+        # per-stage stats (profiling maps to stage timings — the XLA
+        # profiler itself is driven via /dbg/profiler), device prefers a
+        # chip, timeout overrides the device-choosing wait
         data_only = self.get_argument("dataonly", "") not in ("", "0")
+        if (self.get_argument("verbose", "") not in ("", "0")
+                or self.get_argument("debug", "") not in ("", "0")
+                or self.get_argument("profiling", "")):
+            body["verbose"] = 1
+        try:
+            device = int(self.get_argument("device", "-1"))
+            timeout = float(self.get_argument("timeout", "0"))
+        except ValueError:
+            return self.write_error_json(400, "device/timeout must be "
+                                              "numeric")
         with self.ctx.metrics.timer(M.QUERY_LATENCY):
             resp = await loop.run_in_executor(
                 self.ctx.query_pool,
                 lambda: self.ctx.query_service.handle_aql(
-                    body, data_only=data_only))
+                    body, data_only=data_only, device=device,
+                    admission_timeout=timeout if timeout > 0 else None))
         if resp.get("errors"):
             self.ctx.metrics.count(M.QUERY_FAILED)
         else:
@@ -154,9 +187,12 @@ class AQLHandler(_Base):
 
 
 class SQLHandler(_Base):
+    async def get(self):
+        await self.post()
+
     async def post(self):
         self.ctx.metrics.count(M.QUERY_RECEIVED)
-        body = self.json_body()
+        body = self.query_body()
         loop = tornado.ioloop.IOLoop.current()
         with self.ctx.metrics.timer(M.QUERY_LATENCY):
             resp = await loop.run_in_executor(
@@ -558,10 +594,16 @@ class PrimaryKeyLookupHandler(_Base):
 
 
 class JobsDebugHandler(_Base):
-    def get(self):
+    def get(self, job_type: str = ""):
+        """All job statuses, or one job type's (reference
+        api/debug_handler.go:77 ShowJobStatus at /dbg/jobs/{jobType})."""
         if self.ctx.scheduler is None:
             return self.write_json({})
-        self.write_json(self.ctx.scheduler.job_statuses())
+        statuses = self.ctx.scheduler.job_statuses()
+        if job_type:
+            statuses = {k: v for k, v in statuses.items()
+                        if k.rsplit("/", 1)[-1] == job_type}
+        self.write_json(statuses)
 
 
 class JobTriggerHandler(_Base):
@@ -640,7 +682,11 @@ class RedologBrowserHandler(_Base):
         rm = sh.redolog_manager
         if rm is None:
             return self.write_json([])
-        parts = [p for p in rest.split("/") if p]
+        # accept both the short form /redologs/{creation}[/{offset}] and
+        # the reference's exact shape
+        # /redologs/{creation}/upsertbatches[/{offset}]
+        # (api/debug_handler.go:92-94)
+        parts = [p for p in rest.split("/") if p and p != "upsertbatches"]
         if not parts:
             # list redolog files
             return self.write_json(ms.diskstore.list_logs(table, sid))
@@ -959,6 +1005,8 @@ def _openapi_spec() -> dict:
             "/dbg": {"get": op("debug web UI")},
             "/dbg/shards": {"get": op("table shard overview")},
             "/dbg/jobs": {"get": op("job statuses")},
+            "/dbg/jobs/{jobType}": {"get": op(
+                "job statuses for one job type")},
             "/dbg/devices": {"get": op("JAX devices")},
             "/dbg/host-memory": {"get": op("host memory usage")},
             "/dbg/device-cache": {"get": op("HBM column cache stats")},
@@ -1149,6 +1197,7 @@ def make_app(ctx: ServerContext) -> tornado.web.Application:
         (r"/schema/tables/([^/]+)/columns/([^/]+)", ColumnHandler, a),
         (r"/dbg/shards", ShardsDebugHandler, a),
         (r"/dbg/jobs", JobsDebugHandler, a),
+        (r"/dbg/jobs/([^/]+)", JobsDebugHandler, a),
         (r"/dbg/devices", DevicesDebugHandler, a),
         (r"/dbg/host-memory", HostMemoryDebugHandler, a),
         (r"/dbg/([^/]+)/(\d+)/(archiving|backfill|snapshot|purge)",
@@ -1158,6 +1207,9 @@ def make_app(ctx: ServerContext) -> tornado.web.Application:
         (r"/dbg/([^/]+)/(\d+)/batches/(-?\d+)", BatchInspectHandler, a),
         (r"/dbg/([^/]+)/(\d+)/batches/(-?\d+)/vector-parties/([^/]+)",
          BatchInspectHandler, a),
+        # reference path shape (api/debug_handler.go:96) + short alias
+        (r"/dbg/([^/]+)/(\d+)/backfill-manager/upsertbatches/(\d+)",
+         BackfillQueueHandler, a),
         (r"/dbg/([^/]+)/(\d+)/backfill-queue/(\d+)",
          BackfillQueueHandler, a),
         (r"/dbg/device-cache", DeviceCacheDebugHandler, a),

@@ -278,7 +278,11 @@ class DevicePool:
         self._cond = threading.Condition()
 
     def acquire(self, nbytes: int,
-                timeout: Optional[float] = None) -> DeviceLease:
+                timeout: Optional[float] = None,
+                preferred: Optional[int] = None) -> DeviceLease:
+        """preferred: requested device index (?device= query param) — used
+        when it fits, otherwise falls back to most-free-first, matching
+        device_manager.go:193 findDevice's preferredDevice handling."""
         if nbytes > self.budget:
             raise AdmissionError(
                 f"query requires ~{nbytes >> 20} MiB device memory; "
@@ -294,6 +298,11 @@ class DevicePool:
                 best = max(range(len(self.devices)),
                            key=lambda i: (self.budgets[i] - self.in_use[i],
                                           -self.running[i]))
+                if (preferred is not None
+                        and 0 <= preferred < len(self.devices)
+                        and self.in_use[preferred] + nbytes
+                        <= self.budgets[preferred]):
+                    best = preferred
                 if self.in_use[best] + nbytes <= self.budgets[best]:
                     self.in_use[best] += nbytes
                     self.running[best] += 1

@@ -6,7 +6,7 @@ Reference: api/query_handler.go HandleAQL → handleAQLInternal
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 from aresdb_tpu.query.admission import AdmissionError
 from aresdb_tpu.query.aql import AQLQuery
@@ -36,13 +36,20 @@ class QueryService:
         self.query_timeout = query_timeout
 
     def handle_aql(self, request: Dict[str, Any],
-                   data_only: bool = False) -> Dict[str, Any]:
+                   data_only: bool = False, device: int = -1,
+                   admission_timeout: Optional[float] = None
+                   ) -> Dict[str, Any]:
         """Process an AQLRequest JSON dict; returns AQLResponse-shaped dict.
 
         data_only: keep enum dimensions as untranslated ranks (reference
         `?dataonly=1`, api/common/query_request.go:48 — the distributed
         mode where the broker merges on ranks and translates once,
-        aql_postprocessor.go:116)."""
+        aql_postprocessor.go:116).
+        device: preferred device index (`?device=`, -1 = auto) — honored
+        when that chip's budget fits, else most-free-first
+        (device_manager.go:193).
+        admission_timeout: per-request device-choosing timeout seconds
+        (`?timeout=`, query_request.go:50 DeviceChoosingTimeout)."""
         results: List[Dict[str, Any]] = []
         errors: List[Any] = []
         had_error = False
@@ -57,7 +64,9 @@ class QueryService:
                     errors.append(None)
                     contexts.append(None)
                     continue
-                result, plan = self._run(q, data_only=data_only)
+                result, plan = self._run(q, data_only=data_only,
+                                         device=device,
+                                         admission_timeout=admission_timeout)
                 results.append(result)
                 errors.append(None)
                 contexts.append(plan.stats)
@@ -141,7 +150,8 @@ class QueryService:
         except C.CompositeError as e:
             raise QueryError(str(e)) from e
 
-    def _admit(self, plan):
+    def _admit(self, plan, device: int = -1,
+               timeout: Optional[float] = None):
         """Reserve device memory for the plan's estimated footprint, for
         the duration of execution (FindDeviceForQuery + deferred release).
         Also stamps the query deadline. No-op without a device manager."""
@@ -157,12 +167,15 @@ class QueryService:
 
         reserved = estimate_query_memory(plan, self.memstore)
         plan.memory_required = reserved
+        if timeout is None or timeout <= 0:
+            timeout = self.admission_timeout
         if self.device_pool is not None:
-            lease = self.device_pool.acquire(reserved,
-                                             timeout=self.admission_timeout)
+            lease = self.device_pool.acquire(
+                reserved, timeout=timeout,
+                preferred=device if device >= 0 else None)
             plan.stats["device"] = getattr(lease.device, "id", lease.index)
             return lease
-        self.device_manager.reserve(reserved, timeout=self.admission_timeout)
+        self.device_manager.reserve(reserved, timeout=timeout)
 
         @contextlib.contextmanager
         def _held():
@@ -172,7 +185,9 @@ class QueryService:
                 self.device_manager.release(reserved)
         return _held()
 
-    def _run(self, q: AQLQuery, data_only: bool = False):
+    def _run(self, q: AQLQuery, data_only: bool = False,
+             device: int = -1,
+             admission_timeout: Optional[float] = None):
         import time as _time
 
         compiler = Compiler(self.memstore.get_schemas(),
@@ -181,7 +196,8 @@ class QueryService:
         plan = compiler.compile(q)
         plan.data_only = data_only
         compile_s = _time.perf_counter() - t0
-        with self._admit(plan):
+        with self._admit(plan, device=device,
+                         timeout=admission_timeout):
             table, rows = self.executor.execute(plan)
         plan.stats["compile"] = compile_s
         if getattr(plan, "memory_required", None) is not None:

@@ -378,3 +378,76 @@ def test_dataonly_query_param(base, server):
     assert ranks["results"][0] == {
         str(cases.index("red")): 2.0, str(cases.index("blue")): 1.0,
         "NULL": 1.0}
+
+
+def test_reference_route_shapes(base):
+    """Reference-exact route/param forms a drop-in user would hit:
+    GET /query/{aql,sql}?q= (query_handler.go:67,136), per-type job
+    status (/dbg/jobs/{jobType}, debug_handler.go:77), the
+    backfill-manager upsertbatches path (debug_handler.go:96), and
+    redolog browsing via .../redologs/{t}/upsertbatches
+    (debug_handler.go:92)."""
+    q = json.dumps({"queries": [{
+        "table": "dq_trips",
+        "measures": [{"sqlExpression": "count(*)"}],
+        "now": NOW}]})
+    r = requests.get(f"{base}/query/aql", params={"q": q})
+    assert r.status_code == 200 and r.json()["results"][0][""] == 4.0
+
+    sq = json.dumps({"queries": [
+        f"SELECT count(*) FROM dq_trips WHERE aql_now(request_at, {NOW})"]})
+    r = requests.get(f"{base}/query/sql", params={"q": sq})
+    assert r.status_code == 200 and r.json()["results"][0][""] == 4.0
+
+    # malformed q is a 400, not a silent empty run
+    assert requests.get(f"{base}/query/aql",
+                        params={"q": "{not json"}).status_code == 400
+
+    # per-type job status filters the full map
+    requests.post(f"{base}/dbg/trips/0/backfill")
+    allj = requests.get(f"{base}/dbg/jobs").json()
+    bf = requests.get(f"{base}/dbg/jobs/backfill").json()
+    assert bf and all(k.endswith("/backfill") for k in bf)
+    assert set(bf) == {k for k in allj if k.endswith("/backfill")}
+    assert requests.get(f"{base}/dbg/jobs/archiving").json() == {
+        k: v for k, v in allj.items() if k.endswith("/archiving")}
+
+    # reference backfill-manager path answers like the short alias
+    ref = requests.get(
+        f"{base}/dbg/trips/0/backfill-manager/upsertbatches/0")
+    alias = requests.get(f"{base}/dbg/trips/0/backfill-queue/0")
+    assert ref.status_code == alias.status_code
+
+    # redolog browsing accepts the reference's /upsertbatches shape
+    files = requests.get(f"{base}/dbg/trips/0/redologs").json()
+    if files:
+        t0 = files[0] if isinstance(files[0], int) else files[0].get(
+            "creationTime", files[0])
+        short = requests.get(f"{base}/dbg/trips/0/redologs/{t0}")
+        refp = requests.get(
+            f"{base}/dbg/trips/0/redologs/{t0}/upsertbatches")
+        assert refp.status_code == short.status_code
+        if short.status_code == 200:
+            assert refp.json() == short.json()
+
+
+def test_query_request_params(base):
+    """?verbose / ?debug / ?profiling force per-stage stats; ?device and
+    ?timeout parse and pass through (single-device server: out-of-range
+    device falls back, generous timeout is a no-op) — reference
+    api/common/query_request.go:36-52."""
+    q = json.dumps({"queries": [{
+        "table": "dq_trips",
+        "measures": [{"sqlExpression": "count(*)"}],
+        "now": NOW}]})
+    r = requests.get(f"{base}/query/aql",
+                     params={"q": q, "verbose": "1"}).json()
+    assert r["results"][0][""] == 4.0 and "context" in r
+    r = requests.get(f"{base}/query/aql",
+                     params={"q": q, "profiling": "eval"}).json()
+    assert "context" in r
+    r = requests.get(f"{base}/query/aql",
+                     params={"q": q, "device": "3", "timeout": "30"})
+    assert r.status_code == 200 and r.json()["results"][0][""] == 4.0
+    assert requests.get(f"{base}/query/aql",
+                        params={"q": q, "device": "x"}).status_code == 400

@@ -121,3 +121,20 @@ def test_query_service_places_concurrent_queries_on_distinct_devices(tmp_root):
     assert st["waiting"] == 0
     assert all(d["running"] == 0 for d in st["devices"])
     assert sum(d["served"] for d in st["devices"]) == n_threads
+
+
+def test_preferred_device_honored_and_falls_back():
+    """?device=N semantics (device_manager.go:193): the preferred chip is
+    used when its budget fits, otherwise placement falls back to
+    most-free-first instead of failing."""
+    pool = _pool(4, budget=1000)
+    lease = pool.acquire(100, preferred=2)
+    assert lease.index == 2
+    # fill device 2 completely; preferring it now falls back elsewhere
+    filler = pool.acquire(900, preferred=2)
+    assert filler.index == 2
+    spill = pool.acquire(100, preferred=2)
+    assert spill.index != 2
+    # out-of-range preference is ignored, not an error
+    wild = pool.acquire(100, preferred=99)
+    assert 0 <= wild.index < 4
