@@ -527,7 +527,10 @@ class Compiler:
                     return c
                 node.type = E.FLOAT if c.type == E.FLOAT else E.SIGNED
             elif node.op == "~":
-                node.type = c.type
+                # BITWISE_NOT casts its operand to unsigned and yields
+                # unsigned (reference Rewrite, aql_compiler_test.go:344;
+                # the emitter reinterprets lanes as int32 either way)
+                node.type = E.UNSIGNED
             elif node.op in ("NOT", "IS_NULL", "IS_NOT_NULL", "IS_TRUE", "IS_FALSE"):
                 node.type = E.BOOLEAN
             elif node.op in ("GET_WEEK_START", "GET_MONTH_START",

@@ -327,6 +327,11 @@ class _Parser:
         if t.kind == "op" and t.text == "~":
             self.next()
             return UnaryExpr(op="~", expr=self.parse_unary())
+        if t.kind == "op" and t.text == "!":
+            # C-style prefix negation (reference expr/parser.go parses
+            # "!is_first" as NOT, aql_compiler_test.go:330)
+            self.next()
+            return UnaryExpr(op="NOT", expr=self.parse_unary())
         if t.kind == "keyword" and t.text == "not":
             self.next()
             return UnaryExpr(op="NOT", expr=self.parse_unary())

@@ -672,3 +672,83 @@ def test_adjust_filter_ignored_when_time_filter_present():
     cq = compile_q(doc)
     # the row filter stays a row filter; the explicit time filter wins
     assert any("request_at >= 100" in str(f) for f in cq.filters)
+
+
+# ===========================================================================
+# K. type resolution matrix (aql_compiler_test.go:268 "resolves data
+#    types" + :212 int64 binary-op rejection)
+# ===========================================================================
+
+TYPE_CASES = [
+    # (dimension expression, resolved expr type)
+    ("-city_id", E.SIGNED),           # unary minus on unsigned -> signed
+    ("~fare", E.UNSIGNED),            # bitwise not casts to unsigned
+    ("city_id-city_id", E.SIGNED),    # unsigned SUB -> signed
+    ("city_id*fare", E.FLOAT),        # widest operand wins
+    ("1/2", E.FLOAT),                 # DIV is always float
+    ("1.2|2.3", E.UNSIGNED),          # bitwise ops -> unsigned
+    ("case when 1.3 then 2 else 3.2 end", E.FLOAT),  # branches unify
+    ("fare+1", E.FLOAT),
+    ("city_id+1", E.UNSIGNED),        # ADD of unsigneds stays unsigned
+]
+
+
+@pytest.mark.parametrize("expr_s,etype", TYPE_CASES,
+                         ids=[c[0] for c in TYPE_CASES])
+def test_resolved_dimension_types(expr_s, etype):
+    cq = compile_q(q(dims=[expr_s]))
+    got = cq.dimensions[0].expr.type
+    assert got == etype, \
+        f"{expr_s}: {E.TYPE_NAMES.get(got, got)} != " \
+        f"{E.TYPE_NAMES.get(etype, etype)}"
+
+
+def test_resolved_filter_types_boolean():
+    """Every filter form from the reference matrix resolves Boolean."""
+    cq = compile_q(q(filters=[
+        "status='completed'", "!is_first", "fare is not null",
+        "is_first is true", "city_id is true", "1.2 or 2.3", "1 < 1.2",
+        "1 != 1.2", "is_first = false"]))
+    for f in cq.filters:
+        assert f.type == E.BOOLEAN or (
+            isinstance(f, E.VarRef) and f.data_type == mdt.Bool), f
+
+
+def test_measure_types():
+    cq = compile_q(q(measures=[{"sqlExpression": "count(*)"}]))
+    assert cq.measure.expr.type in (E.UNSIGNED, E.SIGNED, E.FLOAT)
+    cq = compile_q(q(measures=[{"sqlExpression": "sum(fare+1)"}]))
+    assert cq.measure.expr.type == E.FLOAT
+
+
+def test_int64_math_supported_unlike_reference():
+    """INTENTIONAL DIVERGENCE: the reference rejects numeric binary ops
+    on >4-byte columns ('numeric operations not supported for column
+    over 4 bytes length', aql_compiler_test.go:212) because its CUDA
+    kernels only carry 4-byte lanes. Our XLA path runs 64-bit lanes
+    natively (x64 enabled; the fused pallas kernel separately REJECTS
+    int64 plans and falls back to XLA — fused_dense.plan_fused), so
+    int64 transforms compile and return correct results instead of
+    erroring."""
+    compile_q(q(dims=["hex_id"]))        # plain reference compiles
+    cq = compile_q(q(dims=["hex_id+1"]))  # ...and so does the transform
+    assert cq.dimensions[0].expr.type in (E.SIGNED, E.UNSIGNED)
+
+
+ERROR_CASES = [
+    # (measure expression) — each must refuse to compile
+    # (aql_compiler_test.go:576 "returns error on type resolution
+    # failure": unknown column, unknown table qualifier, qualified
+    # unknown column, aggregate arity, unknown function)
+    "sum(columnx)",
+    "sum(tablex.columnx)",
+    "sum(trips.columnx)",
+    "sum(columnx, columnx)",
+    "exit()",
+]
+
+
+@pytest.mark.parametrize("measure", ERROR_CASES)
+def test_type_resolution_failures(measure):
+    with pytest.raises((QueryError, ValueError)):
+        compile_q(q(measures=[{"sqlExpression": measure}]))
