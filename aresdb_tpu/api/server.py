@@ -193,6 +193,9 @@ class SQLHandler(_Base):
     async def post(self):
         self.ctx.metrics.count(M.QUERY_RECEIVED)
         body = self.query_body()
+        if (self.get_argument("verbose", "") not in ("", "0")
+                or self.get_argument("debug", "") not in ("", "0")):
+            body["verbose"] = 1
         loop = tornado.ioloop.IOLoop.current()
         with self.ctx.metrics.timer(M.QUERY_LATENCY):
             resp = await loop.run_in_executor(

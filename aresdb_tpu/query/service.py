@@ -112,23 +112,37 @@ class QueryService:
         return out.get_bytes()
 
     def handle_sql(self, request: Dict[str, Any]) -> Dict[str, Any]:
-        """Process {"queries": ["SELECT ..."]} (reference: /query/sql)."""
+        """Process {"queries": ["SELECT ..."]} (reference: /query/sql).
+        verbose/debug return per-stage stats like the AQL form (the
+        reference's SQL handler shares handleAQLInternal)."""
         from aresdb_tpu.query.sql import SQLParseError, parse_sql
 
         results: List[Dict[str, Any]] = []
         errors: List[Any] = []
+        contexts: List[Any] = []
         had_error = False
+        verbose = bool(request.get("verbose") or request.get("debug"))
         for stmt in request.get("queries", []):
             try:
-                results.append(self.handle_query(parse_sql(stmt)))
+                q = parse_sql(stmt)
+                if len(q.measures) > 1 or q.supporting_measures:
+                    results.append(self._run_composite(q))
+                    contexts.append(None)
+                else:
+                    result, plan = self._run(q)
+                    results.append(result)
+                    contexts.append(plan.stats)
                 errors.append(None)
             except (QueryError, AdmissionError, SQLParseError, KeyError, ValueError) as e:
                 results.append({})
                 errors.append(str(e))
+                contexts.append(None)
                 had_error = True
         resp: Dict[str, Any] = {"results": results}
         if had_error:
             resp["errors"] = errors
+        if verbose:
+            resp["context"] = contexts
         return resp
 
     def handle_query(self, q: AQLQuery) -> Dict[str, Any]:

@@ -451,3 +451,18 @@ def test_query_request_params(base):
     assert r.status_code == 200 and r.json()["results"][0][""] == 4.0
     assert requests.get(f"{base}/query/aql",
                         params={"q": q, "device": "x"}).status_code == 400
+
+
+def test_sql_verbose_context(base):
+    """/query/sql?verbose=1 (or body verbose) returns per-stage stats like
+    the AQL form — the reference's SQL handler shares handleAQLInternal."""
+    sq = {"queries": [
+        f"SELECT count(*) FROM dq_trips WHERE aql_now(request_at, {NOW})"]}
+    plain = requests.post(f"{base}/query/sql", json=sq).json()
+    assert "context" not in plain
+    v = requests.post(f"{base}/query/sql?verbose=1", json=sq).json()
+    assert v["results"][0][""] == 4.0
+    assert v["context"][0] and "compile" in v["context"][0]
+    v2 = requests.post(f"{base}/query/sql",
+                       json={**sq, "verbose": 1}).json()
+    assert v2["context"][0]

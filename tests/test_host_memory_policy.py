@@ -191,3 +191,108 @@ def test_eviction_worker_level_triggered():
             hmm.stop()
     finally:
         clock.set_current_time(None)
+
+
+# ---------------------------------------------------------------------------
+# Preload scenarios (reference "Test Preloading" + "tryPreload and
+# triggerPreload", host_memory_manager_test.go:119,392) and usage details
+# (:901 GetMemoryUsageDetails)
+# ---------------------------------------------------------------------------
+
+class _PreloadBatch:
+    def __init__(self, store, table, shard, batch_id):
+        self.store = store
+        self.table = table
+        self.shard = shard
+        self.batch_id = batch_id
+
+    def request_column(self, cid):
+        self.store.loads.append((self.table, self.shard,
+                                 self.batch_id, cid))
+        return object()
+
+
+class _LiveStore:
+    def __init__(self, nbytes):
+        self._b = nbytes
+
+    def bytes_estimate(self):
+        return self._b
+
+
+class _PreloadShard:
+    def __init__(self, archive_store, schema, live_bytes=0):
+        self.archive_store = archive_store
+        self.schema = schema
+        self.live_store = _LiveStore(live_bytes)
+
+
+class _PreloadStore(_FakeStore):
+    def __init__(self, tables):
+        super().__init__(tables)
+        self.loads = []
+
+    def add_preload_shard(self, table, shard, batch_ids, live_bytes=0):
+        batches = {b: _PreloadBatch(self, table, shard, b)
+                   for b in batch_ids}
+        self.shards[(table, shard)] = _PreloadShard(
+            _ArchiveStore(_Version(batches)), self.schemas[table],
+            live_bytes)
+
+    def list_shards(self):
+        return list(self.shards)
+
+
+def _preload_setup(preloading_days):
+    t = _table("trips", [{"preloadingDays": preloading_days,
+                          "priority": 1}])
+    store = _PreloadStore([t])
+    today = int(clock.now_unix() // DAY)
+    # batch ids ARE day numbers: today-1 .. today-6
+    store.add_preload_shard("trips", 0,
+                            [today - d for d in range(1, 7)])
+    hmm = HostMemoryManager(store, total_memory_bytes=1 << 20)
+    store.hmm = hmm
+    return store, hmm, today
+
+
+def test_preload_all_loads_only_preloading_window():
+    store, hmm, today = _preload_setup(preloading_days=3)
+    loaded = hmm.preload_all()
+    # only batches with age < 3 days load, and only the configured column
+    ages = sorted(today - b for (_, _, b, _) in store.loads)
+    assert ages == [1, 2] and loaded == len(store.loads)
+    assert {c for (_, _, _, c) in store.loads} == {1}
+
+
+def test_handle_table_update_preloads_only_new_window_part():
+    """Growing preloadingDays loads ONLY the [old, new) slice — the old
+    part is already resident or was evicted on purpose
+    (host_memory_manager.go:371 handleColumnPreloadingDaysChange)."""
+    store, hmm, today = _preload_setup(preloading_days=2)
+    old_table = store.schemas["trips"].table
+    new_json = {
+        "name": "trips",
+        "columns": [{"name": "t", "type": "Uint32"},
+                    {"name": "c1", "type": "Uint32",
+                     "config": {"preloadingDays": 5, "priority": 1}}],
+        "primaryKeyColumns": [0], "isFactTable": True,
+        "config": {"batchSize": 10},
+    }
+    new_table = Table.from_json(new_json)
+    hmm.handle_table_update(old_table, new_table)
+    hmm._drain_preload_queue()
+    ages = sorted(today - b for (_, _, b, _) in store.loads)
+    assert ages == [2, 3, 4]  # [old_days, new_days) slice only
+
+
+def test_memory_usage_details_split():
+    store, hmm, today = _preload_setup(preloading_days=3)
+    # one batch inside the preload zone, one outside, plus live bytes
+    hmm.report_managed_object("trips", 0, today - 1, 1, 1000)
+    hmm.report_managed_object("trips", 0, today - 5, 1, 300)
+    store.shards[("trips", 0)].live_store._b = 77
+    usage = hmm.get_archive_memory_usage_by_table_shard()
+    cu = usage["trips"]["trips_0"]["c1"]
+    assert cu["preloaded"] == 1000 and cu["nonPreloaded"] == 300
+    assert usage["trips"]["trips_0"]["__live__"]["live"] == 77
