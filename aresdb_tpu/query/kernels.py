@@ -27,6 +27,7 @@ rules; null measures contribute the aggregation identity
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -1537,7 +1538,12 @@ def _hll_lane(plan: CompiledQuery, ctx: _EvalCtx) -> Tuple[_Val, object, object]
             hashed = H.murmur3_64(v.value, width, xp=jnp)
         hv = H.hll_value_from_hash(hashed, xp=jnp)
     reg = (hv & jnp.uint32(H.HLL_M - 1)).astype(jnp.int32)
-    rho = (hv >> jnp.uint32(16)).astype(jnp.int32)
+    # rho <= 51 for any real hash (64-bit hash, 14 register bits); the
+    # clamp at 254 only guards adversarial client-precomputed wire values
+    # (which previously wrapped mod 256 through the u8 store) and keeps
+    # the packed-sort payload at 8 bits
+    rho = jnp.minimum((hv >> jnp.uint32(16)).astype(jnp.int32),
+                      jnp.int32(254))
     return _Val(hv, v.valid), reg, rho
 
 
@@ -1558,16 +1564,80 @@ def make_hll_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
         mask, dim_vals = _eval_common(plan, ctx, n_valid, live_cutoff)
         hv, reg, rho = _hll_lane(plan, ctx)
 
-        keys = pack_dim_keys(dim_vals, [_packing_type(d) for d in plan.dimensions],
-                             mask)
-        # co-sort the per-row HLL lanes with the keys (post-hoc gathers by
-        # the argsort permutation cost ~3x the sort — see reduce_by_key)
-        iota = jnp.arange(n_rows, dtype=jnp.int32)
-        sent = _sentinel_of(keys)
-        skeys, sreg, srho, svalid_i8, order = jax.lax.sort(
-            (keys, reg, rho, hv.valid.astype(jnp.int8), iota),
-            num_keys=1, is_stable=False)
-        svalid = svalid_i8.astype(jnp.bool_)
+        dim_types = [_packing_type(d) for d in plan.dimensions]
+        exact, _ = pack_modes(dim_types)
+        keys = pack_dim_keys(dim_vals, dim_types, mask)
+        order = None
+        hll_sort = os.environ.get("ARES_HLL_SORT", "ops")
+        if (exact or not dim_vals) and hll_sort == "packed":
+            # env-gated alternative (ARES_HLL_SORT=packed, measured 22%
+            # SLOWER on-chip — the HLL batch is hash-bound, not
+            # sort-bound; docs/PERFORMANCE.md round 4): the whole per-row
+            # HLL state — valid(1) rho(8) reg(14) — packs UNDER a rebased
+            # group key into ONE u64 sort operand (the same rebase tricks
+            # as reduce_by_key's packed path). Runtime fallback: 4-operand
+            # sort when the live key range overflows the 41 bits above
+            # the payload.
+            k64 = keys.astype(jnp.uint64)
+            if keys.dtype == jnp.uint32:
+                k64 = jnp.where(keys == SENTINEL32, SENTINEL64, k64)
+            live = k64 != SENTINEL64
+            knz = jnp.where(live & (k64 != jnp.uint64(0)), k64, SENTINEL64)
+            klo = jnp.min(knz)
+            klo = jnp.where(klo == SENTINEL64, jnp.uint64(1), klo)
+            k64r = jnp.where(live & (k64 == jnp.uint64(0)),
+                             klo - jnp.uint64(1), k64)
+            kmin = jnp.min(jnp.where(live, k64r, SENTINEL64))
+            kmax = jnp.max(jnp.where(live, k64r, jnp.uint64(0)))
+            any_live = jnp.any(live)
+            krange = jnp.where(any_live, kmax - kmin, jnp.uint64(0))
+            PAY = jnp.uint64(23)
+            pay = ((hv.valid.astype(jnp.uint64) << jnp.uint64(22))
+                   | (rho.astype(jnp.uint64) << jnp.uint64(14))
+                   | reg.astype(jnp.uint64))
+
+            def hll_packed_sort():
+                packed = ((k64r - kmin) << PAY) | pay
+                packed = jnp.where(live, packed, SENTINEL64)
+                (sp,) = jax.lax.sort((packed,), num_keys=1,
+                                     is_stable=False)
+                live_s = sp != SENTINEL64
+                sk = jnp.where(live_s, (sp >> PAY) + kmin, SENTINEL64)
+                sk = jnp.where(live_s & (sk == klo - jnp.uint64(1)),
+                               jnp.uint64(0), sk)
+                sv = (((sp >> jnp.uint64(22)) & jnp.uint64(1)) != 0) \
+                    & live_s
+                sr = ((sp >> jnp.uint64(14))
+                      & jnp.uint64(0xFF)).astype(jnp.int32)
+                sg = (sp & jnp.uint64(0x3FFF)).astype(jnp.int32)
+                return sk, sg, sr, sv
+
+            def hll_fallback_sort():
+                sk, sg, sr, sv8 = jax.lax.sort(
+                    (k64, reg, rho, hv.valid.astype(jnp.int8)),
+                    num_keys=1, is_stable=False)
+                return sk, sg, sr, sv8 != 0
+
+            skeys, sreg, srho, svalid = jax.lax.cond(
+                krange <= jnp.uint64((1 << 41) - 2),
+                hll_packed_sort, hll_fallback_sort)
+            sent = SENTINEL64
+        elif exact or not dim_vals:
+            # 4-operand co-sort, iota dropped: dims unpack from the keys
+            sent = _sentinel_of(keys)
+            skeys, sreg, srho, svalid_i8 = jax.lax.sort(
+                (keys, reg, rho, hv.valid.astype(jnp.int8)),
+                num_keys=1, is_stable=False)
+            svalid = svalid_i8.astype(jnp.bool_)
+        else:
+            # inexact packs (UUID / >63-bit dims) need the iota lane for
+            # representative-row dim gathers
+            iota = jnp.arange(n_rows, dtype=jnp.int32)
+            sent = _sentinel_of(keys)
+            skeys, sreg, srho, svalid_i8, order = jax.lax.sort(
+                (keys, reg, rho, hv.valid.astype(jnp.int8), iota),
+                num_keys=1, is_stable=False)
+            svalid = svalid_i8.astype(jnp.bool_)
         first = jnp.concatenate(
             [jnp.ones(1, jnp.bool_), skeys[1:] != skeys[:-1]])
         seg = jnp.cumsum(first.astype(jnp.int32)) - 1
@@ -1604,18 +1674,23 @@ def make_hll_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
             cnt = jax.ops.segment_sum(ones, seg_c,
                                       num_segments=num)[:k_groups]
         start_pos = jnp.clip(starts[:k_groups], 0, n_rows - 1)
-        rep_safe = order[start_pos]
         gkeys = skeys[start_pos]
         n_live_groups = jnp.sum(first & live).astype(jnp.int32)
         slot_used = (jnp.arange(k_groups, dtype=jnp.int32) < n_live_groups)
         gkeys = jnp.where(slot_used & (gkeys != sent),
                           gkeys.astype(jnp.uint64), SENTINEL64)
 
-        dim_values = []
-        dim_valids = []
-        for dv in dim_vals:
-            dim_values.append(dv.value[rep_safe])
-            dim_valids.append(dv.valid[rep_safe] & slot_used)
+        if order is None:
+            # exact pack: per-slot dim values unpack from the group keys
+            dim_values, dim_valids = unpack_dim_keys(
+                gkeys, dim_vals, dim_types, slot_used)
+        else:
+            rep_safe = order[start_pos]
+            dim_values = []
+            dim_valids = []
+            for dv in dim_vals:
+                dim_values.append(dv.value[rep_safe])
+                dim_valids.append(dv.valid[rep_safe] & slot_used)
 
         return (gkeys, slot_used, registers, cnt, n_live_groups,
                 tuple(dim_values), tuple(dim_valids))

@@ -158,3 +158,34 @@ def test_client_hll_value_goldens():
     hi = int.from_bytes(uuid_bytes[8:], "little")
     assert _compute_hll_value(dt.UUID, (lo, hi)) == 329736
     assert _compute_hll_value(dt.Uint32, 67305985) == 266211
+
+
+def test_hll_sort_variants_agree(monkeypatch):
+    """ARES_HLL_SORT=packed (single-operand u64 sort with the HLL state
+    packed under a rebased key) must match the default 4-operand co-sort
+    bit-for-bit. Priced on-chip (docs/PERFORMANCE.md round 4): packed is
+    22% SLOWER — the u64 network outweighs the lane savings because the
+    HLL batch cost is dominated by the emulated-u64 murmur hash, not the
+    sort — so it stays an env-gated documented alternative."""
+    import numpy as np
+
+    from aresdb_tpu import demo
+    from aresdb_tpu.query import kernels as K
+
+    n = 4096
+    q = dict(demo.DEMO_QUERY)
+    q["measures"] = [{"sqlExpression": "countdistincthll(uuid)"}]
+    plan = demo.demo_plan(q)
+    cols_np, _ = demo.demo_columns(plan, n, seed=11)
+    import jax.numpy as jnp
+    columns = {k: (jnp.asarray(v), jnp.asarray(b))
+               for k, (v, b) in cols_np.items()}
+
+    outs = {}
+    for variant in ("ops", "packed"):
+        monkeypatch.setenv("ARES_HLL_SORT", variant)
+        fn = K.make_hll_kernel(plan, n, 512)
+        outs[variant] = [np.asarray(x) for x in
+                         fn(columns, (), np.int32(n), np.int64(0))[:5]]
+    for a, b in zip(outs["ops"], outs["packed"]):
+        np.testing.assert_array_equal(a, b)
