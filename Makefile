@@ -17,14 +17,19 @@ aresdb_tpu/native/libaresnative.so: aresdb_tpu/native/cuckoo_index.cpp
 test:
 	$(PY) -m pytest tests/ -x -q
 
-# every execution-path override (see .claude/skills/verify/SKILL.md)
+# CANONICAL CI variant list — the single source of truth. SKILL.md and the
+# round docs reference `make test-all` instead of repeating the list.
+# default: XLA kernels | FACTORED: TPU-default dense reduction |
+# MESH: multi-chip path | NATIVE=0: python PK fallback |
+# FUSED=interp: TPU-default pallas kernels interpreted on CPU
+VARIANTS = "ARES_DEFAULT=1" "ARES_FACTORED=1" "ARES_MESH=1" \
+	"ARES_NATIVE=0" "ARES_FUSED=interp"
+
 test-all:
-	$(PY) -m pytest tests/ -q
-	ARES_FACTORED=1 $(PY) -m pytest tests/ -q
-	ARES_MESH=1 $(PY) -m pytest tests/ -q
-	ARES_NATIVE=0 $(PY) -m pytest tests/ -q
-	ARES_PREFIX=0 $(PY) -m pytest tests/ -q
-	ARES_FUSED=interp $(PY) -m pytest tests/ -q
+	@for v in $(VARIANTS); do \
+		echo "=== variant: $$v ==="; \
+		env $$v $(PY) -m pytest tests/ -q || exit 1; \
+	done
 
 bench:
 	$(PY) bench.py

@@ -121,29 +121,45 @@ GLOBAL_DEVICE_CACHE = DeviceColumnCache()
 
 
 class GroupTable:
-    """Host-side exact merge of per-batch partial aggregates.
+    """Exact merge of per-batch partial aggregates, finalized COLUMNAR.
 
-    Groups are keyed by their decoded (valid, value) dimension tuples, so
-    partials from heterogeneous kernels (sort path, dense path with
-    per-batch slot spaces, remote shards) all merge exactly. The lattice
-    mirrors the broker's merge semantics (reference: broker/result_merge.go)
-    — sum/count add, min/min, max/max, avg carried as (sum, count).
+    Partial group tables from heterogeneous kernels (sort path, dense path
+    with per-batch slot spaces, mesh shards) accumulate as array piles and
+    merge vectorized at finalize() on the canonical u64 group key — the
+    same exact bit pack the device kernels sort on (kernels.pack_dim_keys /
+    np_pack_dim_keys). The merge lattice mirrors the broker's semantics
+    (reference: broker/common/result_merge.go) — sum/count add, min/min,
+    max/max, avg carried as (sum, count), hll register-max.
+
+    The finalized result is columnar (dim_values/dim_valids arrays + aggs +
+    cnts), so the post-executor tail (postprocess, hll wire) runs vectorized
+    with no per-group python dict — the round-4 serving path spent seconds
+    building per-group tuples at 200k groups. A dict view (`groups`) is
+    derived lazily for the rare inexact-pack mixed-pile fallback and
+    legacy consumers.
     """
 
     def __init__(self, plan: CompiledQuery):
         self.plan = plan
-        self.groups: Dict[tuple, list] = {}  # key -> [dims, dim_valids, agg, cnt]
         # vectorized accumulators for dense batches sharing a slot space:
         # dense_sig -> [dense_plan, agg_array, cnt_array, rows_array]
         self._dense_acc: Dict[tuple, list] = {}
-        # raw per-batch (gkeys, agg, cnt, dims) from keyed kernels (sort /
-        # hll / mesh); merged vectorized at finalize via np.unique so the
-        # python tail runs once over the FINAL groups, not per batch
+        # raw pile list from keyed kernels (sort / hll / mesh):
+        # (gkeys, agg, cnt, dim_values, dim_valids), each already sliced
+        # to live groups
         self._keyed_acc: list = []
+        # finalized columnar result
+        self.n_groups = 0
+        self.dim_values: List[np.ndarray] = []
+        self.dim_valids: List[np.ndarray] = []
+        self.aggs: np.ndarray = np.zeros(0, np.float64)
+        self.cnts: np.ndarray = np.zeros(0, np.int64)
+
+    # -- accumulation --
 
     def merge_dense(self, dense_sig: tuple, dense_plan, aggv, cnt, rows):
         """Accumulate whole dense slot tables elementwise (no python loop);
-        decoded into groups lazily at finalize()."""
+        decoded into columns at finalize()."""
         agg_kind = self.plan.measure.agg
         acc = self._dense_acc.get(dense_sig)
         if acc is None:
@@ -161,7 +177,7 @@ class GroupTable:
 
     def merge_keyed(self, gkeys, slot_used, agg, cnt, dim_values,
                     dim_valids):
-        """Accumulate one batch's keyed group table (u64 packed keys)."""
+        """Accumulate one keyed group table (u64 packed keys)."""
         sel = np.asarray(slot_used).astype(bool)
         if not sel.any():
             return
@@ -171,13 +187,69 @@ class GroupTable:
             [np.asarray(v)[sel] for v in dim_values],
             [np.asarray(b)[sel] for b in dim_valids]))
 
-    def _finalize_keyed(self) -> None:
-        acc, self._keyed_acc = self._keyed_acc, []
-        if not acc:
+    # -- finalize --
+
+    def _dense_piles(self) -> list:
+        piles = []
+        for dense_plan, aggv, cnt, rows in self._dense_acc.values():
+            used = np.asarray(rows) > 0
+            slots = np.nonzero(used)[0]
+            decoded = dense_plan.decode_slots(slots)
+            piles.append((None,
+                          np.asarray(aggv)[slots], np.asarray(cnt)[slots],
+                          [np.asarray(v) for v, _ in decoded],
+                          [np.asarray(b, bool) for _, b in decoded]))
+        self._dense_acc.clear()
+        return piles
+
+    def finalize(self) -> None:
+        """Merge all piles into the final columnar group table."""
+        piles = self._keyed_acc + self._dense_piles()
+        self._keyed_acc = []
+        if not piles:
+            self._set_empty()
             return
-        gkeys = np.concatenate([a[0] for a in acc])
-        aggs = np.concatenate([a[1] for a in acc])
-        cnts = np.concatenate([a[2] for a in acc])
+        if len(piles) > 1:
+            # cross-pile merge needs canonical keys for every pile
+            from aresdb_tpu.query.kernels import (np_pack_dim_keys,
+                                                  pack_modes, _packing_type)
+
+            ptypes = [_packing_type(d) for d in self.plan.dimensions]
+            exact, _ = pack_modes(ptypes)
+            keyed = []
+            for keys, agg, cnt, dvals, dvalids in piles:
+                if keys is None:
+                    if not exact:
+                        # inexact pack (UUID / >63-bit dims) mixed with a
+                        # dense pile: dict-merge fallback (rare)
+                        self._finalize_dict(piles)
+                        return
+                    keys = np_pack_dim_keys(dvals, dvalids, ptypes)
+                keyed.append((keys, agg, cnt, dvals, dvalids))
+            piles = [self._merge_piles(keyed)]
+        keys, aggs, cnts, dvals, dvalids = piles[0]
+        kind = self.plan.measure.agg
+        if kind != "hll" and aggs.dtype.kind == "f":
+            aggs = aggs.astype(np.float64)
+        self.n_groups = len(cnts)
+        self.dim_values = dvals
+        self.dim_valids = [np.asarray(b, bool) for b in dvalids]
+        self.aggs = aggs
+        self.cnts = np.asarray(cnts).astype(np.int64)
+
+    def _set_empty(self) -> None:
+        n_dims = len(self.plan.dimensions)
+        self.n_groups = 0
+        self.dim_values = [np.zeros(0) for _ in range(n_dims)]
+        self.dim_valids = [np.zeros(0, bool) for _ in range(n_dims)]
+        self.aggs = np.zeros(0, np.float64)
+        self.cnts = np.zeros(0, np.int64)
+
+    def _merge_piles(self, piles):
+        """Vectorized exact merge of keyed piles on the canonical u64 key."""
+        gkeys = np.concatenate([p[0] for p in piles])
+        aggs = np.concatenate([p[1] for p in piles])
+        cnts = np.concatenate([p[2] for p in piles])
         uniq, inv = np.unique(gkeys, return_inverse=True)
         g = len(uniq)
         kind = self.plan.measure.agg
@@ -201,71 +273,93 @@ class GroupTable:
         # dims from the first occurrence of each key (same key → same dims)
         first = np.full(g, len(gkeys), np.int64)
         np.minimum.at(first, inv, np.arange(len(gkeys)))
-        n_dims = len(acc[0][3])
+        n_dims = len(piles[0][3])
         dim_values = []
         dim_valids = []
         for d in range(n_dims):
-            vals = np.concatenate([a[3][d] for a in acc])
-            valids = np.concatenate([a[4][d] for a in acc])
+            vals = np.concatenate([p[3][d] for p in piles])
+            valids = np.concatenate([p[4][d] for p in piles])
             dim_values.append(vals[first])
             dim_valids.append(valids[first])
-        self.merge_batch(np.ones(g, bool), m_agg, m_cnt,
-                         dim_values, dim_valids)
+        return uniq, m_agg, m_cnt, dim_values, dim_valids
 
-    def finalize(self) -> None:
-        """Fold dense + keyed accumulators into the generic groups dict."""
-        self._finalize_keyed()
-        for dense_plan, aggv, cnt, rows in self._dense_acc.values():
-            used = rows > 0
-            slots = np.arange(dense_plan.n_slots)
-            decoded = dense_plan.decode_slots(slots)
-            self.merge_batch(used, aggv, cnt,
-                             [v for v, _ in decoded],
-                             [b for _, b in decoded])
-        self._dense_acc.clear()
-
-    def merge_batch(self, slot_used, agg, cnt, dim_values, dim_valids):
-        """dim_values/dim_valids: per-dim arrays aligned with slots."""
+    def _finalize_dict(self, piles) -> None:
+        """Dict-keyed exact merge for piles that cannot produce canonical
+        u64 keys (inexact packs mixed with dense piles). Per-group python
+        cost — acceptable for this rare shape."""
         agg_kind = self.plan.measure.agg
-        used = np.nonzero(slot_used)[0]
-        n_used = len(used)
-        if n_used == 0:
-            return
-        # one vectorized host conversion per dim: .tolist() yields hashable
-        # exact python scalars, avoiding per-slot numpy boxing (the python
-        # tail cost is per-GROUP here, never per-row)
+        groups: Dict[tuple, list] = {}
+        for _, agg, cnt, dim_values, dim_valids in piles:
+            n_used = len(cnt)
+            dvals = []
+            for dv in dim_values:
+                dvals.append([tuple(x) for x in dv.tolist()]
+                             if dv.ndim > 1 else dv.tolist())
+            dvalids = [np.asarray(bv).astype(bool).tolist()
+                       for bv in dim_valids]
+            aggs = agg if agg_kind == "hll" else agg.tolist()
+            cnts = np.asarray(cnt).tolist()
+            rng = range(len(dvals))
+            for j in range(n_used):
+                dvalid = tuple(dvalids[i][j] for i in rng)
+                dims = tuple(dvals[i][j] for i in rng)
+                k = tuple((valid, value if valid else None)
+                          for valid, value in zip(dvalid, dims))
+                entry = groups.get(k)
+                if entry is None:
+                    groups[k] = [dims, dvalid, aggs[j], int(cnts[j])]
+                    continue
+                if agg_kind in ("sum", "count", "avg"):
+                    entry[2] += aggs[j]
+                elif agg_kind == "min":
+                    entry[2] = min(entry[2], aggs[j])
+                elif agg_kind == "hll":
+                    entry[2] = np.maximum(entry[2], aggs[j])
+                else:
+                    entry[2] = max(entry[2], aggs[j])
+                entry[3] += int(cnts[j])
+        n_dims = len(self.plan.dimensions)
+        self.n_groups = len(groups)
+        entries = list(groups.values())
+        self.dim_values = [
+            np.asarray([e[0][d] for e in entries])
+            for d in range(n_dims)]
+        self.dim_valids = [
+            np.asarray([e[1][d] for e in entries], bool)
+            for d in range(n_dims)]
+        if agg_kind == "hll" and entries and np.asarray(
+                entries[0][2]).ndim > 0:
+            self.aggs = np.stack([np.asarray(e[2]) for e in entries]) \
+                if entries else np.zeros(0, np.float64)
+        else:
+            self.aggs = np.asarray([e[2] for e in entries], np.float64) \
+                if entries else np.zeros(0, np.float64)
+        self.cnts = np.asarray([e[3] for e in entries], np.int64) \
+            if entries else np.zeros(0, np.int64)
+
+    @property
+    def groups(self) -> Dict[tuple, list]:
+        """Legacy dict view of the FINALIZED columns (lazy, per-group
+        python cost — prefer the columnar fields)."""
+        out: Dict[tuple, list] = {}
+        n_dims = len(self.dim_values)
         dvals = []
-        for dv in dim_values:
-            sel = np.asarray(dv)[used]
-            dvals.append([tuple(x) for x in sel.tolist()]
-                         if sel.ndim > 1 else sel.tolist())
-        dvalids = [np.asarray(bv)[used].astype(bool).tolist()
-                   for bv in dim_valids]
-        aggs = np.asarray(agg)[used]
-        if agg_kind != "hll":
-            aggs = aggs.tolist()          # python floats; hll keeps register rows
-        cnts = np.asarray(cnt)[used].tolist()
-        n_dims = len(dvals)
+        for dv in self.dim_values:
+            dvals.append([tuple(x) for x in dv.tolist()]
+                         if dv.ndim > 1 else dv.tolist())
+        dvalids = [b.tolist() for b in self.dim_valids]
+        kind = self.plan.measure.agg if self.plan.measure else "sum"
+        aggs = self.aggs if kind == "hll" and self.aggs.ndim > 1 \
+            else self.aggs.tolist()
+        cnts = self.cnts.tolist()
         rng = range(n_dims)
-        groups = self.groups
-        for j in range(n_used):
+        for j in range(self.n_groups):
             dvalid = tuple(dvalids[i][j] for i in rng)
             dims = tuple(dvals[i][j] for i in rng)
             k = tuple((valid, value if valid else None)
                       for valid, value in zip(dvalid, dims))
-            entry = groups.get(k)
-            if entry is None:
-                groups[k] = [dims, dvalid, aggs[j], int(cnts[j])]
-                continue
-            if agg_kind in ("sum", "count", "avg"):
-                entry[2] += aggs[j]
-            elif agg_kind == "min":
-                entry[2] = min(entry[2], aggs[j])
-            elif agg_kind == "hll":
-                entry[2] = np.maximum(entry[2], aggs[j])
-            else:
-                entry[2] = max(entry[2], aggs[j])
-            entry[3] += int(cnts[j])
+            out[k] = [dims, dvalid, aggs[j], int(cnts[j])]
+        return out
 
 
 class ShardExecutor:
@@ -288,6 +382,10 @@ class ShardExecutor:
         # re-staging a dim table per query costs several host→device
         # transfers (~30ms each through a remote tunnel)
         self._foreign_cache: Dict[tuple, tuple] = {}
+        # composite run-boundary memo for mode-3 batches, keyed on
+        # (sorted run-col uids, lo, hi) — the np.unique over entry counts
+        # costs ~ms per batch and is immutable for a given column set
+        self._runlen_memo: Dict[tuple, np.ndarray] = {}
 
     # -- public --
 
@@ -334,6 +432,7 @@ class ShardExecutor:
         table = GroupTable(plan)
         stat_keys = self._dense_stat_keys(plan)
         plan._exec_pending = []
+        plan._exec_dense_dev = {}
         plan._exec_sort_pending = []
         plan._exec_hll_pending = []
         for shard_id in shards:
@@ -343,12 +442,14 @@ class ShardExecutor:
             while True:
                 with stage("transfer"):
                     try:
-                        batch_cols, n_valid, n_padded, stats, cutoff = next(it)
+                        (batch_cols, n_valid, n_padded, stats, cutoff,
+                         runinfo) = next(it)
                     except StopIteration:
                         break
                 with stage("batchExec"):
                     self._run_agg_batch(plan, foreign, batch_cols, n_valid,
-                                        n_padded, table, stats, cutoff)
+                                        n_padded, table, stats, cutoff,
+                                        runinfo)
                 plan.stats["batches"] += 1
                 plan.stats["rows_scanned"] += n_valid
                 nb = _staged_nbytes(batch_cols)
@@ -360,7 +461,7 @@ class ShardExecutor:
             self._resolve_sort_pending(plan, table)
             self._resolve_hll_pending(plan, table)
             table.finalize()
-        M.root().count(M.QUERY_ROWS_RETURNED, len(table.groups))
+        M.root().count(M.QUERY_ROWS_RETURNED, table.n_groups)
         M.root().record_timer(M.QUERY_BATCH_TRANSFER_TIME,
                               plan.stats.get("transfer", 0.0))
         return table, None
@@ -432,7 +533,7 @@ class ShardExecutor:
                                             stat_keys)
             M.root().count(M.QUERY_LIVE_BATCH_PROCESSED, 1)
             M.root().count(M.QUERY_LIVE_RECORDS_PROCESSED, staged[1])
-            yield staged + (live_cutoff,)
+            yield staged + (live_cutoff, None)
 
         # archive batches (fact tables): day-ranged by the time filter —
         # but ONLY when the time filter targets the event time column
@@ -455,7 +556,7 @@ class ShardExecutor:
                     M.root().count(M.QUERY_ARCHIVE_BATCH_PROCESSED, 1)
                     M.root().count(M.QUERY_ARCHIVE_RECORDS_PROCESSED,
                                    staged[1])
-                    yield staged + (0,)
+                    yield staged[:4] + (0, staged[4])
 
     @staticmethod
     def _prefilter_slice(prefilters, vps, n: int, stats: dict):
@@ -463,11 +564,14 @@ class ShardExecutor:
 
         Reference: memstore/vector_party (sorted-column binary search) +
         query archive batch processing — each matched prefilter narrows the
-        range via searchsorted on the expanded sort column. Archive batches
-        are ordered by raw value first, validity second (archiving.py
-        _sort_and_compress), so a raw-value run is a conservative superset
-        of the matching valid rows; deeper levels are only sorted within
-        each parent run, so narrowing stops when the slice is not monotone.
+        range via searchsorted on the sort column. Archive batches are
+        ordered by raw value first, validity second (archiving.py
+        _lexsort_order), so a raw-value run is a conservative superset of
+        the matching valid rows; deeper levels are only sorted within each
+        parent run, so narrowing stops when the slice is not monotone.
+        Mode-3 columns search their ENTRY space directly (values per run
+        are the sorted distincts) and map entries back to rows through the
+        base counts — no expansion (reference iterator.hpp:214 semantics).
         """
         lo, hi = 0, n
         for cid, op, val in prefilters:
@@ -477,6 +581,27 @@ class ShardExecutor:
             if vp is None or vp.is_list or vp.values is None or \
                     vp.values.ndim != 1:
                 break
+            if getattr(vp, "is_compressed", False):
+                counts = vp.counts.astype(np.int64)
+                e0 = max(int(np.searchsorted(counts, lo, "right")) - 1, 0)
+                e1 = int(np.searchsorted(counts, hi, "left"))
+                seg = vp.values[e0:e1]
+                if len(seg) > 1 and not np.all(seg[1:] >= seg[:-1]):
+                    break
+                if op == "=":
+                    a = e0 + int(np.searchsorted(seg, val, "left"))
+                    b = e0 + int(np.searchsorted(seg, val, "right"))
+                    lo = max(lo, int(counts[a]))
+                    hi = min(hi, int(counts[b]))
+                elif op in (">=", ">"):
+                    side = "left" if op == ">=" else "right"
+                    a = e0 + int(np.searchsorted(seg, val, side))
+                    lo = max(lo, int(counts[a]))
+                elif op in ("<", "<="):
+                    side = "left" if op == "<" else "right"
+                    a = e0 + int(np.searchsorted(seg, val, side))
+                    hi = min(hi, int(counts[a]))
+                continue
             seg = vp.values[lo:hi]
             if len(seg) > 1 and not np.all(seg[1:] >= seg[:-1]):
                 break
@@ -553,24 +678,35 @@ class ShardExecutor:
 
     def _stage_archive_batch(self, schema, ab, used: List[int],
                              stat_keys=frozenset(), plan=None):
-        # resolve row count from any present column
-        vps = {}
+        # resolve row count from the RAW (possibly mode-3 compressed)
+        # columns — expansion is a fallback, not the default
+        vps_raw = {}
         n = ab.size
         for cid in used:
             vp = ab.request_column(cid)
             if vp is not None:
-                vp = vp.expanded()
                 n = max(n, vp.num_rows)
-            vps[cid] = vp
+            vps_raw[cid] = vp
         if n == 0:
             return None
         # prefilter slicing: binary-search the sorted batch down to the
         # candidate row range before staging anything on device
         lo, hi = 0, n
         if plan is not None and plan.prefilters:
-            lo, hi = self._prefilter_slice(plan.prefilters, vps, n, plan.stats)
+            lo, hi = self._prefilter_slice(plan.prefilters, vps_raw, n,
+                                           plan.stats)
             if hi <= lo:
                 return None
+        # run-length aggregation over the compressed representation
+        # (VERDICT r4 #2); ARES_RUNLEN=0 restores expand-on-stage
+        import os as _os
+
+        if plan is not None and _os.environ.get("ARES_RUNLEN") != "0":
+            staged = self._stage_runlen(schema, vps_raw, lo, hi, plan)
+            if staged is not None:
+                return staged
+        vps = {cid: (vp.expanded() if vp is not None else None)
+               for cid, vp in vps_raw.items()}
         n_rows = hi - lo
         n_padded = round_up_pow2(max(n_rows, 1))
         cols = {}
@@ -597,7 +733,99 @@ class ShardExecutor:
                     akey, lambda: _pad_column(
                         vp.values[lo:hi], vp.validity[lo:hi], n_padded,
                         col_schema.data_type))
-        return cols, n_rows, n_padded, stats
+        return cols, n_rows, n_padded, stats, None
+
+    RUNLEN_MIN_RATIO = 2   # runs must compress >= 2:1 to beat expansion
+
+    def _stage_runlen(self, schema, vps, lo: int, hi: int, plan):
+        """Stage one archive batch for run-length aggregation, or None.
+
+        Composite boundaries (host, memoized per column-set+slice) define
+        n_runs; run-level columns stage per-RUN value/validity lanes,
+        row-level columns stage expanded row lanes, and (-2, 0) carries
+        (run_starts, run_lens). See runlen.py / kernels.make_runlen_agg_kernel.
+        """
+        from aresdb_tpu.query import runlen as RL
+
+        spec = RL.plan_runlen(plan, vps)
+        if spec is None:
+            return None
+        bkey = (tuple(sorted(getattr(vps[c], "uid", 0) or 0
+                             for c in spec.run_cols)), lo, hi)
+        bnds = self._runlen_memo.get(bkey)
+        if bnds is None:
+            bnds = RL.composite_boundaries(vps, spec.run_cols, lo, hi)
+            if len(self._runlen_memo) > 512:
+                self._runlen_memo.clear()
+            self._runlen_memo[bkey] = bnds
+        n_runs = len(bnds) - 1
+        n_rows = hi - lo
+        if n_runs <= 0 or n_runs * self.RUNLEN_MIN_RATIO > n_rows:
+            return None
+        n_runs_pad = round_up_pow2(n_runs, 256)
+        n_rows_pad = round_up_pow2(max(n_rows, 1))
+        starts_rel = (bnds[:-1] - lo).astype(np.int32)
+        lens = np.diff(bnds).astype(np.int32)
+        cols = {}
+
+        def _meta():
+            s = np.full(n_runs_pad, n_rows, np.int32)
+            s[:n_runs] = starts_rel
+            ln = np.zeros(n_runs_pad, np.int32)
+            ln[:n_runs] = lens
+            return jnp.asarray(s), jnp.asarray(ln)
+
+        cols[(-2, 0)] = self.device_cache.get_or_stage(
+            ("archrunmeta",) + bkey + (n_runs_pad,), _meta)
+        if spec.measure_level == "row" and plan.measure.agg == "sum" \
+                and not plan.measure.out_float:
+            def _rid():
+                r = np.zeros(n_rows_pad, np.int32)
+                r[:n_rows] = np.repeat(
+                    np.arange(n_runs, dtype=np.int32), lens)
+                return jnp.asarray(r), jnp.zeros(1, jnp.int32)
+
+            cols[(-2, 1)] = self.device_cache.get_or_stage(
+                ("archrunrid",) + bkey + (n_rows_pad,), _rid)
+        for cid in spec.run_cols:
+            vp = vps[cid]
+            col_schema = schema.table.columns[cid]
+            if vp is None:
+                cols[(0, cid)] = self.device_cache.get_or_stage(
+                    ("default", col_schema.data_type,
+                     col_schema.default_value, n_runs_pad),
+                    lambda cs=col_schema: _default_column(cs, n_runs_pad))
+                continue
+
+            def _run_col(vp=vp, cs=col_schema):
+                vals, valid = RL.run_values_at(vp, bnds[:-1], cs)
+                return _pad_column(vals, valid, n_runs_pad, cs.data_type)
+
+            cols[(0, cid)] = self.device_cache.get_or_stage(
+                ("archrun", vp.uid) + bkey + (n_runs_pad,), _run_col)
+        for cid in spec.row_cols:
+            vp = vps[cid]
+            col_schema = schema.table.columns[cid]
+            if vp is None:
+                cols[(0, cid)] = self.device_cache.get_or_stage(
+                    ("default", col_schema.data_type,
+                     col_schema.default_value, n_rows_pad),
+                    lambda cs=col_schema: _default_column(cs, n_rows_pad))
+                continue
+            vp = vp.expanded()
+            akey = ("arch", vp.uid, lo, hi, n_rows_pad)
+            cols[(0, cid)] = self.device_cache.get_or_stage(
+                akey, lambda vp=vp, cs=col_schema: _pad_column(
+                    vp.values[lo:hi], vp.validity[lo:hi], n_rows_pad,
+                    cs.data_type))
+        from aresdb_tpu.query.runlen import RunLenInfo
+
+        plan.stats["runlenBatches"] = plan.stats.get("runlenBatches", 0) + 1
+        plan.stats["runlenRuns"] = plan.stats.get("runlenRuns", 0) + n_runs
+        plan.stats["runlenRowsCompressed"] = \
+            plan.stats.get("runlenRowsCompressed", 0) + n_rows
+        return cols, n_rows, n_rows_pad, {}, RunLenInfo(
+            spec=spec, n_runs=n_runs, n_runs_pad=n_runs_pad)
 
     def _stage_foreign_tables(self, plan: CompiledQuery):
         """Stage each joined dimension table for the device probe.
@@ -755,7 +983,8 @@ class ShardExecutor:
     # -- agg execution --
 
     def _run_agg_batch(self, plan, foreign, batch_cols, n_valid, n_padded,
-                       table: GroupTable, batch_stats=None, live_cutoff=0):
+                       table: GroupTable, batch_stats=None, live_cutoff=0,
+                       runinfo=None):
         foreign_idx = tuple(f[0] for f in foreign)
         # foreign columns are referenced through table_id > 0 VarRefs: install
         # them under their (table_id, column_id) keys
@@ -768,6 +997,13 @@ class ShardExecutor:
         if plan.measure.agg == "hll":
             self._run_hll_batch(plan, columns, foreign_idx, n_valid,
                                 n_padded, table, live_cutoff)
+            return
+
+        if runinfo is not None:
+            # run-length (mode-3) batch: per-run weighted kernel, resolved
+            # through the same sort-pending device merge
+            self._run_runlen_batch(plan, columns, foreign_idx, n_valid,
+                                   n_padded, table, runinfo)
             return
 
         # multi-chip mesh execution (ARES_MESH=1): shard batch rows over
@@ -799,18 +1035,27 @@ class ShardExecutor:
         if dense_plan is not None:
             kernel = self.kernel_cache.dense_agg_kernel(plan, n_padded,
                                                         dense_plan)
-            out = kernel(columns, foreign_idx, np.int32(n_valid),
-                         np.int64(live_cutoff))
+            aggv, cnt, rows, overflow = kernel(
+                columns, foreign_idx, np.int32(n_valid),
+                np.int64(live_cutoff))
             dense_sig = tuple(
                 (d.kind, d.size, d.base, d.step, d.post_div,
                  None if d.values is None else d.values.tobytes())
                 for d in dense_plan.domains)
-            # deferred fetch: the batch result is resolved after every batch
-            # has been dispatched (executor pipeline), replicating the
-            # reference's transfer/execute stream overlap
+            # device-resident running aggregate: fold this batch's slot
+            # table into the per-sig accumulator ON DEVICE (donated HBM,
+            # async dispatch — the reference's result-buffer swap,
+            # aql_batchexecutor.go:209); only overflow flags and ONE
+            # accumulated table per sig are ever fetched
+            kind = plan.measure.agg
+            acc = plan._exec_dense_dev.get(dense_sig)
+            if acc is None:
+                acc = (dense_plan, _dense_fold_init(aggv, cnt, rows, kind))
+            folded = _dense_fold_fn(kind)(acc[1], aggv, cnt, rows, overflow)
+            plan._exec_dense_dev[dense_sig] = (acc[0], folded)
             plan._exec_pending.append(
-                ("dense", dense_sig, dense_plan, out, columns, foreign_idx,
-                 n_valid, n_padded, live_cutoff, batch_stats))
+                (overflow, columns, foreign_idx, n_valid, n_padded,
+                 live_cutoff))
             return
 
         self._run_sort_batch(plan, columns, foreign_idx, n_valid, n_padded,
@@ -830,47 +1075,115 @@ class ShardExecutor:
         plan._exec_sort_pending.append(
             (k, out, columns, foreign_idx, n_valid, n_padded, live_cutoff))
 
-    def _resolve_sort_pending(self, plan, table: GroupTable) -> None:
-        """Two-round gather for pending sort batches: group counts first,
-        then result arrays sliced to the live group count (the K-capacity
-        arrays are mostly empty slots). Overflows re-run on a bigger K."""
-        pending = getattr(plan, "_exec_sort_pending", [])
-        plan._exec_sort_pending = []
-        if not pending:
-            return
-        counts = jax.device_get([entry[1][5] for entry in pending])
-        slices = []
-        retries = []
-        for entry, n_groups in zip(pending, counts):
-            k, out = entry[0], entry[1]
-            ng = int(n_groups)
-            if ng > k:
-                retries.append((entry, ng))
-                continue
-            kg = min(round_up_pow2(max(ng, 1), 64), k)
-            (gkeys, _, slot_used, agg, cnt, _, dim_values, dim_valids) = out
-            slices.append((gkeys[:kg], slot_used[:kg], agg[:kg], cnt[:kg],
-                           tuple(dv[:kg] for dv in dim_values),
-                           tuple(dv[:kg] for dv in dim_valids)))
-        for gkeys, slot_used, agg, cnt, dim_values, dim_valids in \
-                jax.device_get(slices):
-            table.merge_keyed(gkeys, slot_used, agg, cnt,
-                              list(dim_values), list(dim_valids))
-        for (old_k, _, columns, foreign_idx, n_valid, n_padded,
-             live_cutoff), ng in retries:
-            if ng > MAX_GROUP_CAPACITY:
-                raise QueryError(
-                    f"group cardinality {ng} exceeds maximum "
-                    f"capacity {MAX_GROUP_CAPACITY}")
-            k2 = min(round_up_pow2(ng), MAX_GROUP_CAPACITY)
+    def _run_runlen_batch(self, plan, columns, foreign_idx, n_valid,
+                          n_padded, table: GroupTable, runinfo,
+                          k: int = 0):
+        """Dispatch one run-length archive batch (see _stage_runlen);
+        output rides the sort-pending device merge like any keyed table."""
+        if not k:
             from aresdb_tpu.query.kernels import plan_signature
-            sig = plan_signature(plan)
-            self._k_hints[sig] = max(self._k_hints.get(sig, 0), k2)
-            self._run_sort_batch(
-                plan, columns, foreign_idx, n_valid, n_padded, table,
-                live_cutoff, k=k2)
-        if plan._exec_sort_pending:
-            self._resolve_sort_pending(plan, table)
+            k = self._k_hints.get(plan_signature(plan),
+                                  DEFAULT_GROUP_CAPACITY)
+        kernel = self.kernel_cache.runlen_kernel(
+            plan, n_padded, runinfo.n_runs_pad, k, runinfo.spec)
+        out = kernel(columns, foreign_idx, np.int32(n_valid),
+                     np.int32(runinfo.n_runs))
+        # normalize to the sort-pending 8-tuple ABI (rep placeholder kept
+        # by the kernel itself)
+        plan._exec_sort_pending.append(
+            (k, out, columns, foreign_idx, n_valid, n_padded, 0,
+             ("runlen", runinfo)))
+
+    def _resolve_sort_pending(self, plan, table: GroupTable) -> None:
+        """Resolve all pending sort/mesh batches with ONE device-side
+        cross-batch merge: group counts are fetched first (tiny scalars),
+        live slots are sliced ON DEVICE, the sliced tables concatenate and
+        fold by key in _keyed_merge_device, and exactly one merged group
+        table crosses the host link. Overflows re-run on a bigger K and
+        join the same merge."""
+        sliced = []
+        mesh_sliced = []
+        total_live = 0
+        while True:
+            pending = getattr(plan, "_exec_sort_pending", [])
+            plan._exec_sort_pending = []
+            if not pending:
+                break
+            counts = jax.device_get([entry[1][5] for entry in pending])
+            for entry, n_groups in zip(pending, counts):
+                k, out = entry[0], entry[1]
+                ng = int(n_groups)
+                if ng > k:
+                    (old_k, _, columns, foreign_idx, n_valid, n_padded,
+                     live_cutoff) = entry[:7]
+                    kind = entry[7] if len(entry) > 7 else None
+                    if ng > MAX_GROUP_CAPACITY:
+                        raise QueryError(
+                            f"group cardinality {ng} exceeds maximum "
+                            f"capacity {MAX_GROUP_CAPACITY}")
+                    k2 = min(round_up_pow2(ng), MAX_GROUP_CAPACITY)
+                    from aresdb_tpu.query.kernels import plan_signature
+                    sig = plan_signature(plan)
+                    self._k_hints[sig] = max(self._k_hints.get(sig, 0), k2)
+                    if isinstance(kind, tuple) and kind[0] == "runlen":
+                        self._run_runlen_batch(
+                            plan, columns, foreign_idx, n_valid, n_padded,
+                            table, kind[1], k=k2)
+                    else:
+                        self._run_sort_batch(
+                            plan, columns, foreign_idx, n_valid, n_padded,
+                            table, live_cutoff, k=k2)
+                    continue
+                (gkeys, _, slot_used, agg, cnt, _, dim_values,
+                 dim_valids) = out
+                if len(entry) > 7 and entry[7] == "mesh":
+                    # mesh tables are committed across the whole device
+                    # mesh: device-side slicing would reshard (concurrent
+                    # collectives abort under threaded queries), so they
+                    # fetch whole (deferred, one batched get below) and
+                    # slice on host
+                    mesh_sliced.append(
+                        (ng, (gkeys, agg, cnt, dim_values, dim_valids)))
+                    continue
+                kg = min(round_up_pow2(max(ng, 1), 64), k)
+                sliced.append((gkeys[:kg], agg[:kg], cnt[:kg],
+                               tuple(dv[:kg] for dv in dim_values),
+                               tuple(dv[:kg] for dv in dim_valids)))
+                total_live += ng
+        if mesh_sliced:
+            from aresdb_tpu.query.kernels import SENTINEL64
+            fetched = jax.device_get([m[1] for m in mesh_sliced])
+            for (ng, _), (gkeys, agg, cnt, dim_values, dim_valids) in \
+                    zip(mesh_sliced, fetched):
+                kg = min(round_up_pow2(max(ng, 1), 64), len(gkeys))
+                table.merge_keyed(
+                    gkeys[:kg], gkeys[:kg] != SENTINEL64, agg[:kg],
+                    cnt[:kg], [dv[:kg] for dv in dim_values],
+                    [dv[:kg] for dv in dim_valids])
+        if not sliced:
+            return
+        if len(sliced) == 1:
+            gkeys, agg, cnt, dim_values, dim_valids = jax.device_get(
+                sliced[0])
+            from aresdb_tpu.query.kernels import SENTINEL64
+            table.merge_keyed(gkeys, gkeys != SENTINEL64, agg, cnt,
+                              list(dim_values), list(dim_valids))
+            return
+        gkeys = jnp.concatenate([s[0] for s in sliced])
+        agg = jnp.concatenate([s[1] for s in sliced])
+        cnt = jnp.concatenate([s[2] for s in sliced])
+        n_dims = len(sliced[0][3])
+        dims = tuple(jnp.concatenate([s[3][d] for s in sliced])
+                     for d in range(n_dims))
+        dvalids = tuple(jnp.concatenate([s[4][d] for s in sliced])
+                        for d in range(n_dims))
+        k_out = round_up_pow2(max(total_live, 1), 64)
+        (m_keys, m_used, m_agg, m_cnt, m_dims, m_dvalids, _) = \
+            jax.device_get(_keyed_merge_device(
+                gkeys, agg, cnt, dims, dvalids, plan.measure.agg, k_out))
+        plan.stats["deviceMergedTables"] = len(sliced)
+        table.merge_keyed(m_keys, m_used, m_agg, m_cnt,
+                          list(m_dims), list(m_dvalids))
 
     def _run_mesh_batch(self, plan, columns, foreign_idx, n_valid, n_padded,
                         table: GroupTable, live_cutoff=0) -> bool:
@@ -920,32 +1233,39 @@ class ShardExecutor:
             self.kernel_cache._cache[cache_key] = fn
         out = fn(cols_sharded, foreign_repl, n_valid_per,
                  jnp.int64(live_cutoff))
-        (gkeys, slot_used, aggv, cnt, n_groups, dim_values, dim_valids) = \
-            jax.device_get(out)
-        if int(n_groups) > k_groups:
-            return False  # overflow: retry on the single-chip ladder
-        table.merge_keyed(gkeys, slot_used, aggv, cnt,
-                          list(dim_values), list(dim_valids))
+        (gkeys, slot_used, aggv, cnt, n_groups, dim_values, dim_valids) = out
+        # deferred like every other path: normalize to the sort-pending ABI
+        # and resolve in the single end-of-query device merge; an overflow
+        # (n_groups > k) reruns that batch on the single-chip sort ladder
+        plan._exec_sort_pending.append(
+            (k_groups,
+             (gkeys, None, slot_used, aggv, cnt, n_groups,
+              dim_values, dim_valids),
+             columns, foreign_idx, n_valid, n_padded, live_cutoff,
+             "mesh"))
         return True
 
     def _resolve_pending(self, plan, table: GroupTable) -> None:
-        """Fetch all dispatched dense batch results; overflowed batches
-        (domain understated by stale stats) rerun on the sort ladder."""
+        """ONE device_get for the per-sig accumulated dense tables plus
+        every batch's overflow flag; overflowed batches (domain understated
+        by stale stats — excluded from the device fold) rerun on the sort
+        ladder."""
         pending, plan._exec_pending = plan._exec_pending, []
-        if not pending:
+        accs, plan._exec_dense_dev = plan._exec_dense_dev, {}
+        if not pending and not accs:
             return
-        # ONE device_get for every pending batch: through a remote tunnel
-        # each fetch costs a full round trip (~30ms), so per-batch fetches
-        # would serialize RTTs that a single gather pays once
-        fetched = jax.device_get([entry[3] for entry in pending])
-        for entry, (aggv, cnt, rows, overflow) in zip(pending, fetched):
-            (_, dense_sig, dense_plan, _, columns, foreign_idx, n_valid,
-             n_padded, live_cutoff, batch_stats) = entry
-            if int(overflow) == 0:
-                table.merge_dense(dense_sig, dense_plan, aggv, cnt, rows)
-            else:
+        sigs = list(accs.keys())
+        flags, tables = jax.device_get(
+            ([entry[0] for entry in pending],
+             [accs[s][1] for s in sigs]))
+        for entry, overflow in zip(pending, flags):
+            if int(overflow) > 0:
+                (_, columns, foreign_idx, n_valid, n_padded,
+                 live_cutoff) = entry
                 self._run_sort_batch(plan, columns, foreign_idx, n_valid,
                                      n_padded, table, live_cutoff)
+        for sig, (aggv, cnt, rows) in zip(sigs, tables):
+            table.merge_dense(sig, accs[sig][0], aggv, cnt, rows)
 
     def _run_hll_batch(self, plan, columns, foreign_idx, n_valid, n_padded,
                        table: GroupTable, live_cutoff=0, k: int = 0):
@@ -1063,7 +1383,7 @@ class ShardExecutor:
         for shard_id in shards:
             shard = self.memstore.get_table_shard(
                 plan.main_schema.table.name, shard_id)
-            for batch_cols, n_valid, n_padded, _, cutoff in \
+            for batch_cols, n_valid, n_padded, _, cutoff, _runinfo in \
                     self._iter_batches(plan, shard):
                 columns = dict(batch_cols)
                 columns.update(plan._exec_geo_cols)
@@ -1134,6 +1454,118 @@ class ShardExecutor:
 # ---------------------------------------------------------------------------
 # staging helpers
 # ---------------------------------------------------------------------------
+
+def _donate_supported() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:  # noqa: BLE001
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _dense_fold_fn(kind: str):
+    """Jitted on-device fold of one dense batch table into the running
+    accumulator (donated — the fold reuses the accumulator's HBM).
+    Mirrors the reference's device-resident result-buffer swap
+    (query/aql_batchexecutor.go:209 swapResultBufferForNextBatch,
+    aql_context.go:151 dimensionVectorD double buffer): the partial group
+    table never leaves the device between batches. Batches that overflowed
+    their dense domain (overflow > 0) are skipped — they rerun on the sort
+    ladder exactly like the fetched path did."""
+
+    def fold(acc, aggv, cnt, rows, overflow):
+        a_agg, a_cnt, a_rows = acc
+        keep = overflow == 0
+        zero = jnp.zeros((), aggv.dtype)
+        if kind in ("sum", "count", "avg"):
+            a_agg = a_agg + jnp.where(keep, aggv, zero)
+        elif kind == "min":
+            ident = (jnp.array(np.finfo(np.float32).max, aggv.dtype)
+                     if aggv.dtype.kind == "f"
+                     else jnp.array(np.iinfo(np.int32).max, aggv.dtype))
+            a_agg = jnp.minimum(a_agg, jnp.where(keep, aggv, ident))
+        else:
+            ident = (jnp.array(-np.finfo(np.float32).max, aggv.dtype)
+                     if aggv.dtype.kind == "f"
+                     else jnp.array(np.iinfo(np.int32).min, aggv.dtype))
+            a_agg = jnp.maximum(a_agg, jnp.where(keep, aggv, ident))
+        a_cnt = a_cnt + jnp.where(keep, cnt, jnp.zeros((), cnt.dtype))
+        a_rows = a_rows + jnp.where(keep, rows, jnp.zeros((), rows.dtype))
+        return a_agg, a_cnt, a_rows
+
+    donate = (0,) if _donate_supported() else ()
+    return jax.jit(fold, donate_argnums=donate)
+
+
+def _dense_fold_init(aggv, cnt, rows, kind: str):
+    """Identity accumulator matching one dense batch table's shapes."""
+    if kind == "min":
+        a = jnp.full_like(aggv, np.finfo(np.float32).max
+                          if aggv.dtype.kind == "f"
+                          else np.iinfo(np.int32).max)
+    elif kind == "max":
+        a = jnp.full_like(aggv, -np.finfo(np.float32).max
+                          if aggv.dtype.kind == "f"
+                          else np.iinfo(np.int32).min)
+    else:
+        a = jnp.zeros_like(aggv)
+    return a, jnp.zeros_like(cnt), jnp.zeros_like(rows)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "k_out"))
+def _keyed_merge_device(gkeys, agg, cnt, dims, dvalids, kind: str,
+                        k_out: int):
+    """Cross-batch merge of keyed group tables ON DEVICE: the concatenated
+    per-batch sliced tables (a few thousand to a few hundred thousand rows
+    — partial GROUPS, not raw rows) sort by canonical u64 key and fold
+    with segment reductions, so exactly ONE final group table crosses the
+    host link per query. This replaces the round-4 host-side np.unique
+    merge — the reference's peer is the device-resident running aggregate
+    of query/aql_batchexecutor.go:266 (reduce into the previous result,
+    swap buffers, one final fetch in aql_processor.go:145-154).
+
+    Unused slots arrive with the sentinel key (kernels sentinel ghosts
+    out) and agg=0/ident, cnt=0; they sort last into the dropped segment.
+    Float sums fold in f64 for host-merge-identical exactness.
+    Returns (m_keys[k_out], m_used[k_out], m_agg, m_cnt, m_dims,
+    m_dvalids, n_uniq)."""
+    from aresdb_tpu.query.kernels import SENTINEL64
+
+    n = gkeys.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    skeys, sagg, scnt, order = jax.lax.sort(
+        (gkeys, agg, cnt, iota), num_keys=1, is_stable=True)
+    first = jnp.concatenate([jnp.ones(1, jnp.bool_),
+                             skeys[1:] != skeys[:-1]])
+    live = skeys != SENTINEL64
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg_c = jnp.where(live & (seg < k_out), seg, k_out)
+    num = k_out + 1
+    n_uniq = jnp.sum((first & live).astype(jnp.int32))
+    if kind in ("sum", "count", "avg"):
+        acc_dt = jnp.float64 if sagg.dtype.kind == "f" else sagg.dtype
+        m_agg = jax.ops.segment_sum(sagg.astype(acc_dt), seg_c,
+                                    num_segments=num)[:k_out]
+    elif kind == "min":
+        m_agg = jax.ops.segment_min(sagg, seg_c,
+                                    num_segments=num)[:k_out]
+    elif kind == "max":
+        m_agg = jax.ops.segment_max(sagg, seg_c,
+                                    num_segments=num)[:k_out]
+    else:
+        raise ValueError(f"unsupported keyed merge kind {kind}")
+    m_cnt = jax.ops.segment_sum(scnt.astype(jnp.float64), seg_c,
+                                num_segments=num)[:k_out]
+    rep = jax.ops.segment_min(iota, seg_c, num_segments=num)[:k_out]
+    rep = jnp.clip(rep, 0, jnp.int32(max(n - 1, 0)))
+    m_keys = skeys[rep]
+    m_used = jnp.arange(k_out, dtype=jnp.int32) < n_uniq
+    m_keys = jnp.where(m_used, m_keys, SENTINEL64)
+    src = order[rep]
+    m_dims = tuple(dv[src] for dv in dims)
+    m_dvalids = tuple((dv[src] & m_used) for dv in dvalids)
+    return m_keys, m_used, m_agg, m_cnt, m_dims, m_dvalids, n_uniq
+
 
 @functools.partial(jax.jit, static_argnames=("want_regs",))
 def _hll_merge_device(gkeys, used, regs, cnt, dims, dvalids,

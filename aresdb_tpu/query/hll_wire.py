@@ -601,10 +601,18 @@ def dim_specs_from_plan(plan) -> List[HLLDimensionSpec]:
 
 
 def serialize_result_table(plan, table) -> bytes:
-    """Executor group table → HLLData block."""
+    """Executor group table (columnar) → HLLData block."""
     specs = dim_specs_from_plan(plan)
     rows = []
-    for key, (dims, dim_valids, agg, cnt) in table.groups.items():
-        hll = HLL.from_registers(np.asarray(agg))
-        rows.append((list(dims), [bool(v) for v in dim_valids], hll))
+    n_dims = len(table.dim_values)
+    dvals = []
+    for dv in table.dim_values:
+        dvals.append([tuple(x) for x in dv.tolist()]
+                     if dv.ndim > 1 else dv.tolist())
+    dvalids = [b.tolist() for b in table.dim_valids]
+    regs = np.asarray(table.aggs)
+    for j in range(table.n_groups):
+        hll = HLL.from_registers(regs[j])
+        rows.append(([dvals[d][j] for d in range(n_dims)],
+                     [bool(dvalids[d][j]) for d in range(n_dims)], hll))
     return serialize_hll_block(rows, specs)

@@ -706,6 +706,37 @@ def unpack_dim_keys(gkeys, dim_vals: List[_Val], dim_types: List[int],
     return values, valids
 
 
+def np_pack_dim_keys(dim_values: List[np.ndarray],
+                     dim_valids: List[np.ndarray],
+                     dim_types: List[int]) -> np.ndarray:
+    """Host-side (numpy) mirror of pack_dim_keys' EXACT branch: identical
+    bit layout (valid bit below value bits per dim), so host-decoded group
+    dims (e.g. dense slot tables) repack to the same canonical u64 keys the
+    device kernels emit — the cross-source merge key of GroupTable.
+    Callers must check pack_modes(dim_types)[0] first."""
+    n = len(dim_valids[0]) if dim_valids else 0
+    key = np.zeros(n, np.uint64)
+    shift = 0
+    for vals, valids, t in zip(dim_values, dim_valids, dim_types):
+        vals = np.asarray(vals)
+        valids = np.asarray(valids, bool)
+        width = min(_dim_bits(t), 64)
+        if vals.dtype == np.float32:
+            bits = vals.view(np.uint32).astype(np.uint64)
+        elif vals.dtype == np.bool_:
+            bits = vals.astype(np.uint64)
+        else:
+            mask64 = np.uint64((1 << width) - 1 if width < 64
+                               else 0xFFFFFFFFFFFFFFFF)
+            bits = vals.astype(np.int64).view(np.uint64) & mask64
+        bits = np.where(valids, bits, np.uint64(0))
+        key |= valids.astype(np.uint64) << np.uint64(shift)
+        shift += 1
+        key |= bits << np.uint64(shift)
+        shift += width
+    return key
+
+
 def pack_dim_keys(dim_vals: List[_Val], dim_types: List[int], mask):
     """Per-row group key; filtered rows get the sentinel.
 
@@ -1149,18 +1180,31 @@ def _runtime_dense_slots(keys, dim_types: List[int],
 
 
 def _runtime_dense_reduce(slot, slot_keys, slots_total, mval, mvalid,
-                          k_groups: int):
+                          k_groups: int, stacked=None, ones_ch=(2,)):
     """Dense branch of the adaptive group-by: fused factored MXU reduction
     over the rebased slots, then compact the (tiny) slot table to the
-    sort path's first-K-groups-in-key-order layout."""
+    sort path's first-K-groups-in-key-order layout.
+
+    stacked: optional pre-built [n, 3] channel matrix (agg, cnt, presence)
+    — the weighted run-length path passes per-run weighted lanes here.
+    Weighted count/presence channels are NOT 0/1 (they hold run row
+    counts), so that path must use the f32-exact factored reduction
+    (pallas indicator channels are single-pass bf16, exact only for
+    0/1)."""
     from aresdb_tpu.query import pallas_ops as P
 
-    contrib = jnp.where(mvalid, mval, jnp.float32(0))
-    ones_v = jnp.where(mvalid, jnp.float32(1), jnp.float32(0))
-    present = jnp.ones_like(contrib)
-    stacked = jnp.stack([contrib, ones_v, present], axis=1)
-    table = P.factored_segment_sum_indicator(slot, stacked, RT_DENSE_CAP,
-                                             ones_channels=(2,))
+    weighted = stacked is not None
+    if stacked is None:
+        contrib = jnp.where(mvalid, mval, jnp.float32(0))
+        ones_v = jnp.where(mvalid, jnp.float32(1), jnp.float32(0))
+        present = jnp.ones_like(contrib)
+        stacked = jnp.stack([contrib, ones_v, present], axis=1)
+    if weighted:
+        table = P.factored_segment_sum(slot, stacked, RT_DENSE_CAP)
+    else:
+        table = P.factored_segment_sum_indicator(slot, stacked,
+                                                 RT_DENSE_CAP,
+                                                 ones_channels=ones_ch)
     sidx = jnp.arange(RT_DENSE_CAP, dtype=jnp.int32)
     live_slot = (table[:, 2] > 0) & (sidx.astype(jnp.uint64) < slots_total)
     n_groups = jnp.sum(live_slot).astype(jnp.int32)
@@ -1505,6 +1549,204 @@ def make_agg_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
     def fn(columns, foreign, n_valid, live_cutoff):
         return agg_batch_body(plan, n_rows, k_groups, columns, foreign,
                               n_valid, live_cutoff)
+
+    return jax.jit(fn)
+
+
+def _reduce_by_key_sorted_weighted(keys, wsum, wcnt, k_groups: int,
+                                   dim_vals, dim_types):
+    """Weighted sort+segment-reduce: each input row carries a pre-weighted
+    measure (wsum) and count (wcnt) — the run-length path's per-run lanes
+    (kernels for per-row data use _reduce_by_key_sorted). Same output ABI.
+    """
+    n = keys.shape[0]
+    num = k_groups + 1
+    sent = _sentinel_of(keys)
+    unpackable = dim_types is not None and dim_vals
+    need_order = bool(dim_vals) and not unpackable
+    order = None
+    ops = (keys, wsum, wcnt)
+    if need_order:
+        ops = ops + (jnp.arange(n, dtype=jnp.int32),)
+    sorted_ = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    skeys, swsum, swcnt = sorted_[:3]
+    if need_order:
+        order = sorted_[3]
+    skeys, swsum, swcnt = jax.lax.optimization_barrier(
+        (skeys, swsum, swcnt))
+    first = jnp.concatenate([jnp.ones(1, jnp.bool_),
+                             skeys[1:] != skeys[:-1]])
+    live = skeys != sent
+    prefix = _prefix_enabled()
+    if prefix:
+        sent_start = jnp.sum(live.astype(jnp.int32))
+        starts = sorted_starts_marks(first, num, n, sent_start)
+    else:
+        seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+        seg_c = jnp.where(live & (seg < k_groups), seg, k_groups)
+        starts = jnp.searchsorted(
+            seg_c, jnp.arange(num, dtype=jnp.int32)).astype(jnp.int32)
+    ends = jnp.concatenate([starts[1:], jnp.array([n], jnp.int32)])
+    # dropped (sentinel) rows carry wsum=0/wcnt=0 by construction upstream
+    if swsum.dtype == jnp.float32:
+        both = sorted_segment_sum(jnp.stack([swsum, swcnt], axis=1),
+                                  num, starts, ends)
+        aggv = both[:k_groups, 0]
+        cnt = both[:k_groups, 1]
+    else:
+        # integer sums keep their wide accumulator (scatter path)
+        seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+        seg_c = jnp.where(live & (seg < k_groups), seg, k_groups)
+        aggv = jax.ops.segment_sum(swsum, seg_c,
+                                   num_segments=num)[:k_groups]
+        cnt = sorted_segment_sum(swcnt[:, None], num, starts,
+                                 ends)[:k_groups, 0]
+    start_pos = jnp.clip(starts[:k_groups], 0, n - 1)
+    rep_safe = order[start_pos] if order is not None else None
+    gkeys = skeys[start_pos]
+    n_live_groups = jnp.sum(first & live).astype(jnp.int32)
+    slot_used = (jnp.arange(k_groups, dtype=jnp.int32) < n_live_groups) & \
+        (gkeys != sent)
+    gkeys = jnp.where(slot_used, gkeys.astype(jnp.uint64), SENTINEL64)
+    if unpackable:
+        dim_values, dim_valids = unpack_dim_keys(
+            gkeys, dim_vals, dim_types, slot_used)
+    else:
+        dim_values = []
+        dim_valids = []
+        for dv in dim_vals or []:
+            dim_values.append(dv.value[rep_safe])
+            dim_valids.append(dv.valid[rep_safe] & slot_used)
+    return (gkeys, slot_used, aggv, cnt, n_live_groups,
+            tuple(dim_values), tuple(dim_valids))
+
+
+def reduce_by_key_weighted(keys, wsum, wcnt, wrows, k_groups: int,
+                           dim_vals, dim_types, dim_strides=None):
+    """Adaptive WEIGHTED group-by for per-run lanes (run-length archive
+    batches): wsum/wcnt/wrows are this run's pre-aggregated measure sum,
+    valid-measure row count, and filter-passing row count. Routing mirrors
+    reduce_by_key: a runtime dense-domain check sends bounded dims to the
+    f32-exact factored MXU reduction (weighted channels are not 0/1, so
+    the bf16 indicator kernel is ineligible), everything else to the
+    weighted packed sort."""
+    rt_ok = (dim_types is not None and bool(dim_vals)
+             and wsum.dtype == jnp.float32 and _rt_dense_enabled())
+    if not rt_ok:
+        return _reduce_by_key_sorted_weighted(keys, wsum, wcnt, k_groups,
+                                              dim_vals, dim_types)
+    slot, fits, slot_keys, slots_total = _runtime_dense_slots(
+        keys, dim_types, dim_strides)
+    stacked = jnp.stack([wsum, wcnt, wrows], axis=1)
+
+    def dense_b():
+        return _runtime_dense_reduce(slot, slot_keys, slots_total, None,
+                                     None, k_groups, stacked=stacked)
+
+    def sort_b():
+        out = _reduce_by_key_sorted_weighted(keys, wsum, wcnt, k_groups,
+                                             None, None)
+        return out[:5]
+
+    gkeys, slot_used, aggv, cnt, n_groups = jax.lax.cond(
+        fits, dense_b, sort_b)
+    dim_values, dim_valids = unpack_dim_keys(gkeys, dim_vals, dim_types,
+                                             slot_used)
+    return (gkeys, slot_used, aggv, cnt, n_groups,
+            tuple(dim_values), tuple(dim_valids))
+
+
+def make_runlen_agg_kernel(plan: CompiledQuery, n_rows: int, n_runs: int,
+                           k_groups: int, spec):
+    """Jitted run-length archive aggregation (see runlen.py block comment).
+
+    Signature: fn(columns, foreign, n_valid_rows, n_valid_runs) -> the
+    agg-kernel 8-tuple ABI. columns holds run-granularity arrays for
+    spec.run_cols, row-granularity arrays for spec.row_cols, plus
+    (-2, 0) = (run_starts[n_runs] i32, run_lens[n_runs] i32) and, for
+    integer row-level measures, (-2, 1) = (run_id[n_rows] i32, _).
+
+    Reference role: compressed iteration of query/iterator.hpp:214-240 —
+    here the composite runs are materialized by the host (cached) and the
+    device consumes n_runs-sized lanes.
+    """
+    filters = list(plan.filters) + list(plan.time_filter_expr)
+    agg = plan.measure.agg
+
+    def fn(columns, foreign, n_valid_rows, n_valid_runs):
+        row_ctx = _EvalCtx(columns, foreign, n_rows)
+        run_ctx = _EvalCtx(columns, foreign, n_runs)
+        starts, lens = columns[(-2, 0)]
+        ends = starts + lens
+
+        rmask = None
+        if spec.row_filters or spec.measure_level == "row":
+            rmask = jnp.arange(n_rows, dtype=jnp.int32) < n_valid_rows
+            for i in spec.row_filters:
+                v = _truthy(_emit(filters[i], row_ctx, plan))
+                rmask = rmask & v.value & v.valid
+
+        if spec.measure_level == "row":
+            mlane = _measure_lane(plan, row_ctx)
+            mvalid = mlane.valid & rmask
+            ones = mvalid.astype(jnp.float32)
+            rpass = rmask.astype(jnp.float32)
+            if mlane.value.dtype == jnp.float32:
+                contrib = jnp.where(mvalid, mlane.value, jnp.float32(0))
+                per = sorted_segment_sum(
+                    jnp.stack([contrib, ones, rpass], axis=1),
+                    n_runs, starts, ends)
+                wsum, wcnt, wrows = per[:, 0], per[:, 1], per[:, 2]
+            else:
+                rid, _ = columns[(-2, 1)]
+                contrib = jnp.where(mvalid, mlane.value,
+                                    jnp.zeros((), mlane.value.dtype))
+                wsum = jax.ops.segment_sum(contrib, rid,
+                                           num_segments=n_runs)
+                per = sorted_segment_sum(
+                    jnp.stack([ones, rpass], axis=1), n_runs, starts, ends)
+                wcnt, wrows = per[:, 0], per[:, 1]
+        else:
+            mlane = _measure_lane(plan, run_ctx)
+            if spec.row_filters:
+                rpass = rmask.astype(jnp.float32)
+                wrows = sorted_segment_sum(rpass[:, None], n_runs, starts,
+                                           ends)[:, 0]
+            else:
+                wrows = lens.astype(jnp.float32)
+            mv = mlane.valid
+            wcnt = jnp.where(mv, wrows, jnp.float32(0))
+            if mlane.value.dtype == jnp.float32:
+                wsum = jnp.where(mv, mlane.value, jnp.float32(0)) * wrows
+            else:
+                wsum = (jnp.where(mv, mlane.value,
+                                  jnp.zeros((), mlane.value.dtype))
+                        * wrows.astype(mlane.value.dtype))
+
+        run_live = jnp.arange(n_runs, dtype=jnp.int32) < n_valid_runs
+        runmask = run_live
+        for i in spec.run_filters:
+            v = _truthy(_emit(filters[i], run_ctx, plan))
+            runmask = runmask & v.value & v.valid
+        dim_vals = [_emit(d.expr, run_ctx, plan) for d in plan.dimensions]
+        ptypes = [_packing_type(d) for d in plan.dimensions]
+        # a run only forms a group if >=1 of its rows passes all filters
+        mask = runmask & (wrows > 0)
+        # dropped runs must contribute exact zeros even in the dense branch
+        zf = mask.astype(jnp.float32)
+        wsum = wsum * zf.astype(wsum.dtype)
+        wcnt = wcnt * zf
+        wrows = wrows * zf
+        keys = pack_dim_keys(dim_vals, ptypes, mask)
+        exact, _ = pack_modes(ptypes)
+        gkeys, slot_used, aggv, cnt, n_groups, dim_values, dim_valids = \
+            reduce_by_key_weighted(
+                keys, wsum, wcnt, wrows, k_groups, dim_vals,
+                dim_types=ptypes if (exact and dim_vals) else None,
+                dim_strides=[dim_pack_stride(d) for d in plan.dimensions])
+        rep_safe = jnp.zeros_like(gkeys, jnp.int32)
+        return (gkeys, rep_safe, slot_used, aggv, cnt, n_groups,
+                dim_values, dim_valids)
 
     return jax.jit(fn)
 
@@ -1919,6 +2161,17 @@ class KernelCache:
         fn = self._cache.get(key)
         if fn is None:
             fn = make_hll_kernel(plan, n_rows, k_groups)
+            self._cache[key] = fn
+        return fn
+
+    def runlen_kernel(self, plan: CompiledQuery, n_rows: int, n_runs: int,
+                      k_groups: int, spec):
+        key = ("runlen", plan_signature(plan), n_rows, n_runs, k_groups,
+               spec.key())
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = make_runlen_agg_kernel(plan, n_rows, n_runs, k_groups,
+                                        spec)
             self._cache[key] = fn
         return fn
 

@@ -105,46 +105,115 @@ def _measure_value(plan: CompiledQuery, agg_value, count: int) -> Optional[float
     return float(agg_value)
 
 
+def format_float32_column(vals: np.ndarray) -> np.ndarray:
+    """Vectorized format_float32 over a float32 array → object array of
+    strings (byte-identical to per-element format_float32; differential-
+    tested in test_postprocess_vectorized). numpy's U-cast runs the same
+    shortest-roundtrip dragon4, ~10x faster than python-level calls; the
+    fixups cover where its style differs from Go's 'g' format: trailing
+    '.0' on integral values, positional range up to 1e21, and NaN/Inf
+    casing."""
+    vals = np.asarray(vals, np.float32)
+    s = vals.astype("U32").astype(object)
+    # Go prints integral floats without the '.0' numpy appends
+    trim = np.char.endswith(s.astype("U32"), ".0")
+    if trim.any():
+        idx = np.nonzero(trim)[0]
+        for j in idx.tolist():
+            s[j] = s[j][:-2]
+    # Go stays positional below 1e21; numpy switches at 1e16
+    av = np.abs(vals)
+    slow = (av >= np.float32(1e16)) & (av < np.float32(1e21))
+    slow |= ~np.isfinite(vals)
+    if slow.any():
+        for j in np.nonzero(slow)[0].tolist():
+            s[j] = format_float32(vals[j])
+    return s
+
+
+def format_dim_column(plan: CompiledQuery, i: int, values: np.ndarray,
+                      valids: np.ndarray) -> List[Optional[str]]:
+    """One dimension column formatted vectorized → list[str|None].
+
+    Strategy: format each UNIQUE value once through format_dimension (the
+    parity surface) and broadcast via the inverse index — group counts are
+    typically much larger than per-dimension cardinality. True-hicard
+    float32 dims (unique count ~ group count) take the vectorized dragon4
+    path instead."""
+    dim = plan.dimensions[i]
+    values = np.asarray(values)
+    valids = np.asarray(valids, bool)
+    g = len(valids)
+    if values.ndim > 1:
+        # 2-lane dims (UUID / GeoPoint): per-row python (small cardinality)
+        return [format_dimension(values[j], bool(valids[j]), dim, plan)
+                for j in range(g)]
+    is_time = dim.raw is not None and dim.raw.is_time_dimension
+    plain_float = (values.dtype == np.float32 and not is_time
+                   and not dim.geo_dim)
+    if plain_float and g > 4096:
+        out = format_float32_column(values)
+        out[~valids] = None
+        return out.tolist()
+    uniq, inv = np.unique(values, return_inverse=True)
+    tbl = np.empty(len(uniq), object)
+    for u, v in enumerate(uniq.tolist()):
+        tbl[u] = format_dimension(v, True, dim, plan)
+    out = tbl[inv]
+    out[~valids] = None
+    return out.tolist()
+
+
+def measure_column(plan: CompiledQuery, aggs: np.ndarray,
+                   cnts: np.ndarray) -> List[Optional[float]]:
+    """Vectorized _measure_value over the finalized columns."""
+    m = plan.measure
+    a = np.asarray(aggs)
+    if m.agg == "hll":
+        from aresdb_tpu.query import hll as H
+        if a.ndim <= 1:
+            # executor already estimated on device stats (JSON fast path)
+            return np.asarray(a, np.float64).tolist()
+        return [H.compute_estimate(a[j]) for j in range(len(a))]
+    if m.agg == "avg":
+        cnts = np.asarray(cnts)
+        safe = np.maximum(cnts, 1)
+        vals = (a / safe).astype(np.float32).astype(np.float64)
+        return [v if c else None
+                for v, c in zip(vals.tolist(), (cnts > 0).tolist())]
+    return np.asarray(a, np.float64).tolist()
+
+
 def build_agg_result(plan: CompiledQuery, table) -> Dict[str, Any]:
     """GroupTable → nested time-series result (AQLQueryResult.Set parity).
 
-    HLL leaves are estimated here; the binary register pass-through for the
-    broker / application/hll clients lives in hll_wire.serialize_result_table
+    Consumes the FINALIZED COLUMNAR group table: dimension formatting and
+    measure conversion run vectorized per column (the python tail is one
+    dict insert per group, not per-value formatting). HLL leaves are
+    estimated here; the binary register pass-through for the broker /
+    application/hll clients lives in hll_wire.serialize_result_table
     (reference query/hll.go SerializeHLL)."""
     result: Dict[str, Any] = {}
     n_dims = len(plan.dimensions)
-    # memoize per-dimension formatting: group counts are typically much
-    # larger than per-dimension cardinality (hour buckets, enums), and
-    # time/float formatting dominates the python tail otherwise
-    fmt_cache: List[Dict] = [{} for _ in range(n_dims)]
-
-    def fmt(i: int, value, valid: bool) -> Optional[str]:
-        if not valid:
-            return None
-        k = value
-        if isinstance(value, np.ndarray):
-            k = tuple(value.tolist())
-        cache = fmt_cache[i]
-        s = cache.get(k)
-        if s is None and k not in cache:
-            s = format_dimension(value, True, plan.dimensions[i], plan)
-            cache[k] = s
-        return s
-
-    for key, (dims, dim_valids, agg, cnt) in table.groups.items():
-        dim_strs = [fmt(i, dims[i], dim_valids[i]) for i in range(n_dims)]
-        measure = _measure_value(plan, agg, cnt)
-        if n_dims == 0:
-            # no dimensions: single-value result under implicit empty key
-            result[""] = measure
-            continue
+    g = table.n_groups
+    if g == 0:
+        return result
+    measures = measure_column(plan, table.aggs, table.cnts)
+    if n_dims == 0:
+        # no dimensions: single-value result under implicit empty key
+        result[""] = measures[0]
+        return result
+    cols = [format_dim_column(plan, i, table.dim_values[i],
+                              table.dim_valids[i])
+            for i in range(n_dims)]
+    last = n_dims - 1
+    for j in range(g):
         node = result
-        for i, s in enumerate(dim_strs):
-            s = NULL_STRING if s is None else s
-            if i == n_dims - 1:
-                node[s] = measure
-            else:
-                node = node.setdefault(s, {})
+        for i in range(last):
+            s = cols[i][j]
+            node = node.setdefault(NULL_STRING if s is None else s, {})
+        s = cols[last][j]
+        node[NULL_STRING if s is None else s] = measures[j]
     return result
 
 
