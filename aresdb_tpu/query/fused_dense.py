@@ -106,18 +106,33 @@ class FusedSpec:
     slots: List[_Slot] = field(default_factory=list)    # sub-word packing
     n_words: int = 0
     keep_bit: int = 0              # bit index inside the vmask field
+    # joined foreign columns, materialized to [n]-row lanes in the XLA
+    # prologue (dense-LUT / searchsorted probe) and fed to the kernel as
+    # ordinary input lanes — (table_id, column_id, data_type). Their slot
+    # col_id code is -(2+j); their validity bit index is len(col_ids)+j.
+    fkeys: List[Tuple[int, int, int]] = field(default_factory=list)
+    raw_fidx: List[int] = field(default_factory=list)   # 4-byte foreign js
 
 
 def _pack_subword(plan: CompiledQuery, col_ids: List[int],
-                  sub_cols: List[int]) -> Tuple[List[_Slot], int, int]:
-    """First-fit-decreasing byte packing of sub-word columns + vmask."""
+                  sub_cols: List[int],
+                  fkeys: List[Tuple[int, int, int]] = (),
+                  sub_fidx: List[int] = ()) -> Tuple[List[_Slot], int, int]:
+    """First-fit-decreasing byte packing of sub-word columns + vmask.
+
+    sub_fidx: indices into fkeys whose joined lanes are sub-word; they
+    pack with slot col_id -(2+j)."""
     schema = plan.main_schema.table
     items = []
     for cid in sub_cols:
         dt = schema.columns[cid].data_type
         nbytes = 2 if dt in _2B_DTS else 1
         items.append((nbytes, cid, dt in _SIGNED_SUB))
-    vbits = len(col_ids) + 1
+    for j in sub_fidx:
+        dt = fkeys[j][2]
+        nbytes = 2 if dt in _2B_DTS else 1
+        items.append((nbytes, -(2 + j), dt in _SIGNED_SUB))
+    vbits = len(col_ids) + len(fkeys) + 1
     vbytes = 1 if vbits <= 8 else (2 if vbits <= 16 else 4)
     items.append((vbytes, -1, False))
     items.sort(key=lambda it: -it[0])
@@ -136,7 +151,7 @@ def _pack_subword(plan: CompiledQuery, col_ids: List[int],
         if not placed:
             slots.append(_Slot(cid, len(words), 0, nbytes, signed))
             words.append(nbytes)
-    return slots, len(words), len(col_ids)
+    return slots, len(words), len(col_ids) + len(fkeys)
 
 
 def _domain_i32_safe(dom) -> bool:
@@ -156,7 +171,7 @@ def plan_fused(plan: CompiledQuery, dense_plan) -> Optional[FusedSpec]:
         return None
     if m.agg == "sum" and not m.out_float:
         return None  # integer sums keep their wide XLA accumulator
-    if plan.geo is not None or plan.foreign_tables:
+    if plan.geo is not None:
         return None
     if not plan.dimensions:
         # no-dims plans make the slot lane a replicated constant, and
@@ -176,12 +191,21 @@ def plan_fused(plan: CompiledQuery, dense_plan) -> Optional[FusedSpec]:
 
     ok = [True]
     cols: List[int] = []
+    fvars: List[Tuple[int, int, int]] = []  # (table_id, cid, data_type)
     lane_dts = _4B_DTS + _2B_DTS + _1B_DTS + (mdt.Float32,)
 
     def visit(node):
         if isinstance(node, E.VarRef):
-            if node.table_id != 0 or node.data_type not in lane_dts:
+            if node.data_type not in lane_dts:
                 ok[0] = False
+            elif node.table_id != 0:
+                # joined column: the XLA prologue resolves foreign rows
+                # (LUT gather / searchsorted probe) and hands the kernel a
+                # materialized [n]-row lane (VERDICT r4 #4; reference role
+                # query/hash_lookup.cu:69)
+                key = (node.table_id, node.column_id, node.data_type)
+                if key not in fvars:
+                    fvars.append(key)
             elif node.column_id not in cols:
                 cols.append(node.column_id)
         elif isinstance(node, E.NumberLiteral):
@@ -207,19 +231,25 @@ def plan_fused(plan: CompiledQuery, dense_plan) -> Optional[FusedSpec]:
         E.walk(e, visit)
         if not ok[0]:
             return None
-    if len(cols) > _MAX_COLS:
+    if len(cols) + len(fvars) > _MAX_COLS:
         return None
     cols = sorted(cols)
+    fvars = sorted(fvars)
     schema = plan.main_schema.table
     raw_cols = [c for c in cols
                 if schema.columns[c].data_type in _4B_DTS + (mdt.Float32,)]
     sub_cols = [c for c in cols if c not in raw_cols]
-    slots, n_words, keep_bit = _pack_subword(plan, cols, sub_cols)
+    raw_fidx = [j for j, (_, _, dt) in enumerate(fvars)
+                if dt in _4B_DTS + (mdt.Float32,)]
+    sub_fidx = [j for j in range(len(fvars)) if j not in raw_fidx]
+    slots, n_words, keep_bit = _pack_subword(plan, cols, sub_cols, fvars,
+                                             sub_fidx)
     # the archive-cutoff pre-mask reads the time column in the prologue; it
     # is applied only when staged, mirroring kernels._eval_common
     return FusedSpec(col_ids=cols, n_slots=dense_plan.n_slots,
                      khi_pad=khi_pad, raw_cols=raw_cols, slots=slots,
-                     n_words=n_words, keep_bit=keep_bit)
+                     n_words=n_words, keep_bit=keep_bit, fkeys=fvars,
+                     raw_fidx=raw_fidx)
 
 
 def _row_tile(khi_pad: int, n: int) -> int:
@@ -260,7 +290,7 @@ def _make_kernel(plan: CompiledQuery, dense_plan, spec: FusedSpec,
     khi = spec.khi_pad
     te = t // _R_SUB
     n_buf = 2
-    n_raw = len(spec.raw_cols)
+    n_raw = len(spec.raw_cols) + len(spec.raw_fidx)
     n_inputs = n_raw + spec.n_words
     vslot = next(s for s in spec.slots if s.col_id == -1)
     col_slot = {s.col_id: s for s in spec.slots}
@@ -299,14 +329,25 @@ def _make_kernel(plan: CompiledQuery, dense_plan, spec: FusedSpec,
                     vword = bufs[n_raw + vslot.word][slot, h]
                     vmask = _unpack_subword(vword, vslot)
                     cols = {}
-                    for i, cid in enumerate(spec.col_ids):
-                        if cid in col_slot:
-                            s = col_slot[cid]
+                    lane_keys = [(0, cid) for cid in spec.col_ids] + \
+                        [(t_, c_) for (t_, c_, _) in spec.fkeys]
+                    for i, key in enumerate(lane_keys):
+                        if i < len(spec.col_ids):
+                            code = spec.col_ids[i]
+                            raw_j = (spec.raw_cols.index(code)
+                                     if code in spec.raw_cols else None)
+                        else:
+                            fj = i - len(spec.col_ids)
+                            code = -(2 + fj)
+                            raw_j = (len(spec.raw_cols)
+                                     + spec.raw_fidx.index(fj)
+                                     if fj in spec.raw_fidx else None)
+                        if raw_j is None:
+                            s = col_slot[code]
                             v = _unpack_subword(
                                 bufs[n_raw + s.word][slot, h], s)
                         else:
-                            j = spec.raw_cols.index(cid)
-                            v = bufs[j][slot, h]
+                            v = bufs[raw_j][slot, h]
                             if v.dtype == jnp.uint32:
                                 # two's-complement reinterpret, matching
                                 # kernels._emit_varref's 32-bit lanes
@@ -314,13 +355,16 @@ def _make_kernel(plan: CompiledQuery, dense_plan, spec: FusedSpec,
                         valid = jax.lax.bitwise_and(
                             jax.lax.shift_right_logical(
                                 vmask, jnp.int32(i)), jnp.int32(1)) == 1
-                        cols[(0, cid)] = (v, valid)
+                        cols[key] = (v, valid)
                     keep_pre = jax.lax.bitwise_and(
                         jax.lax.shift_right_logical(
                             vmask, jnp.int32(spec.keep_bit)),
                         jnp.int32(1)) == 1
 
-                    ctx = K._EvalCtx(cols, (), te, mosaic=True)
+                    # prejoined: foreign lanes are already row-aligned —
+                    # VarRef emission must NOT re-probe the join
+                    ctx = K._EvalCtx(cols, (), te, mosaic=True,
+                                     prejoined=True)
                     mask = keep_pre
                     for f in plan.filters + plan.time_filter_expr:
                         fv = K._truthy(K._emit(f, ctx, plan))
@@ -444,6 +488,8 @@ def make_fused_dense_kernel(plan: CompiledQuery, n_rows: int, dense_plan,
                             spec: FusedSpec, interpret: bool = False):
     """Jitted fn(columns, foreign, n_valid, live_cutoff) -> (agg[S], cnt[S],
     rows[S], overflow) — the XLA dense kernel's exact ABI."""
+    from aresdb_tpu.query import kernels as K
+
     schema = plan.main_schema.table
     khi_pad = spec.khi_pad
     n_slots = spec.n_slots
@@ -451,11 +497,15 @@ def make_fused_dense_kernel(plan: CompiledQuery, n_rows: int, dense_plan,
     n_pad = ((n_rows + t - 1) // t) * t
     n_chunks = n_pad // t
     te = t // _R_SUB
+
+    def _raw_dt(data_type):
+        if data_type == mdt.Float32:
+            return jnp.float32
+        return jnp.uint32 if data_type == mdt.Uint32 else jnp.int32
+
     raw_dtypes = tuple(
-        jnp.float32 if schema.columns[c].data_type == mdt.Float32
-        else (jnp.uint32 if schema.columns[c].data_type == mdt.Uint32
-              else jnp.int32)
-        for c in spec.raw_cols)
+        [_raw_dt(schema.columns[c].data_type) for c in spec.raw_cols]
+        + [_raw_dt(spec.fkeys[j][2]) for j in spec.raw_fidx])
 
     def _tile(arr):
         if n_pad != n_rows:
@@ -464,12 +514,27 @@ def make_fused_dense_kernel(plan: CompiledQuery, n_rows: int, dense_plan,
         return arr.reshape(n_chunks, _R_SUB, te)
 
     def fn(columns, foreign, n_valid, live_cutoff):
-        # ---- XLA prologue: ONLY the packed sub-word/validity lane is
-        # materialized; 4-byte columns pass through as free reshapes
+        # ---- XLA prologue: ONLY the packed sub-word/validity lane (and
+        # any joined foreign lanes) are materialized; 4-byte columns pass
+        # through as free reshapes
+        fvals = {}
+        if spec.fkeys:
+            # resolve foreign rows once (dense-LUT gather / sorted probe,
+            # kernels._EvalCtx.foreign_row) and gather each joined column
+            # into a [n]-row lane — a joined column is then just another
+            # kernel input
+            ctx0 = K._EvalCtx(columns, foreign, n_rows)
+            for (t_, c_, _) in spec.fkeys:
+                v, b = columns[(t_, c_)]
+                fvals[(t_, c_)] = ctx0.foreign_column(t_, c_, plan, v, b)
         vmask = jnp.zeros(n_rows, jnp.int32)
         for i, cid in enumerate(spec.col_ids):
             _, b = columns[(0, cid)]
             vmask = vmask | (b.astype(jnp.int32) << i)
+        for j, (t_, c_, _) in enumerate(spec.fkeys):
+            _, b = fvals[(t_, c_)]
+            vmask = vmask | (b.astype(jnp.int32)
+                             << (len(spec.col_ids) + j))
         keep_pre = jnp.arange(n_rows, dtype=jnp.int32) < n_valid
         if (live_cutoff is not None and schema.is_fact_table
                 and (0, 0) in columns):
@@ -483,6 +548,10 @@ def make_fused_dense_kernel(plan: CompiledQuery, n_rows: int, dense_plan,
         for s in spec.slots:
             if s.col_id == -1:
                 lane = vmask
+            elif s.col_id <= -2:
+                fj = -s.col_id - 2
+                v, _ = fvals[spec.fkeys[fj][:2]]
+                lane = v.astype(jnp.int32)
             else:
                 v, _ = columns[(0, s.col_id)]
                 lane = v.astype(jnp.int32)
@@ -494,6 +563,9 @@ def make_fused_dense_kernel(plan: CompiledQuery, n_rows: int, dense_plan,
         inputs = []
         for dt, cid in zip(raw_dtypes, spec.raw_cols):
             v, _ = columns[(0, cid)]
+            inputs.append(_tile(v.astype(dt)))
+        for dt, fj in zip(raw_dtypes[len(spec.raw_cols):], spec.raw_fidx):
+            v, _ = fvals[spec.fkeys[fj][:2]]
             inputs.append(_tile(v.astype(dt)))
         for w in words:
             inputs.append(_tile(w))

@@ -78,7 +78,7 @@ class _EvalCtx:
     """Per-trace context: staged column arrays + lazily-joined foreign rows."""
 
     def __init__(self, columns, foreign, n_rows: int,
-                 mosaic: bool = False):
+                 mosaic: bool = False, prejoined: bool = False):
         # columns: {(table_id, column_id): (values, validity)}
         self.columns = columns
         # foreign: list of (sorted_keys, perm) per foreign table (device arrays)
@@ -89,8 +89,103 @@ class _EvalCtx:
         # select_n ("Unsupported target bitwidth for truncation") and
         # selects whose branches are both splats (invalid-relayout)
         self.mosaic = mosaic
+        # True when foreign-table columns were already resolved to
+        # row-aligned lanes by an XLA prologue (fused join): VarRef
+        # emission must consume them directly instead of probing the join
+        self.prejoined = prejoined
         self._foreign_rows: Dict[int, Tuple] = {}
+        self._foreign_cols: Dict[Tuple, Tuple] = {}
+        self._onehots: Dict[int, Tuple] = {}
         self._geo_matched = None
+
+    FOREIGN_ONEHOT_MAX = 512
+
+    def foreign_column(self, table_id: int, column_id: int, plan,
+                       values, validity):
+        """Resolve one joined column to row-aligned (values, validity).
+
+        Formulations priced on one v5e at 2M rows vs a 301-row dim table
+        (tools/bench_join_gather.py): the round-1 lut+value+validity
+        gather chain costs 50.5ms (XLA TPU dynamic-gather lowering);
+        a precomposed key-indexed [domain, 2] table with ONE stacked
+        gather costs 8.4ms; and for small domains an MXU one-hot dot
+        (chunked-exact: four 8-bit channels + validity, every chunk
+        bf16-exact) costs 3.7ms. Small-LUT joins take the one-hot dot,
+        larger LUT domains the stacked single gather, and everything else
+        (sorted probes, 2-lane/int64 values) the original row-gather.
+        Reference role: query/hash_lookup.cu device probe.
+        """
+        ckey = (table_id, column_id)
+        cached = self._foreign_cols.get(ckey)
+        if cached is not None:
+            return cached
+        fidx = plan.table_id_to_foreign[table_id]
+        ft = plan.foreign_tables[fidx]
+        main_key = _emit(ft.main_key_expr, self, plan)
+        entry = self.foreign[fidx]
+        out = None
+        if len(entry) == 1 and values.ndim == 1 \
+                and values.dtype.itemsize <= 4 and not self.mosaic:
+            (lut,) = entry
+            F = lut.shape[0]
+            key = main_key.value
+            in_range = (key >= 0) & (key < F) & main_key.valid
+            idx = jnp.clip(key, 0, F - 1).astype(jnp.int32)
+            rowsk = jnp.maximum(lut, 0)
+            hitk = lut >= 0
+            if values.dtype == jnp.float32:
+                v32k = jax.lax.bitcast_convert_type(values, jnp.int32)
+            else:
+                v32k = values.astype(jnp.int32)
+            v32k = v32k[rowsk]                       # [F] per-key values
+            bk = (validity[rowsk] & hitk)            # [F] per-key valid
+            if F <= self.FOREIGN_ONEHOT_MAX:
+                fp = ((F + 127) // 128) * 128
+                # shared per joined table: every column's chunk dot reuses
+                # the same traced one-hot, so XLA materializes it once
+                oh = self._onehots.get(table_id)
+                if oh is None:
+                    oh = ((idx[:, None]
+                           == jnp.arange(fp, dtype=jnp.int32)[None, :])
+                          & in_range[:, None]).astype(jnp.bfloat16)
+                    self._onehots[table_id] = oh
+                chan = jnp.zeros((fp, 5), jnp.float32)
+                chan = chan.at[:F, 0].set(
+                    (v32k & 0xFF).astype(jnp.float32))
+                chan = chan.at[:F, 1].set(
+                    ((v32k >> 8) & 0xFF).astype(jnp.float32))
+                chan = chan.at[:F, 2].set(
+                    ((v32k >> 16) & 0xFF).astype(jnp.float32))
+                chan = chan.at[:F, 3].set(
+                    ((v32k >> 24) & 0xFF).astype(jnp.float32))
+                chan = chan.at[:F, 4].set(bk.astype(jnp.float32))
+                dot = jax.lax.dot_general(
+                    oh, chan.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32)   # [n, 5]
+                v32 = (dot[:, 0].astype(jnp.int32)
+                       + (dot[:, 1].astype(jnp.int32) << 8)
+                       + (dot[:, 2].astype(jnp.int32) << 16)
+                       + (dot[:, 3].astype(jnp.int32) << 24))
+                valid = (dot[:, 4] > 0) & in_range
+            else:
+                tbl = jnp.stack([v32k, bk.astype(jnp.int32)],
+                                axis=1)               # [F, 2]
+                row = tbl[idx]                        # ONE [n, 2] gather
+                v32 = row[:, 0]
+                valid = (row[:, 1] > 0) & in_range
+            if values.dtype == jnp.float32:
+                v = jax.lax.bitcast_convert_type(v32, jnp.float32)
+            elif values.dtype == jnp.bool_:
+                v = v32 != 0
+            else:
+                v = v32.astype(values.dtype)
+            out = (v, valid)
+        if out is None:
+            rows, hit = self.foreign_row(table_id, fidx, main_key)
+            out = (values[rows], validity[rows] & hit)
+        self._foreign_cols[ckey] = out
+        return out
 
     def foreign_row(self, table_id: int, fidx: int, main_key: _Val):
         """Resolve main rows to foreign row indices.
@@ -204,13 +299,9 @@ def _emit_varref(node: E.VarRef, ctx: _EvalCtx, plan: CompiledQuery) -> _Val:
             f"array column {node.val!r} can only be used via "
             f"length()/contains()/element_at()")
     values, validity = entry
-    if node.table_id > 0:
-        fidx = plan.table_id_to_foreign[node.table_id]
-        ft = plan.foreign_tables[fidx]
-        main_key = _emit(ft.main_key_expr, ctx, plan)
-        rows, hit = ctx.foreign_row(node.table_id, fidx, main_key)
-        values = values[rows]
-        validity = validity[rows] & hit
+    if node.table_id > 0 and not ctx.prejoined:
+        values, validity = ctx.foreign_column(
+            node.table_id, node.column_id, plan, values, validity)
     if node.data_type in (mdt.UUID, mdt.GeoPoint):
         return _Val(values, validity)  # (n, 2) lanes, special consumers only
     if node.data_type == mdt.Bool:
@@ -353,11 +444,19 @@ def _emit_binary(node: E.BinaryExpr, ctx: _EvalCtx, plan: CompiledQuery) -> _Val
         if op == "*":
             return _Val(a * b, valid)
         if op == "%":
+            # C truncation semantics (sign of the DIVIDEND), matching the
+            # reference's ModFunctor (query/functor.hpp:260, C++ `%`) —
+            # numpy/jnp `%` is floored (sign of divisor) and diverges on
+            # negative operands ((-7) % 3: C -1, floored 2). Ported by the
+            # functor matrix (functor_unittest.cu ModFunctor cases).
             safe = jnp.where(b != 0, b, 1)
-            return _Val(jnp.where(b != 0, a % safe, 0), valid & (b != 0))
-        # FLOOR: floor(a / b) * b in integer space
+            return _Val(jnp.where(b != 0, jax.lax.rem(a, safe), 0),
+                        valid & (b != 0))
+        # FLOOR(a, b) = a - a % b with C trunc-mod (reference FloorFunctor,
+        # query/functor.hpp:338)
         safe = jnp.where(b != 0, b, 1)
-        return _Val(jnp.where(b != 0, (a // safe) * b, 0), valid & (b != 0))
+        return _Val(jnp.where(b != 0, a - jax.lax.rem(a, safe), 0),
+                    valid & (b != 0))
     if op in ("&", "|", "^", "<<", ">>"):
         a = _to_numeric(l, jnp.int32).value
         b = _to_numeric(r, jnp.int32).value
@@ -1789,17 +1888,34 @@ def _hll_lane(plan: CompiledQuery, ctx: _EvalCtx) -> Tuple[_Val, object, object]
     return _Val(hv, v.valid), reg, rho
 
 
+def hll_batch_body(plan: CompiledQuery, n_rows: int, k_groups: int,
+                   columns, foreign, n_valid, live_cutoff):
+    """Un-jitted per-batch HLL aggregation body (reused by the sharded
+    multi-chip path — parallel/sharded.make_sharded_hll_kernel)."""
+    from aresdb_tpu.query import hll as H
+
+    m = H.HLL_M
+    return _hll_body_impl(plan, n_rows, k_groups, m, columns, foreign,
+                          n_valid, live_cutoff)
+
+
 def make_hll_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
     """HLL group-by: per-(group, register) max(rho) in one segment-max.
 
     Reference: query/hll.cu HyperLogLog. Output registers[K, 16384] uint8
     (0 = empty), plus the usual group table metadata.
     """
-    from aresdb_tpu.query import hll as H
-
-    m = H.HLL_M
 
     def fn(columns, foreign, n_valid, live_cutoff):
+        return hll_batch_body(plan, n_rows, k_groups, columns, foreign,
+                              n_valid, live_cutoff)
+
+    return jax.jit(fn)
+
+
+def _hll_body_impl(plan: CompiledQuery, n_rows: int, k_groups: int, m: int,
+                   columns, foreign, n_valid, live_cutoff):
+    if True:
         from aresdb_tpu.query import pallas_ops as P
 
         ctx = _EvalCtx(columns, foreign, n_rows)
@@ -1937,8 +2053,6 @@ def make_hll_kernel(plan: CompiledQuery, n_rows: int, k_groups: int):
         return (gkeys, slot_used, registers, cnt, n_live_groups,
                 tuple(dim_values), tuple(dim_valids))
 
-    return jax.jit(fn)
-
 
 def dense_slot_lane(dim_vals: List[_Val], dense_plan, n_rows: int = None):
     """Per-row dense slot index + out-of-domain flag (shared by the XLA
@@ -2023,6 +2137,32 @@ def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
         overflow = jnp.sum(mask & bad).astype(jnp.int32)
 
         mval, mvalid = mlane.value, mlane.valid & keep
+        if n_slots <= 4:
+            # tiny slot spaces (no-dims global aggregates, boolean dims):
+            # per-slot MASKED REDUCTIONS — a scatter-based segment_sum
+            # costs ~20ms per 2M-row batch on one v5e where jnp.sum costs
+            # 0.4ms (tools/bench_join_gather.py)
+            aggs, cnts, rows = [], [], []
+            for s in range(n_slots):
+                sel = keep & (slot == s)
+                selm = sel & mvalid
+                onesf = selm.astype(jnp.float32)
+                if agg in ("sum", "count", "avg"):
+                    contrib = jnp.where(selm, mval,
+                                        jnp.zeros((), mval.dtype))
+                    aggs.append(jnp.sum(contrib))
+                elif agg == "min":
+                    ident = _F32_MAX if out_float else jnp.array(
+                        np.iinfo(np.int32).max, mval.dtype)
+                    aggs.append(jnp.min(jnp.where(selm, mval, ident)))
+                else:
+                    ident = -_F32_MAX if out_float else jnp.array(
+                        np.iinfo(np.int32).min, mval.dtype)
+                    aggs.append(jnp.max(jnp.where(selm, mval, ident)))
+                cnts.append(jnp.sum(onesf))
+                rows.append(jnp.sum(sel.astype(jnp.float32)))
+            return (jnp.stack(aggs), jnp.stack(cnts), jnp.stack(rows),
+                    overflow)
         num = n_slots + 1
         ones = jnp.where(mvalid, jnp.float32(1), jnp.float32(0))
         present = jnp.where(keep, jnp.float32(1), jnp.float32(0))

@@ -155,6 +155,13 @@ def format_dim_column(plan: CompiledQuery, i: int, values: np.ndarray,
         out = format_float32_column(values)
         out[~valids] = None
         return out.tolist()
+    plain_int = (values.dtype.kind in "iu" and not is_time
+                 and not dim.geo_dim and dim.enum_reverse_dict is None)
+    if plain_int and g > 4096:
+        # vectorized decimal rendering == str(int(v)) for every int dtype
+        out = values.astype("U24").astype(object)
+        out[~valids] = None
+        return out.tolist()
     uniq, inv = np.unique(values, return_inverse=True)
     tbl = np.empty(len(uniq), object)
     for u, v in enumerate(uniq.tolist()):

@@ -277,3 +277,56 @@ def test_execute_composite_via_broker():
             "Total": 6.0, "Completed": 4.0, "rate": 4.0 / 6.0}
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# merger fuzz: nested alias shadowing (VERDICT r4 #9)
+# ---------------------------------------------------------------------------
+
+def test_alias_shadowing_fuzz(service):
+    """Randomized WITH statements whose output aliases shadow BASE COLUMN
+    names, other aliases, and the named-query identifiers themselves. The
+    flattened composite result must equal an oracle computed from the
+    equivalent plain queries — a misbinding (outer identifier resolving to
+    the base column instead of the subquery output) would silently corrupt
+    the derived measure. Reference: sql_parser.go mergeWithOrSubQueries
+    output-column binding."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    # alias pools deliberately collide with trips column names and the
+    # named-query identifiers
+    alias_pool = ["fare", "city_id", "Total", "m1", "m2", "X", "status"]
+    for trial in range(12):
+        a1, a2 = rng.choice(alias_pool, 2, replace=False)
+        f2 = "status='completed'"
+        w = (
+            f"WITH m1 ({a1}) AS (SELECT count(*) AS {a1} FROM trips "
+            f"WHERE aql_now(request_at, {NOW}) GROUP BY status), "
+            f"m2 ({a2}) AS (SELECT count(*) AS {a2} FROM trips "
+            f"WHERE aql_now(request_at, {NOW}) AND {f2} GROUP BY status) "
+            f"SELECT {a1}, {a2}, {a2}/{a1} AS rate "
+            f"FROM m1 NATURAL LEFT JOIN m2"
+        )
+        out = service.handle_sql({"queries": [w]})
+        assert not out.get("errors"), (w, out.get("errors"))
+        res = out["results"][0]
+
+        base = service.handle_sql({"queries": [
+            f"SELECT count(*) FROM trips WHERE aql_now(request_at, {NOW}) "
+            f"GROUP BY status",
+            f"SELECT count(*) FROM trips WHERE aql_now(request_at, {NOW}) "
+            f"AND {f2} GROUP BY status"]})
+        r1, r2 = base["results"]
+        assert not base.get("errors"), base.get("errors")
+        for grp, v1 in r1.items():
+            got = res[grp]
+            assert got[a1] == v1, (w, grp)
+            v2 = r2.get(grp, None)
+            if v2 is not None:
+                assert got[a2] == v2, (w, grp)
+                want_rate = float(np.float32(v2 / v1)) if v1 else None
+                rate = got["rate"]
+                assert (rate == want_rate
+                        or (rate is not None and want_rate is not None
+                            and abs(rate - want_rate) < 1e-6)), (w, grp)

@@ -88,3 +88,81 @@ def test_mesh_random_oracle_equality(monkeypatch):
     for c in city:
         expect[str(int(c))] = expect.get(str(int(c)), 0) + 1
     assert res == expect
+
+
+def test_mesh_hll_matches_single_chip(monkeypatch):
+    """HLL measures now shard over the mesh (VERDICT r4 #3): register
+    planes all_gather + register-max merge on device; results must equal
+    the single-chip path exactly (same registers -> same estimate)."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    from tests.test_query_e2e import make_store, NOW
+    from aresdb_tpu.query.service import QueryService
+
+    svc = QueryService(make_store())
+    q = {"table": "trips",
+         "measures": [{"sqlExpression": "countdistincthll(uuid)"}],
+         "dimensions": [{"sqlExpression": "status"}],
+         "now": NOW}
+    monkeypatch.delenv("ARES_MESH", raising=False)
+    base = svc.handle_aql({"queries": [dict(q)]})["results"][0]
+
+    monkeypatch.setenv("ARES_MESH", "1")
+    before = _mesh_batches()
+    mesh = QueryService(make_store()).handle_aql(
+        {"queries": [dict(q)]})["results"][0]
+    assert _mesh_batches() > before
+    assert mesh == base
+
+
+def test_mesh_geo_matches_single_chip(monkeypatch):
+    """Geo plans ride the mesh: shape tables replicate, points shard."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    from tests.test_geo import geo_service as _geo_fixture
+    geo_service = _geo_fixture.__wrapped__
+
+    from tests.test_geo import _zone_uuid
+
+    q = {"table": "trips",
+         "joins": [{"table": "zones", "alias": "g",
+                    "conditions": [
+                        "geography_intersects(g.shape, request_point)"]}],
+         "measures": [{"sqlExpression": "sum(fare)"}],
+         "dimensions": [{"sqlExpression": "g.geo_uuid"}],
+         "rowFilters": [
+             f"g.geo_uuid IN ('{_zone_uuid(1)}', '{_zone_uuid(2)}')"],
+         "now": 1_600_000_000}
+    monkeypatch.delenv("ARES_MESH", raising=False)
+    base = geo_service().handle_aql({"queries": [dict(q)]})["results"][0]
+
+    monkeypatch.setenv("ARES_MESH", "1")
+    before = _mesh_batches()
+    mesh = geo_service().handle_aql({"queries": [dict(q)]})["results"][0]
+    assert _mesh_batches() > before
+    assert mesh == base
+
+
+def test_mesh_array_matches_single_chip(monkeypatch):
+    """Array columns shard row-wise on the mesh (4-lane staging)."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    from tests.test_array_queries import service as _svc_fixture
+    service = _svc_fixture.__wrapped__
+
+    q = {"table": "events",
+         "measures": [{"sqlExpression": "sum(score)",
+                       "rowFilters": ["contains(tags, 2)"]}],
+         "dimensions": [{"sqlExpression": "length(tags)"}],
+         "now": 1_600_000_000}
+    monkeypatch.delenv("ARES_MESH", raising=False)
+    base = service().handle_aql({"queries": [dict(q)]})["results"][0]
+
+    monkeypatch.setenv("ARES_MESH", "1")
+    before = _mesh_batches()
+    mesh = service().handle_aql({"queries": [dict(q)]})["results"][0]
+    assert _mesh_batches() > before
+    assert mesh == base
