@@ -75,9 +75,42 @@ def load():
             u8p, i32p, u32p, i32p]
         lib.cuckoo_dump.restype = ctypes.c_int64
         lib.cuckoo_dump.argtypes = [c, u8p, i32p, u32p, ctypes.c_int64]
+        lib.scatter_rows.argtypes = [
+            u8p, u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int64]
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return load() is not None
+
+
+def scatter_rows(dst, src, dst_idx, src_idx) -> bool:
+    """dst[dst_idx[i]] = src[src_idx[i]] row-wise via the native library
+    (fused gather+scatter, GIL released). Returns False when the native
+    path is unavailable or the arrays don't qualify — callers fall back to
+    numpy. Hot path of columnar ingestion (table_shard._write_rows_arrays)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return False
+    if dst.dtype != src.dtype or dst.shape[1:] != src.shape[1:]:
+        return False
+    if not dst.flags["C_CONTIGUOUS"] or not src.flags["C_CONTIGUOUS"]:
+        return False
+    n = len(dst_idx)
+    if n == 0:
+        return True
+    row_bytes = dst.dtype.itemsize
+    for d in dst.shape[1:]:
+        row_bytes *= d
+    dst_idx = np.ascontiguousarray(dst_idx, np.int64)
+    src_idx = np.ascontiguousarray(src_idx, np.int64)
+    i64p_ = ctypes.POINTER(ctypes.c_int64)
+    u8p_ = ctypes.POINTER(ctypes.c_uint8)
+    lib.scatter_rows(
+        dst.ctypes.data_as(u8p_), src.ctypes.data_as(u8p_),
+        dst_idx.ctypes.data_as(i64p_), src_idx.ctypes.data_as(i64p_),
+        ctypes.c_int64(n), ctypes.c_int64(row_bytes))
+    return True

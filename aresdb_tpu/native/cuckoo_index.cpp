@@ -502,4 +502,40 @@ int64_t cuckoo_dump(void* h, uint8_t* keys_out, int32_t* batch_out,
                                             cap);
 }
 
+// Fused gather+scatter for columnar ingestion writes:
+// dst[dst_idx[i]] = src[src_idx[i]] row-wise (row_bytes per row).
+// Replaces numpy's temp-gather + fancy-scatter pair on the hot live-VP
+// write path (reference role: memstore/ingestion.go writeBatchRecords);
+// runs with the GIL released via ctypes.
+void scatter_rows(uint8_t* dst, const uint8_t* src, const int64_t* dst_idx,
+                  const int64_t* src_idx, int64_t n, int64_t row_bytes) {
+  switch (row_bytes) {
+    case 1:
+      for (int64_t i = 0; i < n; i++) dst[dst_idx[i]] = src[src_idx[i]];
+      return;
+    case 2: {
+      auto* d = reinterpret_cast<uint16_t*>(dst);
+      auto* s = reinterpret_cast<const uint16_t*>(src);
+      for (int64_t i = 0; i < n; i++) d[dst_idx[i]] = s[src_idx[i]];
+      return;
+    }
+    case 4: {
+      auto* d = reinterpret_cast<uint32_t*>(dst);
+      auto* s = reinterpret_cast<const uint32_t*>(src);
+      for (int64_t i = 0; i < n; i++) d[dst_idx[i]] = s[src_idx[i]];
+      return;
+    }
+    case 8: {
+      auto* d = reinterpret_cast<uint64_t*>(dst);
+      auto* s = reinterpret_cast<const uint64_t*>(src);
+      for (int64_t i = 0; i < n; i++) d[dst_idx[i]] = s[src_idx[i]];
+      return;
+    }
+    default:
+      for (int64_t i = 0; i < n; i++)
+        memcpy(dst + dst_idx[i] * row_bytes, src + src_idx[i] * row_bytes,
+               row_bytes);
+  }
+}
+
 }  // extern "C"

@@ -920,6 +920,8 @@ class ShardExecutor:
         self._foreign_cache[ckey] = entry
 
     FOREIGN_LUT_CAP = 1 << 22  # max dense key domain for the LUT join probe
+    SMALL_K_FULL_FETCH = 4096  # sort tables at/below this capacity fetch
+                               # whole with their counts (one round trip)
 
     def _stage_geo(self, plan: CompiledQuery):
         """Stage geo shapes: flattened edges + edge->shape one-hot arrays.
@@ -1111,10 +1113,34 @@ class ShardExecutor:
             plan._exec_sort_pending = []
             if not pending:
                 break
-            counts = jax.device_get([entry[1][5] for entry in pending])
-            for entry, n_groups in zip(pending, counts):
+            # small-K tables fetch WHOLE alongside their group count in the
+            # same device_get: through a remote tunnel every round trip
+            # costs ~27ms, and a second sliced fetch would double the
+            # latency of every small query (caught by the battery's
+            # archive-runlen row at 108ms vs 35ms for the fused path)
+            req = []
+            for entry in pending:
+                k, out = entry[0], entry[1]
+                if k <= self.SMALL_K_FULL_FETCH and \
+                        (len(entry) <= 7 or entry[7] != "mesh"):
+                    req.append((out[5], (out[0], out[3], out[4], out[6],
+                                         out[7])))
+                else:
+                    req.append((out[5], None))
+            fetched = jax.device_get(req)
+            for entry, (n_groups, full) in zip(pending, fetched):
                 k, out = entry[0], entry[1]
                 ng = int(n_groups)
+                if full is not None and ng <= k:
+                    gkeys_h, agg_h, cnt_h, dims_h, dvalids_h = full
+                    kg = min(round_up_pow2(max(ng, 1), 64), k)
+                    from aresdb_tpu.query.kernels import SENTINEL64
+                    table.merge_keyed(
+                        gkeys_h[:kg], gkeys_h[:kg] != SENTINEL64,
+                        agg_h[:kg], cnt_h[:kg],
+                        [dv[:kg] for dv in dims_h],
+                        [dv[:kg] for dv in dvalids_h])
+                    continue
                 if ng > k:
                     (old_k, _, columns, foreign_idx, n_valid, n_padded,
                      live_cutoff) = entry[:7]

@@ -1,0 +1,196 @@
+"""100M-row baseline config on the real chip (VERDICT r4 #6; BASELINE.json
+configs 2-4 name a 100M-row trips table).
+
+Builds 100M rows in-process (WAL on), runs the headline query shapes live,
+archives everything into mode-3 day batches under a CONSTRAINED host-memory
+budget, re-runs the archive shapes (run-length path), and reports
+rows/s/chip + per-stage times + a host-memory usage report proving
+eviction actually cycles. Writes JSON to argv[1].
+
+Run detached: cold compiles through the tunnel take minutes.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from aresdb_tpu.common import data_types as dt
+from aresdb_tpu.common.schema import Table
+from aresdb_tpu.common.upsert_batch import UpsertBatch, build_columnar_upsert
+from aresdb_tpu.diskstore.local_diskstore import LocalDiskStore
+from aresdb_tpu.memstore.memstore import MemStore
+from aresdb_tpu.metastore.disk_metastore import DiskMetaStore
+from aresdb_tpu.query.service import QueryService
+from aresdb_tpu.utils import metrics as M
+
+DAY = 86400
+NOW = 1_600_000_000
+BASE = NOW - (NOW % DAY) - 4 * DAY
+N = 100_000_000
+BATCH = 1 << 22
+HOST_BUDGET = int(2.2e9)   # < the ~2.6GB archive footprint -> eviction
+
+report = {"n_rows": N, "host_budget_bytes": HOST_BUDGET}
+root = tempfile.mkdtemp()
+ms = MemStore(DiskMetaStore(root), LocalDiskStore(root),
+              total_memory_bytes=HOST_BUDGET)
+ms.create_table(Table.from_json({
+    "name": "trips", "columns": [
+        {"name": "request_at", "type": "Uint32"},
+        {"name": "id", "type": "Uint32"},
+        {"name": "city_id", "type": "Uint16"},
+        {"name": "status", "type": "SmallEnum"},
+        {"name": "fare", "type": "Float32"}],
+    "primaryKeyColumns": [1], "archivingSortColumns": [2, 3],
+    "isFactTable": True,
+    "config": {"batchSize": BATCH, "recordRetentionInDays": 0}}))
+ms.init_shards()
+ms.get_schemas()["trips"].extend_enum(
+    "status", ["completed", "canceled", "rejected"])
+ms.host_memory_manager.start()
+shard = ms.get_table_shard("trips")
+
+rng = np.random.RandomState(3)
+exp_by_city = np.zeros(300, np.float64)
+exp_rows_by_cs = np.zeros((300, 3), np.int64)
+exp_completed_fare = 0.0
+t0 = time.perf_counter()
+for off in range(0, N, BATCH):
+    m = min(BATCH, N - off)
+    ts = (BASE + rng.randint(0, 4 * DAY, m)).astype(np.uint32)
+    city = rng.randint(0, 300, m).astype(np.uint16)
+    status = rng.randint(0, 3, m).astype(np.uint8)
+    fare = (rng.rand(m) * 50).astype(np.float32)
+    shard.save_upsert_batch(UpsertBatch(build_columnar_upsert([
+        (0, dt.Uint32, ts, None, 0),
+        (1, dt.Uint32, np.arange(off, off + m, dtype=np.uint32), None, 0),
+        (2, dt.Uint16, city, None, 0),
+        (3, dt.SmallEnum, status, None, 0),
+        (4, dt.Float32, fare, None, 0)], m)))
+    np.add.at(exp_by_city, city, fare.astype(np.float64))
+    np.add.at(exp_rows_by_cs, (city, status), 1)
+    exp_completed_fare += float(fare[status == 0].astype(np.float64).sum())
+ingest_s = time.perf_counter() - t0
+report["ingest_rows_per_sec"] = round(N / ingest_s)
+print(f"ingest {N} rows: {ingest_s:.1f}s "
+      f"({N/ingest_s/1e6:.2f}M rows/s, WAL on)", flush=True)
+
+svc = QueryService(ms)
+
+
+def run(name, q, check, runs=2):
+    q = dict(q)
+    q["now"] = NOW
+    out = None
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        out = svc.handle_aql({"queries": [q], "verbose": True})
+        times.append((time.perf_counter() - t0) * 1e3)
+        assert not out.get("errors"), out.get("errors")
+    r = out["results"][0]
+    ok = check(r)
+    ctx = out["context"][0]
+    stages = {k: round(v * 1e3, 1) for k, v in ctx.items()
+              if isinstance(v, float)}
+    warm = times[-1]
+    rps = N / (warm / 1e3)
+    print(f"{name:34s} cold={times[0]:8.0f}ms warm={warm:7.0f}ms "
+          f"({rps/1e6:7.0f}M rows/s) ok={ok}", flush=True)
+    print(f"    stages: {stages}", flush=True)
+    report.setdefault("queries", []).append({
+        "name": name, "cold_ms": round(times[0], 1),
+        "warm_ms": round(warm, 1), "rows_per_sec": round(rps),
+        "correct": bool(ok), "stages": stages})
+    assert ok, name
+
+
+def chk_city(r):
+    return all(abs(float(r[str(c)]) - exp_by_city[c])
+               < max(1e-2, exp_by_city[c] * 1e-5)
+               for c in range(0, 300, 29))
+
+
+run("sum(fare) by city [live]", {
+    "table": "trips", "measures": [{"sqlExpression": "sum(fare)"}],
+    "dimensions": [{"sqlExpression": "city_id"}]}, chk_city)
+run("sum(fare) completed hour x city", {
+    "table": "trips",
+    "measures": [{"sqlExpression": "sum(fare)",
+                  "rowFilters": ["status='completed'"]}],
+    "dimensions": [{"sqlExpression": "request_at", "timeBucketizer": "hour"},
+                   {"sqlExpression": "city_id"}]},
+    lambda r: abs(sum(float(v) for d in r.values() for v in d.values())
+                  - exp_completed_fare) < exp_completed_fare * 1e-4)
+
+# archive everything into 4 mode-3 day batches
+t0 = time.perf_counter()
+from aresdb_tpu.memstore.archiving import Archiver
+
+stats = Archiver(shard, ms.metastore, ms.diskstore).archive(BASE + 4 * DAY)
+arch_s = time.perf_counter() - t0
+report["archive_rows_per_sec"] = round(stats.rows_archived / arch_s)
+print(f"archived {stats.rows_archived} rows in {arch_s:.1f}s "
+      f"({stats.rows_archived/arch_s/1e6:.2f}M rows/s)", flush=True)
+
+# instrument eviction so the report can PROVE cycling (the worker has no
+# public counter)
+from aresdb_tpu.memstore import archive_store as AS
+
+_evictions = [0]
+_orig_evict = AS.ArchiveBatch.evict_column
+
+
+def _patched_evict(self, cid):
+    out = _orig_evict(self, cid)
+    if out:
+        _evictions[0] += 1
+    return out
+
+
+AS.ArchiveBatch.evict_column = _patched_evict
+
+snap0 = M.root().snapshot().get("counters", {})
+run("archive count city x status (runs)", {
+    "table": "trips", "measures": [{"sqlExpression": "count(*)"}],
+    "dimensions": [{"sqlExpression": "city_id"},
+                   {"sqlExpression": "status"}]},
+    lambda r: all(float(r[str(c)][n]) == float(exp_rows_by_cs[c, s])
+                  for c in range(0, 300, 41)
+                  for s, n in enumerate(["completed", "canceled",
+                                         "rejected"])))
+run("archive sum(fare) by city [runlen]", {
+    "table": "trips", "measures": [{"sqlExpression": "sum(fare)"}],
+    "dimensions": [{"sqlExpression": "city_id"}]}, chk_city)
+run("archive 200k-group sum", {
+    "table": "trips", "measures": [{"sqlExpression": "sum(fare)"}],
+    "dimensions": [{"sqlExpression": "id % 200000"}]},
+    lambda r: len(r) == 200000)
+
+# give the level-triggered evict worker a beat to settle
+time.sleep(2.0)
+ms.host_memory_manager.trigger_eviction()
+time.sleep(2.0)
+usage = ms.host_memory_manager.get_archive_memory_usage_by_table_shard()
+managed = ms.host_memory_manager.get_reserved_memory()
+report["host_memory"] = {
+    "managed_bytes": int(managed),
+    "budget_bytes": HOST_BUDGET,
+    "columns_evicted": _evictions[0],
+    "usage": usage,
+}
+print("host memory managed:", managed, "budget:", HOST_BUDGET, flush=True)
+print("columns evicted:", _evictions[0], flush=True)
+assert managed <= HOST_BUDGET * 1.15, "budget not enforced"
+assert _evictions[0] > 0, "eviction never cycled at this footprint"
+
+if len(sys.argv) > 1:
+    with open(sys.argv[1], "w") as f:
+        json.dump(report, f, indent=1, default=int)
+print("DONE", flush=True)

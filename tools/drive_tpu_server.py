@@ -194,6 +194,135 @@ ok12 = len(r) == 200000 and all(
     for k in range(0, 200000, 9973))
 battery.append(("200k-group sum (sort path)", cold, warm, ok12))
 
+# --- storage leg (VERDICT r4 #7): archived mode-3 scans (run-length
+# aggregation + prefilter entry search), the geo join, and an array query
+# run on the SAME real chip and land in the same battery JSON.
+import os as _os
+
+conn.create_table({
+    "name": "atrips", "columns": [
+        {"name": "request_at", "type": "Uint32"},
+        {"name": "id", "type": "Uint32"},
+        {"name": "city_id", "type": "Uint16"},
+        {"name": "status", "type": "SmallEnum"},
+        {"name": "fare", "type": "Float32"},
+        {"name": "pickup", "type": "GeoPoint"}],
+    "primaryKeyColumns": [1], "archivingSortColumns": [2, 3],
+    "isFactTable": True,
+    "config": {"batchSize": 1 << 21, "recordRetentionInDays": 0}})
+requests.post(
+    f"http://localhost:{port}/schema/tables/atrips/columns/status/enum-cases",
+    json={"enumCases": ["completed", "canceled", "rejected"]})
+conn.create_table({
+    "name": "zones", "columns": [
+        {"name": "id", "type": "Uint16"},
+        {"name": "shape", "type": "GeoShape"}],
+    "primaryKeyColumns": [0], "isFactTable": False,
+    "config": {"batchSize": 64}})
+conn.insert("zones", ["id", "shape"], [
+    (1, "POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))"),
+    (2, "POLYGON((20 20, 20 30, 30 30, 30 20, 20 20))")])
+
+DAY = 86400
+BASE = NOW - (NOW % DAY) - DAY
+n2 = 1 << 22
+rng2 = np.random.RandomState(9)
+ats = (BASE + rng2.randint(0, DAY, n2)).astype(np.uint32)
+acity = rng2.randint(0, 300, n2).astype(np.uint16)
+astatus = rng2.randint(0, 3, n2).astype(np.uint8)
+afare = (rng2.rand(n2) * 50).astype(np.float32)
+alat = (rng2.rand(n2) * 50).astype(np.float32)
+alng = (rng2.rand(n2) * 50).astype(np.float32)
+for off in range(0, n2, 1 << 21):
+    sl = slice(off, off + (1 << 21))
+    conn.insert_columns("atrips", {
+        "request_at": ats[sl],
+        "id": np.arange(sl.start, sl.stop, dtype=np.uint32),
+        "city_id": acity[sl], "status": astatus[sl], "fare": afare[sl],
+        "pickup": np.stack([alat[sl], alng[sl]], axis=1)})
+r = requests.post(f"http://localhost:{port}/dbg/atrips/0/archiving",
+                  data=b"{}")
+print("archived:", r.json()["result"]["rowsArchived"], flush=True)
+
+qa = {"table": "atrips", "measures": [{"sqlExpression": "sum(fare)"}],
+      "dimensions": [{"sqlExpression": "city_id"}], "now": NOW}
+expa = np.zeros(300, np.float64)
+np.add.at(expa, acity, afare.astype(np.float64))
+r, cold = timed(qa); r, warm_rl = timed(qa)
+oka = all(abs(float(r[str(c)]) - expa[c]) < max(1e-3, expa[c] * 1e-5)
+          for c in range(0, 300, 17))
+battery.append(("archive runlen sum by sort col", cold, warm_rl, oka))
+_os.environ["ARES_RUNLEN"] = "0"
+try:
+    r, _ = timed(qa); r, warm_exp = timed(qa)
+finally:
+    del _os.environ["ARES_RUNLEN"]
+runlen_speedup = warm_exp / max(warm_rl, 1e-9)
+battery.append(("archive EXPANDED sum (runlen off)", 0.0, warm_exp, oka))
+print(f"runlen speedup vs expand: {runlen_speedup:.1f}x "
+      f"({warm_exp:.0f}ms -> {warm_rl:.0f}ms)", flush=True)
+
+qb = {"table": "atrips", "measures": [{"sqlExpression": "count(*)"}],
+      "dimensions": [{"sqlExpression": "city_id"},
+                     {"sqlExpression": "status"}], "now": NOW}
+r, cold = timed(qb); r, warm = timed(qb)
+expb = np.zeros((300, 3), np.int64)
+np.add.at(expb, (acity, astatus), 1)
+names = ["completed", "canceled", "rejected"]
+okb = all(float(r[str(c)][names[s]]) == float(expb[c, s])
+          for c in range(0, 300, 23) for s in range(3))
+battery.append(("archive count city-status (pure runs)", cold, warm, okb))
+
+qc = {"table": "atrips", "measures": [{"sqlExpression": "sum(fare)"}],
+      "rowFilters": ["city_id = 7"], "now": NOW}
+r, cold = timed(qc); r, warm = timed(qc)
+expc = float(afare[acity == 7].astype(np.float64).sum())
+battery.append(("archive prefilter city=7", cold, warm,
+                abs(float(r[""]) - expc) < max(1e-3, expc * 1e-5)))
+
+qg = {"table": "atrips",
+      "joins": [{"table": "zones", "alias": "z",
+                 "conditions": ["geography_intersects(z.shape, pickup)"]}],
+      "measures": [{"sqlExpression": "count(*)"}],
+      "dimensions": [{"sqlExpression": "z.id"}],
+      "rowFilters": ["z.id IN (1, 2)"], "now": NOW}
+r, cold = timed(qg); r, warm = timed(qg)
+in1 = int(((alat > 0) & (alat < 10) & (alng > 0) & (alng < 10)).sum())
+in2 = int(((alat > 20) & (alat < 30) & (alng > 20) & (alng < 30)).sum())
+okg = (abs(float(r.get("1", 0)) - in1) <= in1 * 0.001 + 5
+       and abs(float(r.get("2", 0)) - in2) <= in2 * 0.001 + 5
+       and "NULL" not in r)
+battery.append(("geo join archived points", cold, warm, okg))
+
+conn.create_table({
+    "name": "events", "columns": [
+        {"name": "ts", "type": "Uint32"},
+        {"name": "id", "type": "Uint32"},
+        {"name": "tags", "type": "ArrayInt32"},
+        {"name": "score", "type": "Float32"}],
+    "primaryKeyColumns": [1], "isFactTable": True,
+    "config": {"batchSize": 1 << 16, "recordRetentionInDays": 0}})
+ne = 1 << 16
+rng3 = np.random.RandomState(5)
+tag_rows = [rng3.randint(0, 20, rng3.randint(0, 5)).tolist()
+            for _ in range(ne)]
+escore = (rng3.rand(ne) * 10).astype(np.float32)
+conn.insert("events", ["ts", "id", "tags", "score"],
+            [(NOW - 100, i, tag_rows[i], float(escore[i]))
+             for i in range(ne)])
+qe = {"table": "events", "measures": [{"sqlExpression": "sum(score)",
+      "rowFilters": ["contains(tags, 7)"]}],
+      "dimensions": [{"sqlExpression": "length(tags)"}], "now": NOW}
+r, cold = timed(qe); r, warm = timed(qe)
+expe = {}
+for i, tr in enumerate(tag_rows):
+    if 7 in tr:
+        expe[str(len(tr))] = expe.get(str(len(tr)), 0.0) + float(escore[i])
+oke = (set(r) == set(expe)
+       and all(abs(float(r[k]) - expe[k]) < max(1e-3, expe[k] * 1e-4)
+               for k in expe))
+battery.append(("array contains by length", cold, warm, oke))
+
 print(f"{'query':36s} {'cold':>9s} {'warm':>8s}  correct")
 for name, cold, warm, okk in battery:
     print(f"{name:36s} {cold:8.0f}ms {warm:7.0f}ms  {okk}")
@@ -206,6 +335,7 @@ if out_path:
             "queries": [{"name": b[0], "cold_ms": round(b[1], 1),
                          "warm_ms": round(b[2], 1), "correct": bool(b[3])}
                         for b in battery],
+            "runlen_speedup_vs_expand": round(runlen_speedup, 2),
             "all_correct": bool(all(b[3] for b in battery)),
         }, f, indent=1)
 assert all(b[3] for b in battery), "CORRECTNESS FAILURE"
