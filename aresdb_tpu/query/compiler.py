@@ -580,7 +580,13 @@ class Compiler:
         # geopoint literal: 'point(lat,lng)' compared against geo column
         # handled at kernel level
 
-        if op in _CMP_OPS or op in ("IN", "NOT IN"):
+        if op in ("IN", "NOT IN"):
+            # reference expandINOp (query_context_helper.go): an empty IN
+            # list fails type resolution instead of silently never matching
+            if isinstance(rhs, E.Call) and not rhs.args:
+                raise QueryError("empty IN list")
+            node.type = E.BOOLEAN
+        elif op in _CMP_OPS:
             node.type = E.BOOLEAN
         elif op in _BOOL_OPS:
             node.type = E.BOOLEAN

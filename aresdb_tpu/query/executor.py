@@ -550,9 +550,8 @@ class ShardExecutor:
             for day in day_ids:
                 _check_deadline(plan)
                 ab = version.request_batch(day)
-                staged = self._stage_archive_batch(schema, ab, used, stat_keys,
-                                                   plan)
-                if staged is not None:
+                for staged in self._stage_archive_batch(schema, ab, used,
+                                                        stat_keys, plan):
                     M.root().count(M.QUERY_ARCHIVE_BATCH_PROCESSED, 1)
                     M.root().count(M.QUERY_ARCHIVE_RECORDS_PROCESSED,
                                    staged[1])
@@ -676,8 +675,17 @@ class ShardExecutor:
                                     n_padded, col_schema.data_type))
         return cols, n, n_padded, stats
 
+    ARCHIVE_CHUNK_ROWS = 1 << 22   # day batches stage in <=4M-row slices:
+                                   # the kernels are tuned (and the jit
+                                   # cache warmed) at <=4M shapes — a 25M
+                                   # single-kernel sort left that regime
+                                   # and served 100x slower at the 100M
+                                   # config, and a 33M staged batch OOMed
+
     def _stage_archive_batch(self, schema, ab, used: List[int],
                              stat_keys=frozenset(), plan=None):
+        """Yield staged 5-tuples for one archive day batch, sliced to
+        ARCHIVE_CHUNK_ROWS-row chunks after prefilter narrowing."""
         # resolve row count from the RAW (possibly mode-3 compressed)
         # columns — expansion is a fallback, not the default
         vps_raw = {}
@@ -688,7 +696,7 @@ class ShardExecutor:
                 n = max(n, vp.num_rows)
             vps_raw[cid] = vp
         if n == 0:
-            return None
+            return
         # prefilter slicing: binary-search the sorted batch down to the
         # candidate row range before staging anything on device
         lo, hi = 0, n
@@ -696,12 +704,32 @@ class ShardExecutor:
             lo, hi = self._prefilter_slice(plan.prefilters, vps_raw, n,
                                            plan.stats)
             if hi <= lo:
-                return None
+                return
+        chunk = self.ARCHIVE_CHUNK_ROWS
+        for clo in range(lo, hi, chunk):
+            staged = self._stage_archive_slice(
+                schema, vps_raw, used, clo, min(clo + chunk, hi), plan,
+                stat_keys)
+            if staged is not None:
+                yield staged
+
+    def _stage_archive_slice(self, schema, vps_raw, used: List[int],
+                             lo: int, hi: int, plan,
+                             stat_keys=frozenset()):
         # run-length aggregation over the compressed representation
-        # (VERDICT r4 #2); ARES_RUNLEN=0 restores expand-on-stage
+        # (VERDICT r4 #2). OPT-IN (ARES_RUNLEN=1): priced on chip against
+        # expand-on-stage at 8M and 100M rows — the expand path's fused
+        # MXU kernel over HBM-cached expanded columns wins every WARM
+        # steady-state shape tested (30 vs 82ms at 8M; 89 vs 124ms at
+        # 100M) even though the runlen kernel itself is FASTER chained
+        # (1.2ms vs 3ms per 4M chunk; the gap is serving-path overhead,
+        # docs/PERFORMANCE.md round 5). Runlen's structural wins — no
+        # expansion (2.3x less host memory, no np.repeat on first touch,
+        # ~compression-ratio less host->HBM upload on cache churn) — make
+        # it the right mode for memory-constrained deployments.
         import os as _os
 
-        if plan is not None and _os.environ.get("ARES_RUNLEN") != "0":
+        if plan is not None and _os.environ.get("ARES_RUNLEN") == "1":
             staged = self._stage_runlen(schema, vps_raw, lo, hi, plan)
             if staged is not None:
                 return staged
@@ -1205,36 +1233,39 @@ class ShardExecutor:
                      for d in range(n_dims))
         dvalids = tuple(jnp.concatenate([s[4][d] for s in sliced])
                         for d in range(n_dims))
-        k_out = round_up_pow2(max(total_live, 1), 64)
-        (m_keys, m_used, m_agg, m_cnt, m_dims, m_dvalids, n_uniq) = \
-            _keyed_merge_device(
-                gkeys, agg, cnt, dims, dvalids, plan.measure.agg, k_out)
         plan.stats["deviceMergedTables"] = len(sliced)
-        # two-round fetch: the union count first (a scalar), then the
-        # merged table SLICED to the live groups — k_out is the sum of the
-        # per-batch partials, which over-counts shared groups by the batch
-        # count (a 200k-group 4-batch query would otherwise fetch a 1M-row
-        # padded table: ~30MB over a remote tunnel)
-        n_u = int(jax.device_get(n_uniq))
+        kind = plan.measure.agg
+        k_out = round_up_pow2(max(total_live, 1), 64)
+        # the union count first (a scalar round trip): k_out is the SUM of
+        # the per-batch partials, which over-counts shared groups by the
+        # batch count — merging/fetching at that capacity cost seconds at
+        # the 100M-row config (a 200k-group 25-chunk query would merge at
+        # 8M capacity and fetch a 1M+-row padded table)
+        n_u = int(jax.device_get(_count_unique_keys(gkeys)))
         kg = min(round_up_pow2(max(n_u, 1), 64), k_out)
+        if kind in ("sum", "count", "avg"):
+            (m_keys, m_used, m_agg, m_cnt, _, m_dims, m_dvalids) = \
+                _merge_big_device(gkeys, agg, cnt, dims, dvalids, kg)
+        else:
+            # min/max fold via the scatter merge (needs the measure
+            # lattice, not a weighted sum); capacity already n_uniq-bounded
+            (m_keys, m_used, m_agg, m_cnt, m_dims, m_dvalids, _) = \
+                _keyed_merge_device(gkeys, agg, cnt, dims, dvalids, kind,
+                                    kg)
         # keys only matter when OTHER piles will join the final merge
         # (mesh tables fetched above, or dense accumulators from mixed
         # batches); a lone pile merges by position
         other_piles = bool(mesh_sliced) or bool(table._keyed_acc) \
             or bool(table._dense_acc)
         if other_piles:
-            keys_h, agg_h, cnt_h, dims_h, dvalids_h = jax.device_get(
-                (m_keys[:kg], m_agg[:kg], m_cnt[:kg],
-                 tuple(dv[:kg] for dv in m_dims),
-                 tuple(dv[:kg] for dv in m_dvalids)))
+            keys_h, used_h, agg_h, cnt_h, dims_h, dvalids_h = \
+                jax.device_get((m_keys, m_used, m_agg, m_cnt,
+                                tuple(m_dims), tuple(m_dvalids)))
         else:
-            agg_h, cnt_h, dims_h, dvalids_h = jax.device_get(
-                (m_agg[:kg], m_cnt[:kg],
-                 tuple(dv[:kg] for dv in m_dims),
-                 tuple(dv[:kg] for dv in m_dvalids)))
+            used_h, agg_h, cnt_h, dims_h, dvalids_h = jax.device_get(
+                (m_used, m_agg, m_cnt, tuple(m_dims), tuple(m_dvalids)))
             keys_h = np.arange(kg, dtype=np.uint64)  # positional placeholder
-        used = np.arange(kg) < n_u
-        table.merge_keyed(keys_h, used, agg_h, cnt_h,
+        table.merge_keyed(keys_h, used_h, agg_h, cnt_h,
                           list(dims_h), list(dvalids_h))
 
     def _run_mesh_batch(self, plan, columns, foreign_idx, n_valid, n_padded,
@@ -1644,6 +1675,34 @@ def _dense_fold_init(aggv, cnt, rows, kind: str):
     else:
         a = jnp.zeros_like(aggv)
     return a, jnp.zeros_like(cnt), jnp.zeros_like(rows)
+
+
+@jax.jit
+def _count_unique_keys(gkeys):
+    """Live-unique count of a concatenated key column (one u64 sort)."""
+    from aresdb_tpu.query.kernels import SENTINEL64
+
+    (sk,) = jax.lax.sort((gkeys,), num_keys=1, is_stable=False)
+    first = jnp.concatenate([jnp.ones(1, jnp.bool_), sk[1:] != sk[:-1]])
+    return jnp.sum((first & (sk != SENTINEL64)).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("k_out",))
+def _merge_big_device(gkeys, wsum, wcnt, dims, dvalids, k_out: int):
+    """Large-capacity cross-batch merge for sum/count/avg via the
+    boundary-prefix machinery (one multi-operand sort + block prefix
+    sums) — the scatter-based segment reductions of _keyed_merge_device
+    cost seconds at multi-million-row capacities (segment_sum/min at 8M
+    segments measured 2.6s warm on one v5e; this path is ~100ms at the
+    same shape). k_out is pre-bounded to the true union count by
+    _count_unique_keys, so the output arrays stay near n_uniq."""
+    from aresdb_tpu.query import kernels as K
+
+    dim_vals = [K._Val(d, v) for d, v in zip(dims, dvalids)]
+    out = K._reduce_by_key_sorted_weighted(
+        gkeys, wsum, wcnt, k_out, dim_vals, None)
+    # (gkeys, slot_used, aggv, cnt, n_groups, dims, dvalids)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "k_out"))

@@ -1137,17 +1137,24 @@ def sorted_segment_sum(values, num: int, starts, ends):
     n, c = values.shape
     L = _PREFIX_BLOCK
     n_pad = ((n + L - 1) // L) * L
+    # CHANNEL-MAJOR internals: a [n, c] array with a tiny minor dim can be
+    # assigned the {1,0:T(8,128)} layout by XLA — the c=3 lane dim pads to
+    # 128, a 42x memory expansion that OOMed a 33M-row archive batch (the
+    # lax.cond below forces a canonical-layout copy of its captured
+    # operand). [c, n] keeps the long axis minor, so every temp stays ~1x.
+    vt = values.T                                             # [c, n]
     if n_pad != n:
-        values = jnp.concatenate(
-            [values, jnp.zeros((n_pad - n, c), values.dtype)])
+        vt = jnp.concatenate(
+            [vt, jnp.zeros((c, n_pad - n), values.dtype)], axis=1)
     nb = n_pad // L
 
-    def span_sums(vals):
-        v3 = vals.reshape(nb, L, c)
-        blk = jnp.sum(v3, axis=1).astype(jnp.float64)         # [nb, c]
-        # bpref[i] = exact sum of blocks < i
+    def span_sums(vt_):
+        v3 = vt_.reshape(c, nb, L)
+        blk = jnp.sum(v3, axis=2).astype(jnp.float64)         # [c, nb]
+        # bpref[:, i] = exact sum of blocks < i
         bpref = jnp.concatenate(
-            [jnp.zeros((1, c), jnp.float64), _cumsum_2lvl(blk)])
+            [jnp.zeros((c, 1), jnp.float64),
+             _cumsum_2lvl(blk, axis=1)], axis=1)
         last = jnp.clip(ends - 1, 0, n_pad - 1)               # inclusive end
         hb = jnp.clip(starts, 0, n_pad - 1) // L
         tb = last // L
@@ -1157,17 +1164,17 @@ def sorted_segment_sum(values, num: int, starts, ends):
         eo = (last % L)[:, None]
         hmask = (pos >= so) & (pos <= jnp.where(same[:, None], eo, L - 1))
         tmask = (pos <= eo) & (~same)[:, None]
-        head = jnp.sum(v3[hb] * hmask[..., None], axis=1)     # [num, c] f32
-        tail = jnp.sum(v3[tb] * tmask[..., None], axis=1)
-        mid = jnp.where(same[:, None], jnp.float64(0),
-                        bpref[tb] - bpref[jnp.minimum(hb + 1, nb)])
+        head = jnp.sum(v3[:, hb] * hmask[None], axis=2)       # [c, num] f32
+        tail = jnp.sum(v3[:, tb] * tmask[None], axis=2)
+        mid = jnp.where(same[None, :], jnp.float64(0),
+                        bpref[:, tb] - bpref[:, jnp.minimum(hb + 1, nb)])
         out = head.astype(jnp.float64) + tail.astype(jnp.float64) + mid
-        return jnp.where((starts < ends)[:, None], out, jnp.float64(0))
+        return jnp.where((starts < ends)[None, :], out, jnp.float64(0))
 
-    finite = jnp.isfinite(values)
+    finite = jnp.isfinite(vt)
 
     def clean():
-        return span_sums(values)
+        return span_sums(vt)
 
     def poisoned():
         # a NaN/Inf anywhere would contaminate the running block prefix
@@ -1178,18 +1185,21 @@ def sorted_segment_sum(values, num: int, starts, ends):
         # scatter cost only executes when nonfinite measures exist).
         # f32 `finite + nonfinite` then reproduces direct-summation
         # semantics: NaN poisons its own group, +/-inf propagates.
-        base = span_sums(jnp.where(finite, values, jnp.zeros((), values.dtype)))
+        # Per-channel 1-D scatters keep every temp layout-safe.
+        base = span_sums(jnp.where(finite, vt, jnp.zeros((), vt.dtype)))
         seg = (jnp.searchsorted(
             starts, jnp.arange(n_pad, dtype=starts.dtype), side="right")
             .astype(jnp.int32) - 1)
         seg = jnp.clip(seg, 0, num - 1)
-        extra = jax.ops.segment_sum(
-            jnp.where(finite, jnp.zeros((), values.dtype), values),
-            seg, num_segments=num).astype(jnp.float64)
+        extra = jnp.stack([
+            jax.ops.segment_sum(
+                jnp.where(finite[ci], jnp.zeros((), vt.dtype), vt[ci]),
+                seg, num_segments=num)
+            for ci in range(c)]).astype(jnp.float64)          # [c, num]
         return base + extra
 
     out = jax.lax.cond(jnp.all(finite), clean, poisoned)
-    return out.astype(values.dtype)
+    return out.T.astype(values.dtype)                         # [num, c]
 
 
 RT_DENSE_CAP = 16384   # runtime-dense slot budget: the fused factored

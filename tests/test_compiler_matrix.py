@@ -752,3 +752,68 @@ ERROR_CASES = [
 def test_type_resolution_failures(measure):
     with pytest.raises((QueryError, ValueError)):
         compile_q(q(measures=[{"sqlExpression": measure}]))
+
+
+# ===========================================================================
+# J. expandINOp semantics + int64 capability extension
+#    (aql_compiler_test.go:3147 expandINOp, :212 wide columns, :4189 int64)
+# ===========================================================================
+
+def test_empty_in_list_rejected():
+    # reference expandINOp: "id in ()" fails type resolution
+    compile_err(q(filters=["city_id IN ()"]), "empty IN list")
+
+
+def _run_store(query):
+    from tests.test_query_e2e import make_store, NOW
+    from aresdb_tpu.query.service import QueryService
+
+    query = dict(query)
+    query["now"] = NOW
+    out = QueryService(make_store()).handle_aql({"queries": [query]})
+    assert not out.get("errors"), out.get("errors")
+    return out["results"][0]
+
+
+def test_in_list_equals_or_expansion():
+    """IN (a, b) must produce exactly the results of = a OR = b, and
+    NOT IN their negation (reference expandINOp rewrites IN to OR chains;
+    this engine evaluates IN natively — the results must agree)."""
+    base = {"table": "trips",
+            "measures": [{"sqlExpression": "count(*)"}]}
+    for in_f, or_f in [
+        (["city_id IN (1, 2)"], ["city_id = 1 OR city_id = 2"]),
+        (["city_id IN (1)"], ["city_id = 1"]),
+        (["city_id NOT IN (1, 2)"],
+         ["NOT (city_id = 1 OR city_id = 2)"]),
+        (["status IN ('completed', 'canceled')"],
+         ["status = 'completed' OR status = 'canceled'"]),
+    ]:
+        a = _run_store({**base, "rowFilters": in_f})
+        b = _run_store({**base, "rowFilters": or_f})
+        assert a == b, (in_f, a, b)
+
+
+def test_int64_operations_supported_extension():
+    """The reference REJECTS arithmetic/filters on >4-byte columns
+    ("numeric operations not supported for column over 4 bytes length",
+    "binary transformation not allowed for int64 fields") because its GPU
+    lanes are 32-bit. This engine runs emulated 64-bit lanes and supports
+    them — a documented capability EXTENSION, pinned here so a regression
+    to the reference's restriction is caught."""
+    from tests.test_runlen import FACT  # Int64 'tip' column schema
+    import copy
+
+    from aresdb_tpu.query.aql import AQLQuery
+    from aresdb_tpu.query.compiler import Compiler
+    from aresdb_tpu.common.schema import Table
+    from aresdb_tpu.common.schema import TableSchema
+
+    ts = TableSchema(Table.from_json(copy.deepcopy(FACT)))
+    plan = Compiler({"trips": ts}).compile(AQLQuery.from_json({
+        "table": "trips",
+        "measures": [{"sqlExpression": "sum(tip)",
+                      "rowFilters": ["tip > 5", "tip + 1 < 100"]}],
+        "dimensions": [{"sqlExpression": "city_id"}],
+        "now": 1_600_000_000}))
+    assert plan.measure is not None and len(plan.filters) == 2

@@ -123,20 +123,20 @@ CASES = [
 @pytest.mark.parametrize("name,query", CASES)
 def test_runlen_matches_expanded(tmp_path, name, query):
     ms, _ = _build(tmp_path)
-    svc = QueryService(ms)
     q = dict(query)
     q["table"] = "trips"
     q["now"] = NOW
-    res_rl, ctx_rl = _run(svc, q)
-    assert ctx_rl.get("runlenBatches", 0) > 0, \
-        f"runlen path did not engage for {name!r}: {ctx_rl}"
-    os.environ["ARES_RUNLEN"] = "0"
+    # runlen is OPT-IN (priced slower warm than the fused expand path;
+    # see executor._stage_archive_slice) — force it for the differential
+    os.environ["ARES_RUNLEN"] = "1"
     try:
-        svc2 = QueryService(ms)
-        res_exp, ctx_exp = _run(svc2, q)
-        assert not ctx_exp.get("runlenBatches")
+        res_rl, ctx_rl = _run(QueryService(ms), q)
+        assert ctx_rl.get("runlenBatches", 0) > 0, \
+            f"runlen path did not engage for {name!r}: {ctx_rl}"
     finally:
         del os.environ["ARES_RUNLEN"]
+    res_exp, ctx_exp = _run(QueryService(ms), q)
+    assert not ctx_exp.get("runlenBatches")
     _assert_close(res_rl, res_exp, name)
 
 
@@ -158,7 +158,8 @@ def _assert_close(a, b, name, rel=1e-5):
     assert abs(fa - fb) <= max(abs(fb) * rel, 1e-6), (name, fa, fb)
 
 
-def test_runlen_oracle_weighted_sum(tmp_path):
+def test_runlen_oracle_weighted_sum(tmp_path, monkeypatch):
+    monkeypatch.setenv("ARES_RUNLEN", "1")
     ms, d = _build(tmp_path)
     svc = QueryService(ms)
     q = {"table": "trips", "now": NOW,
@@ -175,7 +176,8 @@ def test_runlen_oracle_weighted_sum(tmp_path):
         assert abs(got - want) < max(1e-3, abs(want) * 1e-5), (c, got, want)
 
 
-def test_runlen_prefilter_compressed_entry_search(tmp_path):
+def test_runlen_prefilter_compressed_entry_search(tmp_path, monkeypatch):
+    monkeypatch.setenv("ARES_RUNLEN", "1")
     """Equality prefilter on the first sort column must narrow the row
     range by searching the ENTRY space (no expansion), and still match."""
     ms, d = _build(tmp_path)
@@ -194,7 +196,8 @@ def test_runlen_prefilter_compressed_entry_search(tmp_path):
         assert abs(got - want) < max(1e-3, abs(want) * 1e-5)
 
 
-def test_runlen_null_measure_group_still_exists(tmp_path):
+def test_runlen_null_measure_group_still_exists(tmp_path, monkeypatch):
+    monkeypatch.setenv("ARES_RUNLEN", "1")
     """A group whose measures are ALL null must still appear (agg=0,
     matching the expand path's identity semantics)."""
     ms = MemStore(DiskMetaStore(str(tmp_path)), LocalDiskStore(str(tmp_path)))
