@@ -288,7 +288,7 @@ np.add.at(expb, (acity, astatus), 1)
 names = ["completed", "canceled", "rejected"]
 okb = all(float(r[str(c)][names[s]]) == float(expb[c, s])
           for c in range(0, 300, 23) for s in range(3))
-battery.append(("archive count city-status (pure runs)", cold, warm, okb))
+battery.append(("archive count city-status", cold, warm, okb))
 
 qc = {"table": "atrips", "measures": [{"sqlExpression": "sum(fare)"}],
       "rowFilters": ["city_id = 7"], "now": NOW}
