@@ -1067,24 +1067,24 @@ class ShardExecutor:
         if dense_plan is not None:
             kernel = self.kernel_cache.dense_agg_kernel(plan, n_padded,
                                                         dense_plan)
-            aggv, cnt, rows, overflow = kernel(
-                columns, foreign_idx, np.int32(n_valid),
-                np.int64(live_cutoff))
             dense_sig = tuple(
                 (d.kind, d.size, d.base, d.step, d.post_div,
                  None if d.values is None else d.values.tobytes())
                 for d in dense_plan.domains)
-            # device-resident running aggregate: fold this batch's slot
-            # table into the per-sig accumulator ON DEVICE (donated HBM,
-            # async dispatch — the reference's result-buffer swap,
-            # aql_batchexecutor.go:209); only overflow flags and ONE
-            # accumulated table per sig are ever fetched
-            kind = plan.measure.agg
+            # device-resident running aggregate: the accumulator rides the
+            # SAME dispatch as the batch kernel (donated HBM — the
+            # reference's result-buffer swap, aql_batchexecutor.go:209);
+            # only overflow flags and ONE accumulated table per sig are
+            # ever fetched
+            from aresdb_tpu.query.kernels import dense_acc_init
+
             acc = plan._exec_dense_dev.get(dense_sig)
-            if acc is None:
-                acc = (dense_plan, _dense_fold_init(aggv, cnt, rows, kind))
-            folded = _dense_fold_fn(kind)(acc[1], aggv, cnt, rows, overflow)
-            plan._exec_dense_dev[dense_sig] = (acc[0], folded)
+            acc_arrays = acc[1] if acc is not None else dense_acc_init(
+                plan, dense_plan.n_slots)
+            folded, overflow = kernel(
+                columns, foreign_idx, np.int32(n_valid),
+                np.int64(live_cutoff), acc_arrays)
+            plan._exec_dense_dev[dense_sig] = (dense_plan, folded)
             plan._exec_pending.append(
                 (overflow, columns, foreign_idx, n_valid, n_padded,
                  live_cutoff))
@@ -1619,63 +1619,6 @@ class ShardExecutor:
 # ---------------------------------------------------------------------------
 # staging helpers
 # ---------------------------------------------------------------------------
-
-def _donate_supported() -> bool:
-    try:
-        return jax.devices()[0].platform not in ("cpu",)
-    except Exception:  # noqa: BLE001
-        return False
-
-
-@functools.lru_cache(maxsize=None)
-def _dense_fold_fn(kind: str):
-    """Jitted on-device fold of one dense batch table into the running
-    accumulator (donated — the fold reuses the accumulator's HBM).
-    Mirrors the reference's device-resident result-buffer swap
-    (query/aql_batchexecutor.go:209 swapResultBufferForNextBatch,
-    aql_context.go:151 dimensionVectorD double buffer): the partial group
-    table never leaves the device between batches. Batches that overflowed
-    their dense domain (overflow > 0) are skipped — they rerun on the sort
-    ladder exactly like the fetched path did."""
-
-    def fold(acc, aggv, cnt, rows, overflow):
-        a_agg, a_cnt, a_rows = acc
-        keep = overflow == 0
-        zero = jnp.zeros((), aggv.dtype)
-        if kind in ("sum", "count", "avg"):
-            a_agg = a_agg + jnp.where(keep, aggv, zero)
-        elif kind == "min":
-            ident = (jnp.array(np.finfo(np.float32).max, aggv.dtype)
-                     if aggv.dtype.kind == "f"
-                     else jnp.array(np.iinfo(np.int32).max, aggv.dtype))
-            a_agg = jnp.minimum(a_agg, jnp.where(keep, aggv, ident))
-        else:
-            ident = (jnp.array(-np.finfo(np.float32).max, aggv.dtype)
-                     if aggv.dtype.kind == "f"
-                     else jnp.array(np.iinfo(np.int32).min, aggv.dtype))
-            a_agg = jnp.maximum(a_agg, jnp.where(keep, aggv, ident))
-        a_cnt = a_cnt + jnp.where(keep, cnt, jnp.zeros((), cnt.dtype))
-        a_rows = a_rows + jnp.where(keep, rows, jnp.zeros((), rows.dtype))
-        return a_agg, a_cnt, a_rows
-
-    donate = (0,) if _donate_supported() else ()
-    return jax.jit(fold, donate_argnums=donate)
-
-
-def _dense_fold_init(aggv, cnt, rows, kind: str):
-    """Identity accumulator matching one dense batch table's shapes."""
-    if kind == "min":
-        a = jnp.full_like(aggv, np.finfo(np.float32).max
-                          if aggv.dtype.kind == "f"
-                          else np.iinfo(np.int32).max)
-    elif kind == "max":
-        a = jnp.full_like(aggv, -np.finfo(np.float32).max
-                          if aggv.dtype.kind == "f"
-                          else np.iinfo(np.int32).min)
-    else:
-        a = jnp.zeros_like(aggv)
-    return a, jnp.zeros_like(cnt), jnp.zeros_like(rows)
-
 
 @jax.jit
 def _count_unique_keys(gkeys):

@@ -590,7 +590,19 @@ def make_fused_dense_kernel(plan: CompiledQuery, n_rows: int, dense_plan,
         out3 = out.reshape(3, khi_pad * FD_KLO)[:, :n_slots].T
         return out3[:, 0], out3[:, 1], out3[:, 2], ovf[0, 0]
 
-    return jax.jit(fn)
+    def fn_acc(columns, foreign, n_valid, live_cutoff, acc):
+        # fold into the running accumulator in the SAME dispatch (the XLA
+        # epilogue around the pallas call; see kernels.dense_fold_epilogue)
+        from aresdb_tpu.query import kernels as K
+
+        aggv, cnt, rows, overflow = fn(columns, foreign, n_valid,
+                                       live_cutoff)
+        return K.dense_fold_epilogue(plan.measure.agg, acc, aggv, cnt,
+                                     rows, overflow)
+
+    from aresdb_tpu.query.kernels import _dense_donate
+
+    return jax.jit(fn_acc, donate_argnums=_dense_donate())
 
 
 def fused_mode() -> str:

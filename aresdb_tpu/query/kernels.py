@@ -2110,6 +2110,41 @@ def dense_slot_lane(dim_vals: List[_Val], dense_plan, n_rows: int = None):
     return slot, bad
 
 
+def dense_fold_epilogue(kind: str, acc, aggv, cnt, rows, overflow):
+    """Fold one dense batch table into the running accumulator INSIDE the
+    same compiled program (one dispatch per batch instead of kernel +
+    fold — per-batch dispatch overhead is ~10ms through a remote tunnel
+    and linear in batch count). Overflowed batches fold as identity; they
+    re-run on the sort ladder (executor._resolve_pending). Mirrors the
+    reference's device-resident result-buffer swap
+    (query/aql_batchexecutor.go:209)."""
+    a_agg, a_cnt, a_rows = acc
+    keep = overflow == 0
+    zero = jnp.zeros((), aggv.dtype)
+    if kind in ("sum", "count", "avg"):
+        a_agg = a_agg + jnp.where(keep, aggv, zero)
+    elif kind == "min":
+        ident = (jnp.array(np.finfo(np.float32).max, aggv.dtype)
+                 if aggv.dtype.kind == "f"
+                 else jnp.array(np.iinfo(np.int32).max, aggv.dtype))
+        a_agg = jnp.minimum(a_agg, jnp.where(keep, aggv, ident))
+    else:
+        ident = (jnp.array(-np.finfo(np.float32).max, aggv.dtype)
+                 if aggv.dtype.kind == "f"
+                 else jnp.array(np.iinfo(np.int32).min, aggv.dtype))
+        a_agg = jnp.maximum(a_agg, jnp.where(keep, aggv, ident))
+    a_cnt = a_cnt + jnp.where(keep, cnt, jnp.zeros((), cnt.dtype))
+    a_rows = a_rows + jnp.where(keep, rows, jnp.zeros((), rows.dtype))
+    return (a_agg, a_cnt, a_rows), overflow
+
+
+def _dense_donate():
+    try:
+        return (4,) if jax.devices()[0].platform not in ("cpu",) else ()
+    except Exception:  # noqa: BLE001
+        return ()
+
+
 def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
     """Dense slot-indexed aggregation — no sort, no 64-bit keys.
 
@@ -2123,7 +2158,9 @@ def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
     kernel (fused_dense.py): expression eval + slot mapping + factored MXU
     reduction in one VMEM-resident pass over the raw columns.
 
-    Returns (agg[S], cnt[S], rows[S], overflow) with S = n_slots.
+    Signature: fn(columns, foreign, n_valid, live_cutoff, acc) ->
+    ((agg[S], cnt[S], rows[S]) folded into acc, overflow) — the running
+    accumulator rides the SAME dispatch (donated on TPU backends).
     """
     from aresdb_tpu.query import fused_dense as FD
 
@@ -2227,7 +2264,44 @@ def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
         rows = out[:n_slots, 1]
         return aggv, cnt, rows, overflow
 
-    return jax.jit(fn)
+    def fn_acc(columns, foreign, n_valid, live_cutoff, acc):
+        aggv, cnt, rows, overflow = fn(columns, foreign, n_valid,
+                                       live_cutoff)
+        return dense_fold_epilogue(agg, acc, aggv, cnt, rows, overflow)
+
+    return jax.jit(fn_acc, donate_argnums=_dense_donate())
+
+
+def dense_acc_init(plan: CompiledQuery, n_slots: int):
+    """Identity accumulator matching the dense kernel's output dtypes."""
+    m = plan.measure
+    if m.agg == "count":
+        dt = jnp.float32
+    elif m.agg in ("sum", "avg"):
+        dt = jnp.float32 if (m.out_float or m.agg == "avg") else jnp.int64
+    else:
+        dt = jnp.float32 if m.out_float else jnp.int32
+    if m.agg == "min":
+        a = jnp.full(n_slots, np.finfo(np.float32).max
+                     if dt == jnp.float32 else np.iinfo(np.int32).max, dt)
+    elif m.agg == "max":
+        a = jnp.full(n_slots, -np.finfo(np.float32).max
+                     if dt == jnp.float32 else np.iinfo(np.int32).min, dt)
+    else:
+        a = jnp.zeros(n_slots, dt)
+    return a, jnp.zeros(n_slots, jnp.float32), jnp.zeros(n_slots,
+                                                         jnp.float32)
+
+
+def run_dense_kernel(fn, plan: CompiledQuery, n_slots: int, columns,
+                     foreign, n_valid, live_cutoff):
+    """Single-batch convenience for tests/benches: run a dense kernel
+    against an identity accumulator and return the classic
+    (agg, cnt, rows, overflow) tuple."""
+    acc = dense_acc_init(plan, n_slots)
+    (aggv, cnt, rows), overflow = fn(columns, foreign, n_valid,
+                                     live_cutoff, acc)
+    return aggv, cnt, rows, overflow
 
 
 def make_select_kernel(plan: CompiledQuery, n_rows: int, top_l: int = 0):

@@ -114,8 +114,10 @@ def main() -> None:
     assert dp is not None, "demo plan must qualify for dense mode"
     dense_fn = K.make_dense_agg_kernel(plan, n_rows, dp)
     rps, sec = chained_rps(
-        lambda c: dense_fn.__wrapped__(c, (), np.int32(n_rows), np.int64(0)),
-        columns, lambda out: jnp.sum(out[0]))
+        lambda c: dense_fn.__wrapped__(
+            c, (), np.int32(n_rows), np.int64(0),
+            K.dense_acc_init(plan, dp.n_slots)),
+        columns, lambda out: jnp.sum(out[0][0]))
     record("dense", plan, rps, sec)
     dense_rps = rps
     # dense roofline: 4 bf16 MXU passes of the fused factored reduction
@@ -134,11 +136,14 @@ def main() -> None:
     # per-iteration sync diagnostic (includes tunnel round trip per batch).
     # block_until_ready does not synchronize through remote-execution
     # platforms (axon tunnel) — force a host scalar fetch instead.
-    float(jnp.sum(dense_fn(columns, (), np.int32(n_rows), np.int64(0))[0]))
+    def _one():
+        return K.run_dense_kernel(dense_fn, plan, dp.n_slots, columns, (),
+                                  np.int32(n_rows), np.int64(0))
+
+    float(jnp.sum(_one()[0]))
     t0 = time.perf_counter()
     for _ in range(iters):
-        float(jnp.sum(dense_fn(columns, (), np.int32(n_rows),
-                               np.int64(0))[0]))
+        float(jnp.sum(_one()[0]))
     el_sync = time.perf_counter() - t0
     print(f"dense per-iter-sync diagnostic: "
           f"{n_rows*iters/el_sync/1e6:.1f}M rows/s", file=sys.stderr)

@@ -41,7 +41,9 @@ def test_dense_matches_sort_path():
     assert dp is not None
 
     dense_fn = K.make_dense_agg_kernel(plan, n_rows, dp)
-    aggv, cnt, rows, overflow = dense_fn(columns, (), np.int32(n_rows), np.int64(0))
+    aggv, cnt, rows, overflow = K.run_dense_kernel(
+        dense_fn, plan, dp.n_slots, columns, (), np.int32(n_rows),
+        np.int64(0))
     assert int(overflow) == 0
     rows = np.asarray(rows)
     used = np.nonzero(rows > 0)[0]
@@ -87,7 +89,9 @@ def test_dense_overflow_detected():
     columns = {k: (jnp.asarray(v), jnp.asarray(b))
                for k, (v, b) in cols_np.items()}
     dense_fn = K.make_dense_agg_kernel(plan, n_rows, dp)
-    _, _, _, overflow = dense_fn(columns, (), np.int32(n_rows), np.int64(0))
+    _, _, _, overflow = K.run_dense_kernel(
+        dense_fn, plan, dp.n_slots, columns, (), np.int32(n_rows),
+        np.int64(0))
     assert int(overflow) > 0
 
 

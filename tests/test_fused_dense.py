@@ -50,8 +50,10 @@ def _run_both(query, n_valid=None, cutoff=0, seed=3, n_cities=40):
     fused = FD.make_fused_dense_kernel(plan, N_ROWS, dp, spec,
                                        interpret=True)
     ref = K.make_dense_agg_kernel(plan, N_ROWS, dp)
-    fa, fc, fr, fo = [np.asarray(x) for x in fused(columns, (), nv, co)]
-    ra, rc, rr, ro = [np.asarray(x) for x in ref(columns, (), nv, co)]
+    fa, fc, fr, fo = [np.asarray(x) for x in K.run_dense_kernel(
+        fused, plan, dp.n_slots, columns, (), nv, co)]
+    ra, rc, rr, ro = [np.asarray(x) for x in K.run_dense_kernel(
+        ref, plan, dp.n_slots, columns, (), nv, co)]
     np.testing.assert_allclose(fa, ra, rtol=2e-4, atol=1e-3)
     np.testing.assert_array_equal(fc, rc)
     np.testing.assert_array_equal(fr, rr)
@@ -117,8 +119,8 @@ def test_overflow_rows_counted():
                                        interpret=True)
     ref = K.make_dense_agg_kernel(plan, N_ROWS, dp)
     args = (columns, (), np.int32(N_ROWS), np.int64(0))
-    fo = int(fused(*args)[3])
-    ro = int(ref(*args)[3])
+    fo = int(K.run_dense_kernel(fused, plan, dp.n_slots, *args)[3])
+    ro = int(K.run_dense_kernel(ref, plan, dp.n_slots, *args)[3])
     assert fo == ro and fo > 0
 
 

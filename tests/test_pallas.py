@@ -39,11 +39,13 @@ def test_dense_kernel_pallas_path_equivalence(monkeypatch):
     dp = plan_dense(plan, {city_key: int(cols_np[city_key][0].max())})
 
     monkeypatch.setenv("ARES_PALLAS", "0")
-    base = K.make_dense_agg_kernel(plan, n_rows, dp)(
+    base = K.run_dense_kernel(
+        K.make_dense_agg_kernel(plan, n_rows, dp), plan, dp.n_slots,
         columns, (), np.int32(n_rows), np.int64(0))
 
     monkeypatch.setenv("ARES_PALLAS", "1")
-    fast = K.make_dense_agg_kernel(plan, n_rows, dp)(
+    fast = K.run_dense_kernel(
+        K.make_dense_agg_kernel(plan, n_rows, dp), plan, dp.n_slots,
         columns, (), np.int32(n_rows), np.int64(0))
 
     for a, b in zip(base[:3], fast[:3]):
@@ -114,11 +116,13 @@ def test_dense_kernel_factored_path_equivalence(monkeypatch):
 
     monkeypatch.setenv("ARES_FACTORED", "0")
     monkeypatch.setenv("ARES_PALLAS", "0")
-    base = K.make_dense_agg_kernel(plan, n_rows, dp)(
+    base = K.run_dense_kernel(
+        K.make_dense_agg_kernel(plan, n_rows, dp), plan, dp.n_slots,
         columns, (), np.int32(n_rows), np.int64(0))
 
     monkeypatch.setenv("ARES_FACTORED", "1")
-    fast = K.make_dense_agg_kernel(plan, n_rows, dp)(
+    fast = K.run_dense_kernel(
+        K.make_dense_agg_kernel(plan, n_rows, dp), plan, dp.n_slots,
         columns, (), np.int32(n_rows), np.int64(0))
 
     for a, b in zip(base[:3], fast[:3]):

@@ -72,8 +72,10 @@ def main():
         os.environ["ARES_FUSED"] = "0"
         old = K.make_dense_agg_kernel(plan, N_ROWS, dp)
         sec = chained(
-            lambda c: old.__wrapped__(c, (), np.int32(N_ROWS), np.int64(0)),
-            columns, lambda out: jnp.sum(out[0]))
+            lambda c: old.__wrapped__(
+                c, (), np.int32(N_ROWS), np.int64(0),
+                K.dense_acc_init(plan, dp.n_slots)),
+            columns, lambda out: jnp.sum(out[0][0]))
         print(f"old: {sec*1e3:.2f}ms/batch  {N_ROWS/sec/1e6:.0f}M rows/s",
               flush=True)
         os.environ.pop("ARES_FUSED", None)
@@ -81,8 +83,10 @@ def main():
     if which in ("both", "fused"):
         fused = FD.make_fused_dense_kernel(plan, N_ROWS, dp, spec)
         sec = chained(
-            lambda c: fused.__wrapped__(c, (), np.int32(N_ROWS), np.int64(0)),
-            columns, lambda out: jnp.sum(out[0]))
+            lambda c: fused.__wrapped__(
+                c, (), np.int32(N_ROWS), np.int64(0),
+                K.dense_acc_init(plan, dp.n_slots)),
+            columns, lambda out: jnp.sum(out[0][0]))
         print(f"fused: {sec*1e3:.2f}ms/batch  {N_ROWS/sec/1e6:.0f}M rows/s",
               flush=True)
 
@@ -90,8 +94,12 @@ def main():
         os.environ["ARES_FUSED"] = "0"
         old = K.make_dense_agg_kernel(plan, N_ROWS, dp)
         os.environ.pop("ARES_FUSED", None)
-        fa = np.asarray(fused(columns, (), np.int32(N_ROWS), np.int64(0))[0])
-        ra = np.asarray(old(columns, (), np.int32(N_ROWS), np.int64(0))[0])
+        fa = np.asarray(K.run_dense_kernel(
+            fused, plan, dp.n_slots, columns, (), np.int32(N_ROWS),
+            np.int64(0))[0])
+        ra = np.asarray(K.run_dense_kernel(
+            old, plan, dp.n_slots, columns, (), np.int32(N_ROWS),
+            np.int64(0))[0])
         rel = np.max(np.abs(fa - ra) / np.maximum(np.abs(ra), 1.0))
         print(f"max rel diff vs XLA path: {rel:.2e}", flush=True)
 
