@@ -11,6 +11,13 @@ def _mesh_batches():
     return snap.get("counters", {}).get("query.mesh_batches", 0)
 
 
+def _mesh_ineligible():
+    from aresdb_tpu.utils import metrics as M
+
+    snap = M.root().snapshot()
+    return snap.get("counters", {}).get("query.mesh_ineligible_batches", 0)
+
+
 def test_mesh_query_matches_single_chip(monkeypatch):
     import jax
 
@@ -110,9 +117,12 @@ def test_mesh_hll_matches_single_chip(monkeypatch):
 
     monkeypatch.setenv("ARES_MESH", "1")
     before = _mesh_batches()
+    inel_before = _mesh_ineligible()
     mesh = QueryService(make_store()).handle_aql(
         {"queries": [dict(q)]})["results"][0]
     assert _mesh_batches() > before
+    # VERDICT r4 #3 done-criterion: no silently-ineligible batches
+    assert _mesh_ineligible() == inel_before
     assert mesh == base
 
 
@@ -140,8 +150,10 @@ def test_mesh_geo_matches_single_chip(monkeypatch):
 
     monkeypatch.setenv("ARES_MESH", "1")
     before = _mesh_batches()
+    inel_before = _mesh_ineligible()
     mesh = geo_service().handle_aql({"queries": [dict(q)]})["results"][0]
     assert _mesh_batches() > before
+    assert _mesh_ineligible() == inel_before
     assert mesh == base
 
 
@@ -163,6 +175,8 @@ def test_mesh_array_matches_single_chip(monkeypatch):
 
     monkeypatch.setenv("ARES_MESH", "1")
     before = _mesh_batches()
+    inel_before = _mesh_ineligible()
     mesh = service().handle_aql({"queries": [dict(q)]})["results"][0]
     assert _mesh_batches() > before
+    assert _mesh_ineligible() == inel_before
     assert mesh == base
