@@ -206,9 +206,11 @@ class CuckooIndex {
         future++;
         continue;
       }
-      // single probe per row: find() + find_or_insert() would walk the
-      // same 4 hash positions twice for every new key
-      Slot* slot = lookup(key);
+      // single probe per row: ONE fused walk yields both the match and
+      // the first insertable slot, so neither find()+find_or_insert()
+      // nor lookup()+insert() repeat the 4-position probe
+      Probe pr = probe_for_classify(key);
+      Slot* slot = pr.match;
       if (slot != nullptr && expired(*slot)) {
         slot->signature = 0;
         size_--;
@@ -232,7 +234,18 @@ class CuckooIndex {
       }
       RecordID rec{next_batch, next_index};
       next_index++;
-      insert(key, rec, static_cast<uint32_t>(et));
+      if (pr.empty_s >= 0) {
+        // direct write into the slot the probe already found
+        Slot& dst = buckets_[pr.empty_b].slots[pr.empty_s];
+        if (pr.empty_expired) size_--;  // replacing an expired entry
+        dst.signature = pr.empty_sig;
+        dst.record = rec;
+        dst.event_time = static_cast<uint32_t>(et);
+        std::memcpy(bucket_key(pr.empty_b, pr.empty_s), key, key_bytes_);
+        size_++;
+      } else {
+        insert(key, rec, static_cast<uint32_t>(et));
+      }
       actions[i] = 1;
       out_batch[i] = rec.batch_id;
       out_index[i] = rec.index;
@@ -322,6 +335,60 @@ class CuckooIndex {
       }
     }
     return nullptr;
+  }
+
+  // Fused lookup + first-empty discovery for the classify loop: ONE walk
+  // over the kNumHashes positions yields the match (if any) AND the first
+  // insertable slot (empty or expired), so a fresh key's insert skips the
+  // insert() path's second identical probe — the dominant cost of
+  // insert-heavy batch classification (each probe is ~4 random
+  // cachelines).
+  struct Probe {
+    Slot* match = nullptr;
+    uint64_t empty_b = 0;
+    int empty_s = -1;
+    uint8_t empty_sig = 0;
+    bool empty_expired = false;
+  };
+
+  Probe probe_for_classify(const uint8_t* key) {
+    Probe r;
+    for (int h = 0; h < kNumHashes; h++) {
+      uint32_t hash = murmur3_32(key, key_bytes_, seed_base_ + h);
+      uint64_t b = hash & (num_buckets_ - 1);
+      uint8_t sig = signature_of(hash);
+      // match scan first (tight — the UPDATE hot path exits here with no
+      // empty-tracking overhead), then a cache-hot second pass over the
+      // same bucket records the first insertable slot for the miss path
+      for (int s = 0; s < kBucketSize; s++) {
+        Slot& slot = buckets_[b].slots[s];
+        if (slot.signature == sig &&
+            std::memcmp(bucket_key(b, s), key, key_bytes_) == 0) {
+          r.match = &slot;
+          return r;
+        }
+      }
+      if (r.empty_s < 0) {
+        for (int s = 0; s < kBucketSize; s++) {
+          Slot& slot = buckets_[b].slots[s];
+          if (slot.signature == 0 || expired(slot)) {
+            r.empty_b = b;
+            r.empty_s = s;
+            r.empty_sig = sig;
+            r.empty_expired = slot.signature != 0;
+            break;
+          }
+        }
+      }
+    }
+    for (int s = 0; s < kStashSize; s++) {
+      if (stash_[s].signature != 0 &&
+          std::memcmp(stash_keys_ + s * key_bytes_, key, key_bytes_) == 0) {
+        r.match = &stash_[s];
+        return r;
+      }
+    }
+    return r;
   }
 
   void insert(const uint8_t* key, RecordID rec, uint32_t event_time) {
