@@ -1254,17 +1254,27 @@ class ShardExecutor:
                                     kg)
         # keys only matter when OTHER piles will join the final merge
         # (mesh tables fetched above, or dense accumulators from mixed
-        # batches); a lone pile merges by position
+        # batches); a lone pile merges by position. Per-group counts only
+        # matter downstream for avg (the division) or when another pile
+        # will re-merge — skipping the f64 cnt column saves 8B/group of
+        # tunnel fetch (~2MB at 200k groups).
         other_piles = bool(mesh_sliced) or bool(table._keyed_acc) \
             or bool(table._dense_acc)
+        need_cnt = other_piles or kind == "avg"
+        req2 = [m_used, m_agg, tuple(m_dims), tuple(m_dvalids)]
         if other_piles:
-            keys_h, used_h, agg_h, cnt_h, dims_h, dvalids_h = \
-                jax.device_get((m_keys, m_used, m_agg, m_cnt,
-                                tuple(m_dims), tuple(m_dvalids)))
+            req2.append(m_keys)
+        if need_cnt:
+            req2.append(m_cnt)
+        fetched2 = jax.device_get(tuple(req2))
+        used_h, agg_h, dims_h, dvalids_h = fetched2[:4]
+        i = 4
+        if other_piles:
+            keys_h = fetched2[i]
+            i += 1
         else:
-            used_h, agg_h, cnt_h, dims_h, dvalids_h = jax.device_get(
-                (m_used, m_agg, m_cnt, tuple(m_dims), tuple(m_dvalids)))
             keys_h = np.arange(kg, dtype=np.uint64)  # positional placeholder
+        cnt_h = fetched2[i] if need_cnt else np.zeros(kg, np.float64)
         table.merge_keyed(keys_h, used_h, agg_h, cnt_h,
                           list(dims_h), list(dvalids_h))
 
@@ -1641,6 +1651,11 @@ def _merge_big_device(gkeys, wsum, wcnt, dims, dvalids, k_out: int):
     _count_unique_keys, so the output arrays stay near n_uniq."""
     from aresdb_tpu.query import kernels as K
 
+    # f64 lanes: the weighted reduce returns sums in its input dtype, and
+    # a cross-batch f32 count/sum would round groups past 2^24 rows
+    if wsum.dtype.kind == "f":
+        wsum = wsum.astype(jnp.float64)
+    wcnt = wcnt.astype(jnp.float64)
     dim_vals = [K._Val(d, v) for d, v in zip(dims, dvalids)]
     out = K._reduce_by_key_sorted_weighted(
         gkeys, wsum, wcnt, k_out, dim_vals, None)
@@ -1731,7 +1746,8 @@ def _hll_merge_device(gkeys, used, regs, cnt, dims, dvalids,
     n_uniq = jnp.sum((first & live).astype(jnp.int32))
     m_regs = jax.ops.segment_max(regs_s.astype(jnp.int32), seg,
                                  num_segments=n).astype(regs.dtype)
-    m_cnt = jax.ops.segment_sum(cnt_s, seg, num_segments=n)
+    m_cnt = jax.ops.segment_sum(cnt_s.astype(jnp.float64), seg,
+                                num_segments=n)
     rep = jax.ops.segment_min(jnp.arange(n, dtype=jnp.int32), seg,
                               num_segments=n)
     rep = jnp.clip(rep, 0, n - 1)

@@ -1697,7 +1697,7 @@ def _reduce_by_key_sorted_weighted(keys, wsum, wcnt, k_groups: int,
             seg_c, jnp.arange(num, dtype=jnp.int32)).astype(jnp.int32)
     ends = jnp.concatenate([starts[1:], jnp.array([n], jnp.int32)])
     # dropped (sentinel) rows carry wsum=0/wcnt=0 by construction upstream
-    if swsum.dtype == jnp.float32:
+    if swsum.dtype.kind == "f" and swsum.dtype == swcnt.dtype:
         both = sorted_segment_sum(jnp.stack([swsum, swcnt], axis=1),
                                   num, starts, ends)
         aggv = both[:k_groups, 0]
@@ -2117,12 +2117,16 @@ def dense_fold_epilogue(kind: str, acc, aggv, cnt, rows, overflow):
     and linear in batch count). Overflowed batches fold as identity; they
     re-run on the sort ladder (executor._resolve_pending). Mirrors the
     reference's device-resident result-buffer swap
-    (query/aql_batchexecutor.go:209)."""
+    (query/aql_batchexecutor.go:209).
+
+    Float sums and all counts accumulate in f64 (emulated but [S]-sized):
+    per-batch f32 lanes are exact below 2^24, but a cross-batch f32
+    accumulator would round any group crossing 16.7M rows."""
     a_agg, a_cnt, a_rows = acc
     keep = overflow == 0
     zero = jnp.zeros((), aggv.dtype)
     if kind in ("sum", "count", "avg"):
-        a_agg = a_agg + jnp.where(keep, aggv, zero)
+        a_agg = a_agg + jnp.where(keep, aggv, zero).astype(a_agg.dtype)
     elif kind == "min":
         ident = (jnp.array(np.finfo(np.float32).max, aggv.dtype)
                  if aggv.dtype.kind == "f"
@@ -2133,8 +2137,10 @@ def dense_fold_epilogue(kind: str, acc, aggv, cnt, rows, overflow):
                  if aggv.dtype.kind == "f"
                  else jnp.array(np.iinfo(np.int32).min, aggv.dtype))
         a_agg = jnp.maximum(a_agg, jnp.where(keep, aggv, ident))
-    a_cnt = a_cnt + jnp.where(keep, cnt, jnp.zeros((), cnt.dtype))
-    a_rows = a_rows + jnp.where(keep, rows, jnp.zeros((), rows.dtype))
+    a_cnt = a_cnt + jnp.where(keep, cnt,
+                              jnp.zeros((), cnt.dtype)).astype(a_cnt.dtype)
+    a_rows = a_rows + jnp.where(
+        keep, rows, jnp.zeros((), rows.dtype)).astype(a_rows.dtype)
     return (a_agg, a_cnt, a_rows), overflow
 
 
@@ -2273,24 +2279,25 @@ def make_dense_agg_kernel(plan: CompiledQuery, n_rows: int, dense_plan):
 
 
 def dense_acc_init(plan: CompiledQuery, n_slots: int):
-    """Identity accumulator matching the dense kernel's output dtypes."""
+    """Identity accumulator for the dense kernel's running fold.
+
+    Additive channels accumulate in f64 / i64 (see dense_fold_epilogue);
+    min/max keep the per-batch lane dtype (no accumulation error)."""
     m = plan.measure
-    if m.agg == "count":
-        dt = jnp.float32
-    elif m.agg in ("sum", "avg"):
-        dt = jnp.float32 if (m.out_float or m.agg == "avg") else jnp.int64
-    else:
+    if m.agg in ("count", "sum", "avg"):
+        dt = (jnp.float64 if (m.out_float or m.agg in ("avg", "count"))
+              else jnp.int64)
+        a = jnp.zeros(n_slots, dt)
+    elif m.agg == "min":
         dt = jnp.float32 if m.out_float else jnp.int32
-    if m.agg == "min":
         a = jnp.full(n_slots, np.finfo(np.float32).max
                      if dt == jnp.float32 else np.iinfo(np.int32).max, dt)
-    elif m.agg == "max":
+    else:
+        dt = jnp.float32 if m.out_float else jnp.int32
         a = jnp.full(n_slots, -np.finfo(np.float32).max
                      if dt == jnp.float32 else np.iinfo(np.int32).min, dt)
-    else:
-        a = jnp.zeros(n_slots, dt)
-    return a, jnp.zeros(n_slots, jnp.float32), jnp.zeros(n_slots,
-                                                         jnp.float32)
+    return a, jnp.zeros(n_slots, jnp.float64), jnp.zeros(n_slots,
+                                                         jnp.float64)
 
 
 def run_dense_kernel(fn, plan: CompiledQuery, n_slots: int, columns,
