@@ -117,7 +117,7 @@ def main() -> None:
         lambda c: dense_fn.__wrapped__(
             c, (), np.int32(n_rows), np.int64(0),
             K.dense_acc_init(plan, dp.n_slots)),
-        columns, lambda out: jnp.sum(out[0][0]))
+        columns, lambda out: jnp.sum(out[0][0]).astype(jnp.float32))
     record("dense", plan, rps, sec)
     dense_rps = rps
     # dense roofline: 4 bf16 MXU passes of the fused factored reduction

@@ -75,7 +75,7 @@ def main():
             lambda c: old.__wrapped__(
                 c, (), np.int32(N_ROWS), np.int64(0),
                 K.dense_acc_init(plan, dp.n_slots)),
-            columns, lambda out: jnp.sum(out[0][0]))
+            columns, lambda out: jnp.sum(out[0][0]).astype(jnp.float32))
         print(f"old: {sec*1e3:.2f}ms/batch  {N_ROWS/sec/1e6:.0f}M rows/s",
               flush=True)
         os.environ.pop("ARES_FUSED", None)
@@ -86,7 +86,7 @@ def main():
             lambda c: fused.__wrapped__(
                 c, (), np.int32(N_ROWS), np.int64(0),
                 K.dense_acc_init(plan, dp.n_slots)),
-            columns, lambda out: jnp.sum(out[0][0]))
+            columns, lambda out: jnp.sum(out[0][0]).astype(jnp.float32))
         print(f"fused: {sec*1e3:.2f}ms/batch  {N_ROWS/sec/1e6:.0f}M rows/s",
               flush=True)
 
