@@ -12,7 +12,7 @@ all: native
 native: aresdb_tpu/native/libaresnative.so
 
 aresdb_tpu/native/libaresnative.so: aresdb_tpu/native/cuckoo_index.cpp
-	g++ -O3 -march=native -std=c++17 -shared -fPIC $< -o $@
+	g++ -O3 -march=native -std=c++17 -shared -fPIC -pthread $< -o $@
 
 test:
 	$(PY) -m pytest tests/ -x -q

@@ -25,34 +25,52 @@ class NativePrimaryKey:
     """ctypes wrapper over the C++ cuckoo index."""
 
     def __init__(self, key_bytes: int, has_event_time: bool = False,
-                 init_buckets: int = 1024):
+                 init_buckets: int = 1024, parts: int = 1):
+        """parts=2 selects the hash-partitioned index (pk2_* family) whose
+        classify_batch runs its probe/insert loop on two threads with
+        byte-identical results to the serial table."""
         lib = native.load()
         if lib is None:
             raise RuntimeError("native library unavailable")
+        if parts not in (1, 2):
+            raise RuntimeError(f"unsupported parts={parts}")
         self._lib = lib
+        pre = "pk2_" if parts == 2 else "cuckoo_"
+        self.parts = parts
+        self._new = getattr(lib, pre + "new")
+        self._free = getattr(lib, pre + "free")
+        self._size = getattr(lib, pre + "size")
+        self._bytes = getattr(lib, pre + "bytes")
+        self._set_cutoff = getattr(lib, pre + "set_cutoff")
+        self._find = getattr(lib, pre + "find")
+        self._find_or_insert = getattr(lib, pre + "find_or_insert")
+        self._update = getattr(lib, pre + "update")
+        self._delete = getattr(lib, pre + "delete")
+        self._classify = getattr(lib, pre + "classify")
+        self._dump = getattr(lib, pre + "dump")
         self.key_bytes = max(1, key_bytes)
         self.has_event_time = has_event_time
         self.eviction_threshold = 0
-        self._h = lib.cuckoo_new(self.key_bytes, int(has_event_time),
-                                 init_buckets)
+        self._h = self._new(self.key_bytes, int(has_event_time),
+                            init_buckets)
         if not self._h:
             raise RuntimeError("cuckoo_new failed")
 
     def __del__(self):
         h = getattr(self, "_h", None)
         if h:
-            self._lib.cuckoo_free(h)
+            self._free(h)
             self._h = None
 
     def __len__(self) -> int:
-        return int(self._lib.cuckoo_size(self._h))
+        return int(self._size(self._h))
 
     def allocated_bytes(self) -> int:
-        return int(self._lib.cuckoo_bytes(self._h))
+        return int(self._bytes(self._h))
 
     def update_event_time_cutoff(self, cutoff: int) -> None:
         self.eviction_threshold = cutoff
-        self._lib.cuckoo_set_cutoff(self._h, ctypes.c_uint32(cutoff))
+        self._set_cutoff(self._h, ctypes.c_uint32(cutoff))
 
     def _key_buf(self, key: bytes) -> np.ndarray:
         b = np.frombuffer(key.ljust(self.key_bytes, b"\0")[:self.key_bytes],
@@ -62,7 +80,7 @@ class NativePrimaryKey:
     def find(self, key: bytes) -> Optional[RecordID]:
         batch = ctypes.c_int32()
         index = ctypes.c_uint32()
-        if self._lib.cuckoo_find(self._h, _u8p(self._key_buf(key)),
+        if self._find(self._h, _u8p(self._key_buf(key)),
                                  ctypes.byref(batch), ctypes.byref(index)):
             return RecordID(batch.value, index.value)
         return None
@@ -71,7 +89,7 @@ class NativePrimaryKey:
                        event_time: int = 0) -> Tuple[bool, RecordID]:
         batch = ctypes.c_int32()
         index = ctypes.c_uint32()
-        existing = self._lib.cuckoo_find_or_insert(
+        existing = self._find_or_insert(
             self._h, _u8p(self._key_buf(key)),
             ctypes.c_int32(record_id.batch_id),
             ctypes.c_uint32(record_id.index),
@@ -84,13 +102,13 @@ class NativePrimaryKey:
         return bool(existing), RecordID(batch.value, index.value)
 
     def update(self, key: bytes, record_id: RecordID) -> bool:
-        return bool(self._lib.cuckoo_update(
+        return bool(self._update(
             self._h, _u8p(self._key_buf(key)),
             ctypes.c_int32(record_id.batch_id),
             ctypes.c_uint32(record_id.index)))
 
     def delete(self, key: bytes) -> None:
-        self._lib.cuckoo_delete(self._h, _u8p(self._key_buf(key)))
+        self._delete(self._h, _u8p(self._key_buf(key)))
 
     def items(self) -> Iterable[Tuple[bytes, RecordID]]:
         n = len(self)
@@ -99,7 +117,7 @@ class NativePrimaryKey:
         keys = np.zeros((n, self.key_bytes), np.uint8)
         batches = np.zeros(n, np.int32)
         indexes = np.zeros(n, np.uint32)
-        got = self._lib.cuckoo_dump(
+        got = self._dump(
             self._h, _u8p(keys),
             batches.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             indexes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
@@ -108,8 +126,8 @@ class NativePrimaryKey:
                 for i in range(got)]
 
     def clear(self) -> None:
-        self._lib.cuckoo_free(self._h)
-        self._h = self._lib.cuckoo_new(self.key_bytes,
+        self._free(self._h)
+        self._h = self._new(self.key_bytes,
                                        int(self.has_event_time), 1024)
 
     # ------------------------------------------------------------------
@@ -133,7 +151,7 @@ class NativePrimaryKey:
         out_batch = np.zeros(n, np.int32)
         out_index = np.zeros(n, np.uint32)
         counts = np.zeros(8, np.int32)
-        self._lib.cuckoo_classify(
+        self._classify(
             self._h, _u8p(km), ctypes.c_int(n), _u8p(kv),
             et.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
             if et is not None else None,

@@ -24,7 +24,7 @@ _load_error: str = ""
 def _build() -> None:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _LIB,
+        "-pthread", _SRC, "-o", _LIB,
     ]
     subprocess.run(cmd, check=True, capture_output=True, timeout=120)
 
@@ -75,6 +75,31 @@ def load():
             u8p, i32p, u32p, i32p]
         lib.cuckoo_dump.restype = ctypes.c_int64
         lib.cuckoo_dump.argtypes = [c, u8p, i32p, u32p, ctypes.c_int64]
+        # partitioned primary key: identical surface, pk2_ prefix
+        for pre in ("pk2_",):
+            getattr(lib, pre + "new").restype = c
+            getattr(lib, pre + "new").argtypes = lib.cuckoo_new.argtypes
+            getattr(lib, pre + "free").argtypes = [c]
+            getattr(lib, pre + "size").restype = ctypes.c_int64
+            getattr(lib, pre + "size").argtypes = [c]
+            getattr(lib, pre + "bytes").restype = ctypes.c_int64
+            getattr(lib, pre + "bytes").argtypes = [c]
+            getattr(lib, pre + "set_cutoff").argtypes = \
+                lib.cuckoo_set_cutoff.argtypes
+            getattr(lib, pre + "find").restype = ctypes.c_int
+            getattr(lib, pre + "find").argtypes = lib.cuckoo_find.argtypes
+            getattr(lib, pre + "find_or_insert").restype = ctypes.c_int
+            getattr(lib, pre + "find_or_insert").argtypes = \
+                lib.cuckoo_find_or_insert.argtypes
+            getattr(lib, pre + "update").restype = ctypes.c_int
+            getattr(lib, pre + "update").argtypes = \
+                lib.cuckoo_update.argtypes
+            getattr(lib, pre + "delete").argtypes = \
+                lib.cuckoo_delete.argtypes
+            getattr(lib, pre + "classify").argtypes = \
+                lib.cuckoo_classify.argtypes
+            getattr(lib, pre + "dump").restype = ctypes.c_int64
+            getattr(lib, pre + "dump").argtypes = lib.cuckoo_dump.argtypes
         lib.scatter_rows.argtypes = [
             u8p, u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int64]
         _lib = lib

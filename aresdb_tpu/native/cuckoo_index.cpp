@@ -17,6 +17,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <new>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -77,6 +79,8 @@ struct Bucket {
 };
 
 class CuckooIndex {
+  friend class PartitionedCuckoo;
+
  public:
   CuckooIndex(int key_bytes, bool has_event_time, int init_buckets)
       : key_bytes_(key_bytes), has_event_time_(has_event_time) {
@@ -337,6 +341,104 @@ class CuckooIndex {
     return nullptr;
   }
 
+  // ---- partitioned-classification support (round 5) ----
+
+  Slot* slot_at(uint64_t loc) {
+    return &buckets_[loc / kBucketSize].slots[loc % kBucketSize];
+  }
+
+  void presize_for(int64_t extra) {
+    uint64_t need = static_cast<uint64_t>(size_) +
+                    static_cast<uint64_t>(extra);
+    uint64_t nb = num_buckets_;
+    while (need * 20 > nb * kBucketSize * 17) nb <<= 1;
+    grow_to(nb);
+  }
+
+  // Phase-1 body for one partition over its routed row subset.
+  // EVICTION-FREE and UNDOABLE: inserts direct-write into the fused
+  // probe's first empty slot (provisional record {prov_tag, rank});
+  // rows whose 4x8 candidate slots are all occupied are DEFERRED — the
+  // caller undoes phase 1 (clear the recorded locations) and falls back
+  // to the serial classify, so no eviction ever runs concurrently and
+  // within-batch duplicate ordering stays serial-exact.
+  void classify_part(const uint8_t* keys, const int32_t* rows, int m,
+                     const int64_t* event_times, int64_t cutoff,
+                     int32_t prov_tag, uint8_t* actions,
+                     int32_t* out_batch, uint32_t* out_index,
+                     uint64_t* locations_out, int32_t* n_inserts_out,
+                     int32_t* n_defer_out, int32_t* updated_out,
+                     int32_t* backfilled_out) {
+    int32_t rank = 0, ndefer = 0, updated = 0, backfilled = 0;
+    constexpr int kWindow = 16;
+    auto prefetch_row = [&](int j) {
+      if (j >= m) return;
+      const uint8_t* k =
+          keys + static_cast<int64_t>(rows[j]) * key_bytes_;
+      uint64_t b = murmur3_32(k, key_bytes_, seed_base_) &
+                   (num_buckets_ - 1);
+      __builtin_prefetch(&buckets_[b], 0, 1);
+      __builtin_prefetch(bucket_key(b, 0), 0, 1);
+    };
+    for (int j = 0; j < kWindow; j++) prefetch_row(j);
+    for (int j = 0; j < m; j++) {
+      prefetch_row(j + kWindow);
+      int i = rows[j];
+      const uint8_t* key = keys + static_cast<int64_t>(i) * key_bytes_;
+      int64_t et = event_times ? event_times[i] : 0;
+      Probe pr = probe_for_classify(key);
+      Slot* slot = pr.match;
+      if (slot != nullptr && expired(*slot)) {
+        slot->signature = 0;
+        size_--;
+        slot = nullptr;
+      }
+      if (slot != nullptr) {
+        actions[i] = 2;
+        out_batch[i] = slot->record.batch_id;
+        out_index[i] = slot->record.index;
+        updated++;
+        continue;
+      }
+      if (cutoff > 0 && et < cutoff) {
+        actions[i] = 3;
+        backfilled++;
+        continue;
+      }
+      if (pr.empty_s >= 0) {
+        Slot& dst = buckets_[pr.empty_b].slots[pr.empty_s];
+        if (pr.empty_expired) size_--;
+        dst.signature = pr.empty_sig;
+        dst.record = RecordID{prov_tag, static_cast<uint32_t>(rank)};
+        dst.event_time = static_cast<uint32_t>(et);
+        std::memcpy(bucket_key(pr.empty_b, pr.empty_s), key, key_bytes_);
+        size_++;
+        locations_out[rank] =
+            pr.empty_b * static_cast<uint64_t>(kBucketSize) + pr.empty_s;
+        actions[i] = 1;
+        out_batch[i] = prov_tag;
+        out_index[i] = static_cast<uint32_t>(rank);
+        rank++;
+      } else {
+        ndefer++;
+      }
+    }
+    *n_inserts_out = rank;
+    *n_defer_out = ndefer;
+    *updated_out = updated;
+    *backfilled_out = backfilled;
+  }
+
+  void undo_phase1(const uint64_t* locations, int32_t n) {
+    // clears the provisional inserts; consumed expired entries stay
+    // cleared (they were semantically deleted anyway)
+    for (int32_t k = 0; k < n; k++) {
+      Slot* s = slot_at(locations[k]);
+      s->signature = 0;
+      size_--;
+    }
+  }
+
   // Fused lookup + first-empty discovery for the classify loop: ONE walk
   // over the kNumHashes positions yields the match (if any) AND the first
   // insertable slot (empty or expired), so a fresh key's insert skips the
@@ -496,6 +598,273 @@ class CuckooIndex {
   uint32_t rng_state_ = 0x12345678u;
 };
 
+// Two-way hash-partitioned primary key: each key routes by an independent
+// murmur bit to one of two CuckooIndex sub-tables so batch classification
+// (the serial wall of ingestion — reference memstore/ingestion.go:172
+// insertPrimaryKeys) runs the probe/insert loop on TWO cores. The
+// reference keeps one table per shard and relies on inter-shard
+// parallelism; a single-shard TPU node has spare host cores instead, so
+// the table itself is split.
+//
+// Classification runs in three phases so the result is BYTE-IDENTICAL to
+// the serial path (same actions, same record ids, same counts):
+//   0. serial router: null/retention/future checks + per-partition row
+//      lists (dup keys always land in the same partition).
+//   1. parallel, per partition: probe; updates/backfills resolve
+//      directly; fresh keys direct-write a PROVISIONAL record
+//      {kProvTag, rank} into the probe's first empty slot (never evicts,
+//      so the other thread's memory is untouched and the writes are
+//      undoable). A row with no empty slot among its 4x8 candidates
+//      marks the whole batch DEFERRED.
+//   2. serial: walk rows in original order, allocate real record ids in
+//      arrival order (exactly the serial spill logic), patch the
+//      provisional slots through their recorded locations, and rewrite
+//      the out arrays (including same-batch dup updates that captured a
+//      provisional id).
+// If phase 1 deferred anything (P(no empty in 32 slots) ~ load^32 at the
+// presized <=68% load — rare), phase 1 is undone via the recorded
+// locations and the batch reruns through a strictly serial row loop, so
+// eviction never happens concurrently and dup ordering stays exact.
+class PartitionedCuckoo {
+ public:
+  static constexpr int kParts = 2;
+  // provisional batch ids: live batches are negative (memstore), so
+  // INT32_MAX-derived tags can never collide with a real record
+  static constexpr int32_t kProvTag0 = INT32_MAX;
+  static constexpr int32_t kProvTag1 = INT32_MAX - 1;
+
+  PartitionedCuckoo(int key_bytes, bool has_event_time, int init_buckets)
+      : key_bytes_(key_bytes) {
+    for (int p = 0; p < kParts; p++)
+      parts_[p] = new CuckooIndex(key_bytes, has_event_time, init_buckets);
+  }
+  ~PartitionedCuckoo() {
+    for (int p = 0; p < kParts; p++) delete parts_[p];
+  }
+
+  int64_t size() const {
+    return parts_[0]->size() + parts_[1]->size();
+  }
+  int64_t allocated_bytes() const {
+    return parts_[0]->allocated_bytes() + parts_[1]->allocated_bytes();
+  }
+  void set_cutoff(uint32_t cutoff) {
+    for (int p = 0; p < kParts; p++) parts_[p]->set_cutoff(cutoff);
+  }
+
+  int part_of(const uint8_t* key) const {
+    // seed independent of the bucket/signature seeds (0x9e3779b9+h)
+    return murmur3_32(key, key_bytes_, 0x51ed270bu) & 1;
+  }
+
+  bool find(const uint8_t* key, RecordID* out) {
+    return parts_[part_of(key)]->find(key, out);
+  }
+  int find_or_insert(const uint8_t* key, RecordID rec, uint32_t event_time,
+                     RecordID* out) {
+    return parts_[part_of(key)]->find_or_insert(key, rec, event_time, out);
+  }
+  bool update(const uint8_t* key, RecordID rec) {
+    return parts_[part_of(key)]->update(key, rec);
+  }
+  void erase(const uint8_t* key) { parts_[part_of(key)]->erase(key); }
+
+  int64_t dump(uint8_t* keys_out, int32_t* batch_out, uint32_t* index_out,
+               int64_t cap) {
+    int64_t k = parts_[0]->dump(keys_out, batch_out, index_out, cap);
+    k += parts_[1]->dump(keys_out + k * key_bytes_, batch_out + k,
+                         index_out + k, cap - k);
+    return k;
+  }
+
+  void classify(const uint8_t* keys, int n, const uint8_t* key_valid,
+                const int64_t* event_times, int64_t cutoff,
+                int64_t retention_ts, int64_t future_ts, int32_t next_batch,
+                uint32_t next_index, uint32_t batch_capacity,
+                uint8_t* actions, int32_t* out_batch, uint32_t* out_index,
+                int32_t* out_counts) {
+    int32_t retention = 0, nullpk = 0, future = 0;
+    std::vector<int32_t> rows[kParts];
+    rows[0].reserve(n);
+    rows[1].reserve(n / 2);
+    // phase 0: serial router (also the only place the pre-checks run)
+    for (int i = 0; i < n; i++) {
+      if (!key_valid[i]) {
+        actions[i] = 0;
+        nullpk++;
+        continue;
+      }
+      int64_t et = event_times ? event_times[i] : 0;
+      if (retention_ts > 0 && et < retention_ts) {
+        actions[i] = 4;
+        retention++;
+        continue;
+      }
+      if (future_ts > 0 && et > future_ts) {
+        actions[i] = 5;
+        future++;
+        continue;
+      }
+      const uint8_t* key = keys + static_cast<int64_t>(i) * key_bytes_;
+      rows[part_of(key)].push_back(i);
+    }
+    for (int p = 0; p < kParts; p++)
+      parts_[p]->presize_for(static_cast<int64_t>(rows[p].size()));
+
+    // phase 1: parallel per-partition probe/provisional-insert
+    std::vector<uint64_t> locs[kParts];
+    std::vector<int32_t> rank_row[kParts];
+    int32_t n_ins[kParts] = {0, 0}, n_defer[kParts] = {0, 0};
+    int32_t upd[kParts] = {0, 0}, bfill[kParts] = {0, 0};
+    const int32_t prov[kParts] = {kProvTag0, kProvTag1};
+    auto run_part = [&](int p) {
+      locs[p].resize(rows[p].size());
+      parts_[p]->classify_part(
+          keys, rows[p].data(), static_cast<int>(rows[p].size()),
+          event_times, cutoff, prov[p], actions, out_batch, out_index,
+          locs[p].data(), &n_ins[p], &n_defer[p], &upd[p], &bfill[p]);
+    };
+    if (rows[1].empty()) {
+      run_part(0);
+    } else {
+      std::thread t1(run_part, 1);
+      run_part(0);
+      t1.join();
+    }
+
+    if (n_defer[0] + n_defer[1] > 0) {
+      // rare fallback: undo phase 1, rerun strictly serially in row order
+      for (int p = 0; p < kParts; p++)
+        parts_[p]->undo_phase1(locs[p].data(), n_ins[p]);
+      classify_serial(keys, n, rows, event_times, cutoff, next_batch,
+                      next_index, batch_capacity, actions, out_batch,
+                      out_index, out_counts);
+      out_counts[3] = retention;
+      out_counts[4] = nullpk;
+      out_counts[7] = future;
+      return;
+    }
+
+    // phase 2: serial arrival-order record-id allocation + slot patching
+    RecordID* finals[kParts];
+    std::vector<RecordID> fin0(n_ins[0]), fin1(n_ins[1]);
+    finals[0] = fin0.data();
+    finals[1] = fin1.data();
+    int32_t inserted = 0;
+    for (int i = 0; i < n; i++) {
+      if (actions[i] == 1) {
+        int p = (out_batch[i] == kProvTag0) ? 0 : 1;
+        uint32_t r = out_index[i];
+        if (next_index >= batch_capacity) {
+          next_batch++;
+          next_index = 0;
+        }
+        RecordID rec{next_batch, next_index};
+        next_index++;
+        finals[p][r] = rec;
+        parts_[p]->slot_at(locs[p][r])->record = rec;
+        out_batch[i] = rec.batch_id;
+        out_index[i] = rec.index;
+        inserted++;
+      } else if (actions[i] == 2 &&
+                 (out_batch[i] == kProvTag0 || out_batch[i] == kProvTag1)) {
+        // same-batch dup update captured a provisional id; the insert row
+        // always precedes it, so its final id is already assigned
+        int p = (out_batch[i] == kProvTag0) ? 0 : 1;
+        RecordID rec = finals[p][out_index[i]];
+        out_batch[i] = rec.batch_id;
+        out_index[i] = rec.index;
+      }
+    }
+    out_counts[0] = inserted;
+    out_counts[1] = upd[0] + upd[1];
+    out_counts[2] = bfill[0] + bfill[1];
+    out_counts[3] = retention;
+    out_counts[4] = nullpk;
+    out_counts[5] = next_batch;
+    out_counts[6] = static_cast<int32_t>(next_index);
+    out_counts[7] = future;
+  }
+
+ private:
+  // serial-exact fallback over the already-routed row lists (pre-check
+  // skips are final; counts 3/4/7 are filled by the caller)
+  void classify_serial(const uint8_t* keys, int n,
+                       const std::vector<int32_t> rows[kParts],
+                       const int64_t* event_times, int64_t cutoff,
+                       int32_t next_batch, uint32_t next_index,
+                       uint32_t batch_capacity, uint8_t* actions,
+                       int32_t* out_batch, uint32_t* out_index,
+                       int32_t* out_counts) {
+    int32_t inserted = 0, updated = 0, backfilled = 0;
+    size_t cur[kParts] = {0, 0};
+    for (int i = 0; i < n; i++) {
+      int p;
+      if (cur[0] < rows[0].size() && rows[0][cur[0]] == i) {
+        p = 0;
+        cur[0]++;
+      } else if (cur[1] < rows[1].size() && rows[1][cur[1]] == i) {
+        p = 1;
+        cur[1]++;
+      } else {
+        continue;  // router-skipped row; action already set
+      }
+      CuckooIndex* part = parts_[p];
+      const uint8_t* key = keys + static_cast<int64_t>(i) * key_bytes_;
+      int64_t et = event_times ? event_times[i] : 0;
+      CuckooIndex::Probe pr = part->probe_for_classify(key);
+      Slot* slot = pr.match;
+      if (slot != nullptr && part->expired(*slot)) {
+        slot->signature = 0;
+        part->size_--;
+        slot = nullptr;
+      }
+      if (slot != nullptr) {
+        actions[i] = 2;
+        out_batch[i] = slot->record.batch_id;
+        out_index[i] = slot->record.index;
+        updated++;
+        continue;
+      }
+      if (cutoff > 0 && et < cutoff) {
+        actions[i] = 3;
+        backfilled++;
+        continue;
+      }
+      if (next_index >= batch_capacity) {
+        next_batch++;
+        next_index = 0;
+      }
+      RecordID rec{next_batch, next_index};
+      next_index++;
+      if (pr.empty_s >= 0) {
+        Slot& dst = part->buckets_[pr.empty_b].slots[pr.empty_s];
+        if (pr.empty_expired) part->size_--;
+        dst.signature = pr.empty_sig;
+        dst.record = rec;
+        dst.event_time = static_cast<uint32_t>(et);
+        std::memcpy(part->bucket_key(pr.empty_b, pr.empty_s), key,
+                    key_bytes_);
+        part->size_++;
+      } else {
+        part->insert(key, rec, static_cast<uint32_t>(et));
+      }
+      actions[i] = 1;
+      out_batch[i] = rec.batch_id;
+      out_index[i] = rec.index;
+      inserted++;
+    }
+    out_counts[0] = inserted;
+    out_counts[1] = updated;
+    out_counts[2] = backfilled;
+    out_counts[5] = next_batch;
+    out_counts[6] = static_cast<int32_t>(next_index);
+  }
+
+  int key_bytes_;
+  CuckooIndex* parts_[kParts];
+};
+
 }  // namespace
 
 extern "C" {
@@ -567,6 +936,81 @@ int64_t cuckoo_dump(void* h, uint8_t* keys_out, int32_t* batch_out,
                     uint32_t* index_out, int64_t cap) {
   return static_cast<CuckooIndex*>(h)->dump(keys_out, batch_out, index_out,
                                             cap);
+}
+
+// ---- partitioned primary key (same surface, pk2_ prefix) ----
+
+void* pk2_new(int key_bytes, int has_event_time, int init_buckets) {
+  if (key_bytes <= 0 || key_bytes > 256) return nullptr;
+  try {
+    return new PartitionedCuckoo(key_bytes, has_event_time != 0,
+                                 init_buckets);
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+void pk2_free(void* h) { delete static_cast<PartitionedCuckoo*>(h); }
+
+int64_t pk2_size(void* h) {
+  return static_cast<PartitionedCuckoo*>(h)->size();
+}
+
+int64_t pk2_bytes(void* h) {
+  return static_cast<PartitionedCuckoo*>(h)->allocated_bytes();
+}
+
+void pk2_set_cutoff(void* h, uint32_t cutoff) {
+  static_cast<PartitionedCuckoo*>(h)->set_cutoff(cutoff);
+}
+
+int pk2_find(void* h, const uint8_t* key, int32_t* batch, uint32_t* index) {
+  RecordID rec;
+  if (!static_cast<PartitionedCuckoo*>(h)->find(key, &rec)) return 0;
+  *batch = rec.batch_id;
+  *index = rec.index;
+  return 1;
+}
+
+int pk2_find_or_insert(void* h, const uint8_t* key, int32_t batch,
+                       uint32_t index, uint32_t event_time,
+                       int32_t* out_batch, uint32_t* out_index) {
+  RecordID out;
+  int existing = static_cast<PartitionedCuckoo*>(h)->find_or_insert(
+      key, RecordID{batch, index}, event_time, &out);
+  *out_batch = out.batch_id;
+  *out_index = out.index;
+  return existing;
+}
+
+int pk2_update(void* h, const uint8_t* key, int32_t batch, uint32_t index) {
+  return static_cast<PartitionedCuckoo*>(h)->update(key,
+                                                    RecordID{batch, index})
+             ? 1
+             : 0;
+}
+
+void pk2_delete(void* h, const uint8_t* key) {
+  static_cast<PartitionedCuckoo*>(h)->erase(key);
+}
+
+void pk2_classify(void* h, const uint8_t* keys, int n,
+                  const uint8_t* key_valid, const int64_t* event_times,
+                  int64_t cutoff, int64_t retention_ts, int64_t future_ts,
+                  int32_t next_batch, uint32_t next_index,
+                  uint32_t batch_capacity, uint8_t* actions,
+                  int32_t* out_batch, uint32_t* out_index,
+                  int32_t* out_counts) {
+  static_cast<PartitionedCuckoo*>(h)->classify(
+      keys, n, key_valid, event_times, cutoff, retention_ts, future_ts,
+      next_batch, next_index, batch_capacity, actions, out_batch, out_index,
+      out_counts);
+}
+
+int64_t pk2_dump(void* h, uint8_t* keys_out, int32_t* batch_out,
+                 uint32_t* index_out, int64_t cap) {
+  return static_cast<PartitionedCuckoo*>(h)->dump(keys_out, batch_out,
+                                                  index_out, cap);
 }
 
 // Fused gather+scatter for columnar ingestion writes:

@@ -18,6 +18,9 @@ def _impls():
             impls.append(
                 ("native", lambda kb, et: NativePrimaryKey(kb,
                                                            has_event_time=et)))
+            impls.append(
+                ("native2", lambda kb, et: NativePrimaryKey(
+                    kb, has_event_time=et, parts=2)))
     except Exception:
         pass
     return impls
