@@ -136,7 +136,17 @@ class Scheduler:
         from aresdb_tpu.utils import metrics as M
 
         rep = M.root().scoped(table=table, shard=str(shard_id))
-        GLOBAL_BOOTSTRAP_TOKEN.acquire(table, shard_id)
+        # Reference parity (purge.go:25, archiving.go:319, backfill.go:224):
+        # every job acquires the shard's bootstrap token NON-blocking and
+        # SKIPS the run when a peer-copy session holds it — blocking here
+        # would freeze the single job-executor thread (and every other
+        # table's jobs) behind a long shard copy.
+        if not GLOBAL_BOOTSTRAP_TOKEN.acquire(table, shard_id,
+                                              blocking=False):
+            # leave _last_run untouched: the job stays due and retries on
+            # the next scheduler tick once the copy finishes
+            status.last_result = {"skipped": "bootstrap in progress"}
+            return None
         try:
             if jobtype == "archiving":
                 delay = shard.schema.table.config.archiving_delay_minutes * 60

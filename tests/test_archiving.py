@@ -616,3 +616,35 @@ def test_unmatched_time_filter_does_not_prune_archive_days(tmp_root):
                         "to": str(idbase + 55)}
     resp2 = svc.handle_aql({"queries": [q2]})
     assert resp2["results"][0] == {"7": 1.0}
+
+
+def test_jobs_skip_while_bootstrap_token_held(tmp_root):
+    """Reference parity (purge_test.go "purge should be blocked";
+    purge.go:25, archiving.go:319, backfill.go:224): every scheduled job
+    acquires the shard's bootstrap token NON-blocking and silently skips
+    while a peer-copy session holds it — it must not error and must not
+    block the single job-executor thread."""
+    from aresdb_tpu.memstore.common import GLOBAL_BOOTSTRAP_TOKEN
+
+    ms = make_memstore(tmp_root)
+    shard = ms.get_table_shard("trips")
+    now = BASE_T + 3 * DAY
+    shard.save_upsert_batch(fact_batch([(BASE_T + 100, 1, 7, 1.0)]))
+    sched = Scheduler(ms)
+    shard.schema.table.config.archiving_delay_minutes = DAY // 60
+
+    assert GLOBAL_BOOTSTRAP_TOKEN.acquire("trips", 0, blocking=False)
+    try:
+        result = sched.run_job("trips", 0, "archiving", now=now)
+        assert result is None  # skipped, no exception
+        st = sched.job_statuses()["trips/0/archiving"]
+        assert st["lastResult"] == {"skipped": "bootstrap in progress"}
+        assert st["numRuns"] == 0
+        # still DUE: run_due_jobs retries it on the next tick
+        assert ("trips", 0, "archiving") in sched.run_due_jobs(now=now)
+        # other shards are unaffected (token is per (table, shard))
+        assert sched.run_job("cities", 0, "snapshot", now=now) is not None
+    finally:
+        GLOBAL_BOOTSTRAP_TOKEN.release("trips", 0)
+    result = sched.run_job("trips", 0, "archiving", now=now)
+    assert result["rowsArchived"] == 1
