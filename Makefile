@@ -21,9 +21,10 @@ test:
 # round docs reference `make test-all` instead of repeating the list.
 # default: XLA kernels | FACTORED: TPU-default dense reduction |
 # MESH: multi-chip path | NATIVE=0: python PK fallback |
-# FUSED=interp: TPU-default pallas kernels interpreted on CPU
+# FUSED=interp: TPU-default pallas kernels interpreted on CPU |
+# PK_PARTS=1: serial (non-partitioned) primary key
 VARIANTS = "ARES_DEFAULT=1" "ARES_FACTORED=1" "ARES_MESH=1" \
-	"ARES_NATIVE=0" "ARES_FUSED=interp"
+	"ARES_NATIVE=0" "ARES_FUSED=interp" "ARES_PK_PARTS=1"
 
 test-all:
 	@for v in $(VARIANTS); do \

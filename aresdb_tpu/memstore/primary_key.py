@@ -50,14 +50,12 @@ def make_primary_key(key_bytes: int, has_event_time: bool = False):
     """Native C++ cuckoo index when available, python dict fallback.
 
     Disable the native backend with ARES_NATIVE=0. ARES_PK_PARTS picks the
-    native variant: 2 = hash-partitioned two-table index whose batch
-    classification runs on two threads (byte-identical results); 1 = single
-    serial table. Default "auto" partitions only when the host has spare
-    cores: the ingest pipeline already keeps ~3 threads busy (column
-    writes + classify worker + WAL), and on a 4-core host the second
-    classify thread contends with the write path and LOSES end-to-end
-    (measured 1.64 -> 1.43 M rows/s) even though standalone classify gains
-    +37%; at >=6 cores the extra thread is free.
+    native variant: 2 (default) = hash-partitioned two-table index whose
+    batch classification runs on two threads with byte-identical results
+    (every row resolves inline in row order within its partition — no
+    fallback path); 1 = single serial table. Measured on a 4-core host:
+    classify 1.9 -> 2.9 M keys/s at 16M scale, end-to-end ingest with WAL
+    1.9 -> 2.8 M rows/s.
     """
     import os
 
@@ -65,11 +63,8 @@ def make_primary_key(key_bytes: int, has_event_time: bool = False):
         try:
             from aresdb_tpu.memstore.native_primary_key import NativePrimaryKey
 
-            mode = os.environ.get("ARES_PK_PARTS", "auto")
-            if mode == "auto":
-                parts = 2 if (os.cpu_count() or 1) >= 6 else 1
-            else:
-                parts = int(mode)
+            mode = os.environ.get("ARES_PK_PARTS", "2")
+            parts = 2 if mode == "auto" else int(mode)
             return NativePrimaryKey(key_bytes, has_event_time, parts=parts)
         except (RuntimeError, OSError, ValueError):
             pass

@@ -14,8 +14,10 @@
 // 1.2x) since no device mirror constrains the allocation.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <new>
 #include <thread>
 #include <vector>
@@ -78,7 +80,13 @@ struct Bucket {
   Slot slots[kBucketSize];
 };
 
-class CuckooIndex {
+// alignas(128): the partitioned primary key allocates two of these and
+// probes them from two threads — without alignment the ~120-byte objects
+// land on adjacent heap lines, so one partition's per-row size_ writes
+// invalidate the line holding the other partition's buckets_/num_buckets_
+// fields (read on EVERY probe), and the parallel classify runs slower
+// than serial
+class alignas(128) CuckooIndex {
   friend class PartitionedCuckoo;
 
  public:
@@ -343,7 +351,15 @@ class CuckooIndex {
 
   // ---- partitioned-classification support (round 5) ----
 
+  // location encoding: bucket*kBucketSize+slot, or kStashLocBase+s for
+  // stash slots (stash locations only arise via the provisional-insert
+  // tracking hook; bucket locations stay valid across growth because the
+  // rehash hook rewrites every provisional entry's location)
+  static constexpr uint64_t kStashLocBase = ~uint64_t(0) - kStashSize;
+
   Slot* slot_at(uint64_t loc) {
+    if (loc >= kStashLocBase)
+      return &stash_[loc - kStashLocBase];
     return &buckets_[loc / kBucketSize].slots[loc % kBucketSize];
   }
 
@@ -355,21 +371,31 @@ class CuckooIndex {
     grow_to(nb);
   }
 
-  // Phase-1 body for one partition over its routed row subset.
-  // EVICTION-FREE and UNDOABLE: inserts direct-write into the fused
-  // probe's first empty slot (provisional record {prov_tag, rank});
-  // rows whose 4x8 candidate slots are all occupied are DEFERRED — the
-  // caller undoes phase 1 (clear the recorded locations) and falls back
-  // to the serial classify, so no eviction ever runs concurrently and
-  // within-batch duplicate ordering stays serial-exact.
+  // Phase-1 body for one partition over its routed row subset. Runs on
+  // its own thread but touches ONLY this partition's memory: every row
+  // resolves inline and in row order (duplicate keys always route to the
+  // same partition), so the classification semantics are exactly serial.
+  // Fresh keys direct-write a PROVISIONAL record {prov_tag, rank} into
+  // the fused probe's first empty slot; when a key's 4x8 candidate slots
+  // are all occupied, the standard eviction insert runs instead, with
+  // prov_locs_ tracking active so displaced/rehashed provisional entries
+  // keep their recorded locations valid for the caller's patch phase.
+  //
+  // Outputs are COMPACT (indexed by j, the position in this partition's
+  // row list), not row-indexed: two threads writing a shared row-indexed
+  // array at interleaved positions false-share every output cacheline
+  // (routing is pseudo-random, so adjacent rows belong to different
+  // partitions). The serial phase-2 walk scatters them back while it
+  // allocates record ids.
   void classify_part(const uint8_t* keys, const int32_t* rows, int m,
                      const int64_t* event_times, int64_t cutoff,
-                     int32_t prov_tag, uint8_t* actions,
-                     int32_t* out_batch, uint32_t* out_index,
+                     int32_t prov_tag, uint8_t* actions_c,
+                     int32_t* out_batch_c, uint32_t* out_index_c,
                      uint64_t* locations_out, int32_t* n_inserts_out,
-                     int32_t* n_defer_out, int32_t* updated_out,
-                     int32_t* backfilled_out) {
-    int32_t rank = 0, ndefer = 0, updated = 0, backfilled = 0;
+                     int32_t* updated_out, int32_t* backfilled_out) {
+    int32_t rank = 0, updated = 0, backfilled = 0;
+    prov_tag_ = prov_tag;
+    prov_locs_ = locations_out;
     constexpr int kWindow = 16;
     auto prefetch_row = [&](int j) {
       if (j >= m) return;
@@ -394,14 +420,14 @@ class CuckooIndex {
         slot = nullptr;
       }
       if (slot != nullptr) {
-        actions[i] = 2;
-        out_batch[i] = slot->record.batch_id;
-        out_index[i] = slot->record.index;
+        actions_c[j] = 2;
+        out_batch_c[j] = slot->record.batch_id;
+        out_index_c[j] = slot->record.index;
         updated++;
         continue;
       }
       if (cutoff > 0 && et < cutoff) {
-        actions[i] = 3;
+        actions_c[j] = 3;
         backfilled++;
         continue;
       }
@@ -415,28 +441,23 @@ class CuckooIndex {
         size_++;
         locations_out[rank] =
             pr.empty_b * static_cast<uint64_t>(kBucketSize) + pr.empty_s;
-        actions[i] = 1;
-        out_batch[i] = prov_tag;
-        out_index[i] = static_cast<uint32_t>(rank);
-        rank++;
       } else {
-        ndefer++;
+        // all 32 candidate slots occupied (rare at <=68% load): run the
+        // standard eviction insert; the prov_locs_ hook keeps every
+        // displaced provisional entry's location current
+        insert(key, RecordID{prov_tag, static_cast<uint32_t>(rank)},
+               static_cast<uint32_t>(et));
       }
+      actions_c[j] = 1;
+      out_batch_c[j] = prov_tag;
+      out_index_c[j] = static_cast<uint32_t>(rank);
+      rank++;
     }
+    prov_tag_ = 0;
+    prov_locs_ = nullptr;
     *n_inserts_out = rank;
-    *n_defer_out = ndefer;
     *updated_out = updated;
     *backfilled_out = backfilled;
-  }
-
-  void undo_phase1(const uint64_t* locations, int32_t n) {
-    // clears the provisional inserts; consumed expired entries stay
-    // cleared (they were semantically deleted anyway)
-    for (int32_t k = 0; k < n; k++) {
-      Slot* s = slot_at(locations[k]);
-      s->signature = 0;
-      size_--;
-    }
   }
 
   // Fused lookup + first-empty discovery for the classify loop: ONE walk
@@ -493,6 +514,16 @@ class CuckooIndex {
     return r;
   }
 
+  // location-tracking hook for the partitioned classify: while a
+  // classify_part call is active (prov_tag_ != 0), every placement of a
+  // slot holding a provisional record {prov_tag_, rank} refreshes
+  // prov_locs_[rank], so eviction chains / stash spills / growth rehashes
+  // never invalidate the caller's recorded locations
+  void track_prov(const RecordID& rec, uint64_t loc) {
+    if (prov_tag_ != 0 && rec.batch_id == prov_tag_)
+      prov_locs_[rec.index] = loc;
+  }
+
   void insert(const uint8_t* key, RecordID rec, uint32_t event_time) {
     uint8_t cur_key[256];
     std::memcpy(cur_key, key, key_bytes_);
@@ -514,6 +545,7 @@ class CuckooIndex {
             slot.signature = sig;
             std::memcpy(bucket_key(b, s), cur_key, key_bytes_);
             size_++;
+            track_prov(slot.record, b * kBucketSize + s);
             return;
           }
         }
@@ -529,6 +561,7 @@ class CuckooIndex {
       buckets_[b].slots[victim] = cur;
       buckets_[b].slots[victim].signature = signature_of(hash);
       std::memcpy(bucket_key(b, victim), cur_key, key_bytes_);
+      track_prov(cur.record, b * kBucketSize + victim);
       cur = tmp;
       std::memcpy(cur_key, tmp_key, key_bytes_);
     }
@@ -540,6 +573,7 @@ class CuckooIndex {
         if (stash_[s].signature == 0) stash_[s].signature = 1;
         std::memcpy(stash_keys_ + s * key_bytes_, cur_key, key_bytes_);
         size_++;
+        track_prov(stash_[s].record, kStashLocBase + s);
         return;
       }
     }
@@ -596,6 +630,9 @@ class CuckooIndex {
   uint32_t cutoff_ = 0;
   uint32_t seed_base_;
   uint32_t rng_state_ = 0x12345678u;
+  // active only inside classify_part (see track_prov)
+  int32_t prov_tag_ = 0;
+  uint64_t* prov_locs_ = nullptr;
 };
 
 // Two-way hash-partitioned primary key: each key routes by an independent
@@ -683,6 +720,13 @@ class PartitionedCuckoo {
                 uint32_t next_index, uint32_t batch_capacity,
                 uint8_t* actions, int32_t* out_batch, uint32_t* out_index,
                 int32_t* out_counts) {
+    static const bool debug_timing = std::getenv("ARES_PK_DEBUG") != nullptr;
+    auto now_s = [] {
+      struct timespec ts;
+      clock_gettime(CLOCK_MONOTONIC, &ts);
+      return ts.tv_sec + ts.tv_nsec * 1e-9;
+    };
+    double t0 = debug_timing ? now_s() : 0.0;
     int32_t retention = 0, nullpk = 0, future = 0;
     std::vector<int32_t> rows[kParts];
     rows[0].reserve(n);
@@ -708,53 +752,71 @@ class PartitionedCuckoo {
       const uint8_t* key = keys + static_cast<int64_t>(i) * key_bytes_;
       rows[part_of(key)].push_back(i);
     }
+    double t_route = debug_timing ? now_s() : 0.0;
     for (int p = 0; p < kParts; p++)
       parts_[p]->presize_for(static_cast<int64_t>(rows[p].size()));
+    double t_presize = debug_timing ? now_s() : 0.0;
 
-    // phase 1: parallel per-partition probe/provisional-insert
+    // phase 1: parallel per-partition probe/provisional-insert into
+    // per-partition COMPACT output arrays (no shared-cacheline writes)
     std::vector<uint64_t> locs[kParts];
-    std::vector<int32_t> rank_row[kParts];
-    int32_t n_ins[kParts] = {0, 0}, n_defer[kParts] = {0, 0};
+    std::vector<uint8_t> act_c[kParts];
+    std::vector<int32_t> db_c[kParts];
+    std::vector<uint32_t> di_c[kParts];
+    int32_t n_ins[kParts] = {0, 0};
     int32_t upd[kParts] = {0, 0}, bfill[kParts] = {0, 0};
     const int32_t prov[kParts] = {kProvTag0, kProvTag1};
     auto run_part = [&](int p) {
-      locs[p].resize(rows[p].size());
+      size_t m = rows[p].size();
+      locs[p].resize(m);
+      act_c[p].resize(m);
+      db_c[p].resize(m);
+      di_c[p].resize(m);
       parts_[p]->classify_part(
-          keys, rows[p].data(), static_cast<int>(rows[p].size()),
-          event_times, cutoff, prov[p], actions, out_batch, out_index,
-          locs[p].data(), &n_ins[p], &n_defer[p], &upd[p], &bfill[p]);
+          keys, rows[p].data(), static_cast<int>(m), event_times, cutoff,
+          prov[p], act_c[p].data(), db_c[p].data(), di_c[p].data(),
+          locs[p].data(), &n_ins[p], &upd[p], &bfill[p]);
     };
+    double t_p0 = 0.0, t_p1 = 0.0;
     if (rows[1].empty()) {
       run_part(0);
     } else {
-      std::thread t1(run_part, 1);
+      std::thread t1([&] {
+        double s = debug_timing ? now_s() : 0.0;
+        run_part(1);
+        if (debug_timing) t_p1 = now_s() - s;
+      });
+      double s = debug_timing ? now_s() : 0.0;
       run_part(0);
+      if (debug_timing) t_p0 = now_s() - s;
       t1.join();
     }
+    double t_phase1 = debug_timing ? now_s() : 0.0;
 
-    if (n_defer[0] + n_defer[1] > 0) {
-      // rare fallback: undo phase 1, rerun strictly serially in row order
-      for (int p = 0; p < kParts; p++)
-        parts_[p]->undo_phase1(locs[p].data(), n_ins[p]);
-      classify_serial(keys, n, rows, event_times, cutoff, next_batch,
-                      next_index, batch_capacity, actions, out_batch,
-                      out_index, out_counts);
-      out_counts[3] = retention;
-      out_counts[4] = nullpk;
-      out_counts[7] = future;
-      return;
-    }
-
-    // phase 2: serial arrival-order record-id allocation + slot patching
+    // phase 2: ONE serial merge-walk over the row lists in original row
+    // order scatters the compact outputs back AND allocates record ids in
+    // arrival order (exactly the serial spill logic) + patches the
+    // provisional slots
     RecordID* finals[kParts];
     std::vector<RecordID> fin0(n_ins[0]), fin1(n_ins[1]);
     finals[0] = fin0.data();
     finals[1] = fin1.data();
     int32_t inserted = 0;
+    size_t cur[kParts] = {0, 0};
     for (int i = 0; i < n; i++) {
-      if (actions[i] == 1) {
-        int p = (out_batch[i] == kProvTag0) ? 0 : 1;
-        uint32_t r = out_index[i];
+      int p;
+      if (cur[0] < rows[0].size() && rows[0][cur[0]] == i) {
+        p = 0;
+      } else if (cur[1] < rows[1].size() && rows[1][cur[1]] == i) {
+        p = 1;
+      } else {
+        continue;  // router-skipped row; action already set
+      }
+      size_t j = cur[p]++;
+      uint8_t a = act_c[p][j];
+      actions[i] = a;
+      if (a == 1) {
+        uint32_t r = di_c[p][j];
         if (next_index >= batch_capacity) {
           next_batch++;
           next_index = 0;
@@ -766,14 +828,16 @@ class PartitionedCuckoo {
         out_batch[i] = rec.batch_id;
         out_index[i] = rec.index;
         inserted++;
-      } else if (actions[i] == 2 &&
-                 (out_batch[i] == kProvTag0 || out_batch[i] == kProvTag1)) {
+      } else if (a == 2 &&
+                 (db_c[p][j] == kProvTag0 || db_c[p][j] == kProvTag1)) {
         // same-batch dup update captured a provisional id; the insert row
         // always precedes it, so its final id is already assigned
-        int p = (out_batch[i] == kProvTag0) ? 0 : 1;
-        RecordID rec = finals[p][out_index[i]];
+        RecordID rec = finals[p][di_c[p][j]];
         out_batch[i] = rec.batch_id;
         out_index[i] = rec.index;
+      } else if (a == 2) {
+        out_batch[i] = db_c[p][j];
+        out_index[i] = di_c[p][j];
       }
     }
     out_counts[0] = inserted;
@@ -784,83 +848,18 @@ class PartitionedCuckoo {
     out_counts[5] = next_batch;
     out_counts[6] = static_cast<int32_t>(next_index);
     out_counts[7] = future;
+    if (debug_timing) {
+      double t_end = now_s();
+      std::fprintf(stderr,
+                   "pk2 n=%d route=%.3f presize=%.3f phase1=%.3f "
+                   "(p0=%.3f m0=%zu / p1=%.3f m1=%zu) phase2=%.3f\n",
+                   n, t_route - t0, t_presize - t_route,
+                   t_phase1 - t_presize, t_p0, rows[0].size(), t_p1,
+                   rows[1].size(), t_end - t_phase1);
+    }
   }
 
  private:
-  // serial-exact fallback over the already-routed row lists (pre-check
-  // skips are final; counts 3/4/7 are filled by the caller)
-  void classify_serial(const uint8_t* keys, int n,
-                       const std::vector<int32_t> rows[kParts],
-                       const int64_t* event_times, int64_t cutoff,
-                       int32_t next_batch, uint32_t next_index,
-                       uint32_t batch_capacity, uint8_t* actions,
-                       int32_t* out_batch, uint32_t* out_index,
-                       int32_t* out_counts) {
-    int32_t inserted = 0, updated = 0, backfilled = 0;
-    size_t cur[kParts] = {0, 0};
-    for (int i = 0; i < n; i++) {
-      int p;
-      if (cur[0] < rows[0].size() && rows[0][cur[0]] == i) {
-        p = 0;
-        cur[0]++;
-      } else if (cur[1] < rows[1].size() && rows[1][cur[1]] == i) {
-        p = 1;
-        cur[1]++;
-      } else {
-        continue;  // router-skipped row; action already set
-      }
-      CuckooIndex* part = parts_[p];
-      const uint8_t* key = keys + static_cast<int64_t>(i) * key_bytes_;
-      int64_t et = event_times ? event_times[i] : 0;
-      CuckooIndex::Probe pr = part->probe_for_classify(key);
-      Slot* slot = pr.match;
-      if (slot != nullptr && part->expired(*slot)) {
-        slot->signature = 0;
-        part->size_--;
-        slot = nullptr;
-      }
-      if (slot != nullptr) {
-        actions[i] = 2;
-        out_batch[i] = slot->record.batch_id;
-        out_index[i] = slot->record.index;
-        updated++;
-        continue;
-      }
-      if (cutoff > 0 && et < cutoff) {
-        actions[i] = 3;
-        backfilled++;
-        continue;
-      }
-      if (next_index >= batch_capacity) {
-        next_batch++;
-        next_index = 0;
-      }
-      RecordID rec{next_batch, next_index};
-      next_index++;
-      if (pr.empty_s >= 0) {
-        Slot& dst = part->buckets_[pr.empty_b].slots[pr.empty_s];
-        if (pr.empty_expired) part->size_--;
-        dst.signature = pr.empty_sig;
-        dst.record = rec;
-        dst.event_time = static_cast<uint32_t>(et);
-        std::memcpy(part->bucket_key(pr.empty_b, pr.empty_s), key,
-                    key_bytes_);
-        part->size_++;
-      } else {
-        part->insert(key, rec, static_cast<uint32_t>(et));
-      }
-      actions[i] = 1;
-      out_batch[i] = rec.batch_id;
-      out_index[i] = rec.index;
-      inserted++;
-    }
-    out_counts[0] = inserted;
-    out_counts[1] = updated;
-    out_counts[2] = backfilled;
-    out_counts[5] = next_batch;
-    out_counts[6] = static_cast<int32_t>(next_index);
-  }
-
   int key_bytes_;
   CuckooIndex* parts_[kParts];
 };
