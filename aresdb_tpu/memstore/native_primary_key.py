@@ -26,18 +26,22 @@ class NativePrimaryKey:
 
     def __init__(self, key_bytes: int, has_event_time: bool = False,
                  init_buckets: int = 1024, parts: int = 1):
-        """parts=2 selects the hash-partitioned index (pk2_* family) whose
-        classify_batch runs its probe/insert loop on two threads with
-        byte-identical results to the serial table."""
+        """parts in {2, 4, 8} selects the hash-partitioned index (pk2_*
+        family) whose classify_batch runs its probe/insert loop on
+        `parts` threads with byte-identical results to the serial
+        table; parts=1 is the single serial table."""
         lib = native.load()
         if lib is None:
             raise RuntimeError("native library unavailable")
-        if parts not in (1, 2):
+        if parts not in (1, 2, 4, 8):
             raise RuntimeError(f"unsupported parts={parts}")
         self._lib = lib
-        pre = "pk2_" if parts == 2 else "cuckoo_"
+        pre = "pk2_" if parts > 1 else "cuckoo_"
         self.parts = parts
-        self._new = getattr(lib, pre + "new")
+        if parts > 1:
+            self._new = lambda kb, et, ib: lib.pk2_new(kb, et, ib, parts)
+        else:
+            self._new = lib.cuckoo_new
         self._free = getattr(lib, pre + "free")
         self._size = getattr(lib, pre + "size")
         self._bytes = getattr(lib, pre + "bytes")

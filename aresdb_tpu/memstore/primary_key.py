@@ -50,10 +50,11 @@ def make_primary_key(key_bytes: int, has_event_time: bool = False):
     """Native C++ cuckoo index when available, python dict fallback.
 
     Disable the native backend with ARES_NATIVE=0. ARES_PK_PARTS picks the
-    native variant: 2 (default) = hash-partitioned two-table index whose
-    batch classification runs on two threads with byte-identical results
+    native variant: 2 (default) = hash-partitioned index whose batch
+    classification runs on two threads with byte-identical results
     (every row resolves inline in row order within its partition — no
-    fallback path); 1 = single serial table. Measured on a 4-core host:
+    fallback path); 4/8 widen the fan-out for hosts with more spare
+    cores; 1 = single serial table. Measured on a 4-core host at parts=2:
     classify 1.9 -> 2.9 M keys/s at 16M scale, end-to-end ingest with WAL
     1.9 -> 2.8 M rows/s.
     """

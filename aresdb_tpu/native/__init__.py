@@ -78,7 +78,8 @@ def load():
         # partitioned primary key: identical surface, pk2_ prefix
         for pre in ("pk2_",):
             getattr(lib, pre + "new").restype = c
-            getattr(lib, pre + "new").argtypes = lib.cuckoo_new.argtypes
+            getattr(lib, pre + "new").argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
             getattr(lib, pre + "free").argtypes = [c]
             getattr(lib, pre + "size").restype = ctypes.c_int64
             getattr(lib, pre + "size").argtypes = [c]

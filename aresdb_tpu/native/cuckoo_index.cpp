@@ -635,63 +635,67 @@ class alignas(128) CuckooIndex {
   uint64_t* prov_locs_ = nullptr;
 };
 
-// Two-way hash-partitioned primary key: each key routes by an independent
-// murmur bit to one of two CuckooIndex sub-tables so batch classification
+// Hash-partitioned primary key: each key routes by independent murmur
+// bits to one of `parts` CuckooIndex sub-tables so batch classification
 // (the serial wall of ingestion — reference memstore/ingestion.go:172
-// insertPrimaryKeys) runs the probe/insert loop on TWO cores. The
+// insertPrimaryKeys) runs the probe/insert loop on `parts` cores. The
 // reference keeps one table per shard and relies on inter-shard
 // parallelism; a single-shard TPU node has spare host cores instead, so
-// the table itself is split.
+// the table itself is split. parts must be a power of two in [2, 8]
+// (2 is the measured optimum on a 4-core host; 4/8 target bigger hosts).
 //
 // Classification runs in three phases so the result is BYTE-IDENTICAL to
 // the serial path (same actions, same record ids, same counts):
 //   0. serial router: null/retention/future checks + per-partition row
-//      lists (dup keys always land in the same partition).
+//      lists (dup keys always land in the same partition, so each
+//      partition thread sees its duplicates in row order).
 //   1. parallel, per partition: probe; updates/backfills resolve
-//      directly; fresh keys direct-write a PROVISIONAL record
-//      {kProvTag, rank} into the probe's first empty slot (never evicts,
-//      so the other thread's memory is untouched and the writes are
-//      undoable). A row with no empty slot among its 4x8 candidates
-//      marks the whole batch DEFERRED.
-//   2. serial: walk rows in original order, allocate real record ids in
-//      arrival order (exactly the serial spill logic), patch the
-//      provisional slots through their recorded locations, and rewrite
-//      the out arrays (including same-batch dup updates that captured a
-//      provisional id).
-// If phase 1 deferred anything (P(no empty in 32 slots) ~ load^32 at the
-// presized <=68% load — rare), phase 1 is undone via the recorded
-// locations and the batch reruns through a strictly serial row loop, so
-// eviction never happens concurrently and dup ordering stays exact.
+//      directly; fresh keys write a PROVISIONAL record {prov_tag, rank}
+//      — direct into the probe's first empty slot, or through the
+//      standard eviction insert when all 4x8 candidates are occupied
+//      (the track_prov hook keeps recorded locations valid across
+//      eviction chains / stash spills / rehashes). Outputs are compact
+//      per-partition arrays: row-indexed shared outputs false-share
+//      nearly every cacheline between the threads.
+//   2. serial: walk rows in original order, scatter the compact outputs
+//      back, allocate real record ids in arrival order (exactly the
+//      serial spill logic), and patch the provisional slots through
+//      their recorded locations (including same-batch dup updates that
+//      captured a provisional id).
 class PartitionedCuckoo {
  public:
-  static constexpr int kParts = 2;
-  // provisional batch ids: live batches are negative (memstore), so
-  // INT32_MAX-derived tags can never collide with a real record
-  static constexpr int32_t kProvTag0 = INT32_MAX;
-  static constexpr int32_t kProvTag1 = INT32_MAX - 1;
+  static constexpr int kMaxParts = 8;
+  // provisional batch ids INT32_MAX-p: live batches are negative
+  // (memstore), so these can never collide with a real record
+  static constexpr int32_t kProvBase = INT32_MAX;
 
-  PartitionedCuckoo(int key_bytes, bool has_event_time, int init_buckets)
-      : key_bytes_(key_bytes) {
-    for (int p = 0; p < kParts; p++)
+  PartitionedCuckoo(int key_bytes, bool has_event_time, int init_buckets,
+                    int parts)
+      : key_bytes_(key_bytes), parts_n_(parts) {
+    for (int p = 0; p < parts_n_; p++)
       parts_[p] = new CuckooIndex(key_bytes, has_event_time, init_buckets);
   }
   ~PartitionedCuckoo() {
-    for (int p = 0; p < kParts; p++) delete parts_[p];
+    for (int p = 0; p < parts_n_; p++) delete parts_[p];
   }
 
   int64_t size() const {
-    return parts_[0]->size() + parts_[1]->size();
+    int64_t s = 0;
+    for (int p = 0; p < parts_n_; p++) s += parts_[p]->size();
+    return s;
   }
   int64_t allocated_bytes() const {
-    return parts_[0]->allocated_bytes() + parts_[1]->allocated_bytes();
+    int64_t s = 0;
+    for (int p = 0; p < parts_n_; p++) s += parts_[p]->allocated_bytes();
+    return s;
   }
   void set_cutoff(uint32_t cutoff) {
-    for (int p = 0; p < kParts; p++) parts_[p]->set_cutoff(cutoff);
+    for (int p = 0; p < parts_n_; p++) parts_[p]->set_cutoff(cutoff);
   }
 
   int part_of(const uint8_t* key) const {
     // seed independent of the bucket/signature seeds (0x9e3779b9+h)
-    return murmur3_32(key, key_bytes_, 0x51ed270bu) & 1;
+    return murmur3_32(key, key_bytes_, 0x51ed270bu) & (parts_n_ - 1);
   }
 
   bool find(const uint8_t* key, RecordID* out) {
@@ -708,9 +712,10 @@ class PartitionedCuckoo {
 
   int64_t dump(uint8_t* keys_out, int32_t* batch_out, uint32_t* index_out,
                int64_t cap) {
-    int64_t k = parts_[0]->dump(keys_out, batch_out, index_out, cap);
-    k += parts_[1]->dump(keys_out + k * key_bytes_, batch_out + k,
-                         index_out + k, cap - k);
+    int64_t k = 0;
+    for (int p = 0; p < parts_n_; p++)
+      k += parts_[p]->dump(keys_out + k * key_bytes_, batch_out + k,
+                           index_out + k, cap - k);
     return k;
   }
 
@@ -727,45 +732,52 @@ class PartitionedCuckoo {
       return ts.tv_sec + ts.tv_nsec * 1e-9;
     };
     double t0 = debug_timing ? now_s() : 0.0;
+    const int P = parts_n_;
     int32_t retention = 0, nullpk = 0, future = 0;
-    std::vector<int32_t> rows[kParts];
-    rows[0].reserve(n);
-    rows[1].reserve(n / 2);
+    std::vector<int32_t> rows[kMaxParts];
+    // row -> partition map (255 = router-skipped); written serially here,
+    // read serially in phase 2 — never touched by the worker threads
+    std::vector<uint8_t> row_part(n);
+    for (int p = 0; p < P; p++) rows[p].reserve(n / P + 16);
     // phase 0: serial router (also the only place the pre-checks run)
     for (int i = 0; i < n; i++) {
       if (!key_valid[i]) {
         actions[i] = 0;
+        row_part[i] = 255;
         nullpk++;
         continue;
       }
       int64_t et = event_times ? event_times[i] : 0;
       if (retention_ts > 0 && et < retention_ts) {
         actions[i] = 4;
+        row_part[i] = 255;
         retention++;
         continue;
       }
       if (future_ts > 0 && et > future_ts) {
         actions[i] = 5;
+        row_part[i] = 255;
         future++;
         continue;
       }
       const uint8_t* key = keys + static_cast<int64_t>(i) * key_bytes_;
-      rows[part_of(key)].push_back(i);
+      int p = part_of(key);
+      row_part[i] = static_cast<uint8_t>(p);
+      rows[p].push_back(i);
     }
     double t_route = debug_timing ? now_s() : 0.0;
-    for (int p = 0; p < kParts; p++)
+    for (int p = 0; p < P; p++)
       parts_[p]->presize_for(static_cast<int64_t>(rows[p].size()));
     double t_presize = debug_timing ? now_s() : 0.0;
 
     // phase 1: parallel per-partition probe/provisional-insert into
     // per-partition COMPACT output arrays (no shared-cacheline writes)
-    std::vector<uint64_t> locs[kParts];
-    std::vector<uint8_t> act_c[kParts];
-    std::vector<int32_t> db_c[kParts];
-    std::vector<uint32_t> di_c[kParts];
-    int32_t n_ins[kParts] = {0, 0};
-    int32_t upd[kParts] = {0, 0}, bfill[kParts] = {0, 0};
-    const int32_t prov[kParts] = {kProvTag0, kProvTag1};
+    std::vector<uint64_t> locs[kMaxParts];
+    std::vector<uint8_t> act_c[kMaxParts];
+    std::vector<int32_t> db_c[kMaxParts];
+    std::vector<uint32_t> di_c[kMaxParts];
+    int32_t n_ins[kMaxParts] = {0};
+    int32_t upd[kMaxParts] = {0}, bfill[kMaxParts] = {0};
     auto run_part = [&](int p) {
       size_t m = rows[p].size();
       locs[p].resize(m);
@@ -774,44 +786,26 @@ class PartitionedCuckoo {
       di_c[p].resize(m);
       parts_[p]->classify_part(
           keys, rows[p].data(), static_cast<int>(m), event_times, cutoff,
-          prov[p], act_c[p].data(), db_c[p].data(), di_c[p].data(),
+          kProvBase - p, act_c[p].data(), db_c[p].data(), di_c[p].data(),
           locs[p].data(), &n_ins[p], &upd[p], &bfill[p]);
     };
-    double t_p0 = 0.0, t_p1 = 0.0;
-    if (rows[1].empty()) {
-      run_part(0);
-    } else {
-      std::thread t1([&] {
-        double s = debug_timing ? now_s() : 0.0;
-        run_part(1);
-        if (debug_timing) t_p1 = now_s() - s;
-      });
-      double s = debug_timing ? now_s() : 0.0;
-      run_part(0);
-      if (debug_timing) t_p0 = now_s() - s;
-      t1.join();
-    }
+    std::vector<std::thread> workers;
+    for (int p = 1; p < P; p++)
+      if (!rows[p].empty()) workers.emplace_back(run_part, p);
+    run_part(0);
+    for (auto& t : workers) t.join();
     double t_phase1 = debug_timing ? now_s() : 0.0;
 
-    // phase 2: ONE serial merge-walk over the row lists in original row
-    // order scatters the compact outputs back AND allocates record ids in
-    // arrival order (exactly the serial spill logic) + patches the
-    // provisional slots
-    RecordID* finals[kParts];
-    std::vector<RecordID> fin0(n_ins[0]), fin1(n_ins[1]);
-    finals[0] = fin0.data();
-    finals[1] = fin1.data();
+    // phase 2: ONE serial walk over the rows in original order scatters
+    // the compact outputs back AND allocates record ids in arrival order
+    // (exactly the serial spill logic) + patches the provisional slots
+    std::vector<RecordID> fin[kMaxParts];
+    for (int p = 0; p < P; p++) fin[p].resize(n_ins[p]);
     int32_t inserted = 0;
-    size_t cur[kParts] = {0, 0};
+    size_t cur[kMaxParts] = {0};
     for (int i = 0; i < n; i++) {
-      int p;
-      if (cur[0] < rows[0].size() && rows[0][cur[0]] == i) {
-        p = 0;
-      } else if (cur[1] < rows[1].size() && rows[1][cur[1]] == i) {
-        p = 1;
-      } else {
-        continue;  // router-skipped row; action already set
-      }
+      int p = row_part[i];
+      if (p == 255) continue;  // router-skipped row; action already set
       size_t j = cur[p]++;
       uint8_t a = act_c[p][j];
       actions[i] = a;
@@ -823,16 +817,15 @@ class PartitionedCuckoo {
         }
         RecordID rec{next_batch, next_index};
         next_index++;
-        finals[p][r] = rec;
+        fin[p][r] = rec;
         parts_[p]->slot_at(locs[p][r])->record = rec;
         out_batch[i] = rec.batch_id;
         out_index[i] = rec.index;
         inserted++;
-      } else if (a == 2 &&
-                 (db_c[p][j] == kProvTag0 || db_c[p][j] == kProvTag1)) {
+      } else if (a == 2 && db_c[p][j] == kProvBase - p) {
         // same-batch dup update captured a provisional id; the insert row
         // always precedes it, so its final id is already assigned
-        RecordID rec = finals[p][di_c[p][j]];
+        RecordID rec = fin[p][di_c[p][j]];
         out_batch[i] = rec.batch_id;
         out_index[i] = rec.index;
       } else if (a == 2) {
@@ -841,8 +834,12 @@ class PartitionedCuckoo {
       }
     }
     out_counts[0] = inserted;
-    out_counts[1] = upd[0] + upd[1];
-    out_counts[2] = bfill[0] + bfill[1];
+    out_counts[1] = 0;
+    out_counts[2] = 0;
+    for (int p = 0; p < P; p++) {
+      out_counts[1] += upd[p];
+      out_counts[2] += bfill[p];
+    }
     out_counts[3] = retention;
     out_counts[4] = nullpk;
     out_counts[5] = next_batch;
@@ -851,17 +848,17 @@ class PartitionedCuckoo {
     if (debug_timing) {
       double t_end = now_s();
       std::fprintf(stderr,
-                   "pk2 n=%d route=%.3f presize=%.3f phase1=%.3f "
-                   "(p0=%.3f m0=%zu / p1=%.3f m1=%zu) phase2=%.3f\n",
-                   n, t_route - t0, t_presize - t_route,
-                   t_phase1 - t_presize, t_p0, rows[0].size(), t_p1,
-                   rows[1].size(), t_end - t_phase1);
+                   "pk%d n=%d route=%.3f presize=%.3f phase1=%.3f "
+                   "phase2=%.3f\n",
+                   P, n, t_route - t0, t_presize - t_route,
+                   t_phase1 - t_presize, t_end - t_phase1);
     }
   }
 
  private:
   int key_bytes_;
-  CuckooIndex* parts_[kParts];
+  int parts_n_;
+  CuckooIndex* parts_[kMaxParts];
 };
 
 }  // namespace
@@ -939,11 +936,13 @@ int64_t cuckoo_dump(void* h, uint8_t* keys_out, int32_t* batch_out,
 
 // ---- partitioned primary key (same surface, pk2_ prefix) ----
 
-void* pk2_new(int key_bytes, int has_event_time, int init_buckets) {
+void* pk2_new(int key_bytes, int has_event_time, int init_buckets,
+              int parts) {
   if (key_bytes <= 0 || key_bytes > 256) return nullptr;
+  if (parts != 2 && parts != 4 && parts != 8) return nullptr;
   try {
     return new PartitionedCuckoo(key_bytes, has_event_time != 0,
-                                 init_buckets);
+                                 init_buckets, parts);
   } catch (...) {
     return nullptr;
   }

@@ -23,12 +23,12 @@ def _mk(parts, kb=12, et=True):
     return NativePrimaryKey(kb, has_event_time=et, parts=parts)
 
 
-def test_classify_differential_fuzz():
+@pytest.mark.parametrize("parts", [2, 4, 8])
+def test_classify_differential_fuzz(parts):
     rng = np.random.default_rng(7)
     kb = 12
     pool = rng.integers(0, 256, (4000, kb), dtype=np.uint8)
-    p1, p2 = _mk(1, kb), _mk(2, kb)
-    nb1 = ni1 = None
+    p1, p2 = _mk(1, kb), _mk(parts, kb)
     nb = [-1, -1]
     ni = [0, 0]
     for step in range(25):

@@ -60,8 +60,9 @@ from concurrent.futures import ThreadPoolExecutor
 
 with ThreadPoolExecutor(2) as _ex:
     list(_ex.map(_send, range(0, n, 1 << 21)))
+ingest_rows_per_sec = round(n / (time.perf_counter() - t0))
 print(f"ingest {n} rows: {time.perf_counter()-t0:.1f}s "
-      f"({n/(time.perf_counter()-t0)/1e6:.2f}M rows/s over HTTP, "
+      f"({ingest_rows_per_sec/1e6:.2f}M rows/s over HTTP, "
       f"2 producers)", flush=True)
 conn.insert("cities", ["id", "population"],
             [(i, (i + 1) * 1000) for i in range(300)])
@@ -353,6 +354,7 @@ if out_path:
                          "warm_ms": round(b[2], 1), "correct": bool(b[3])}
                         for b in battery],
             "runlen_speedup_vs_expand": round(runlen_speedup, 2),
+            "ingest_rows_per_sec_http": ingest_rows_per_sec,
             "all_correct": bool(all(b[3] for b in battery)),
         }, f, indent=1)
 assert all(b[3] for b in battery), "CORRECTNESS FAILURE"
