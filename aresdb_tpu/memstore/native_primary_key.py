@@ -26,14 +26,14 @@ class NativePrimaryKey:
 
     def __init__(self, key_bytes: int, has_event_time: bool = False,
                  init_buckets: int = 1024, parts: int = 1):
-        """parts in {2, 4, 8} selects the hash-partitioned index (pk2_*
-        family) whose classify_batch runs its probe/insert loop on
-        `parts` threads with byte-identical results to the serial
+        """parts in {2, 4, 8, 16} selects the hash-partitioned index
+        (pk2_* family) whose classify_batch runs its probe/insert loop
+        on `parts` threads with byte-identical results to the serial
         table; parts=1 is the single serial table."""
         lib = native.load()
         if lib is None:
             raise RuntimeError("native library unavailable")
-        if parts not in (1, 2, 4, 8):
+        if parts not in (1, 2, 4, 8, 16):
             raise RuntimeError(f"unsupported parts={parts}")
         self._lib = lib
         pre = "pk2_" if parts > 1 else "cuckoo_"

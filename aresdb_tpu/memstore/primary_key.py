@@ -50,13 +50,15 @@ def make_primary_key(key_bytes: int, has_event_time: bool = False):
     """Native C++ cuckoo index when available, python dict fallback.
 
     Disable the native backend with ARES_NATIVE=0. ARES_PK_PARTS picks the
-    native variant: 2 (default) = hash-partitioned index whose batch
-    classification runs on two threads with byte-identical results
-    (every row resolves inline in row order within its partition — no
-    fallback path); 4/8 widen the fan-out for hosts with more spare
-    cores; 1 = single serial table. Measured on a 4-core host at parts=2:
-    classify 1.9 -> 2.9 M keys/s at 16M scale, end-to-end ingest with WAL
-    1.9 -> 2.8 M rows/s.
+    native variant: a hash-partitioned index (2/4/8/16 partitions) whose
+    batch classification runs one thread per partition with
+    byte-identical results (every row resolves inline in row order
+    within its partition — no fallback path); 1 = single serial table.
+    Default 8: the probe loop is DRAM-latency bound, so oversubscribing
+    threads past the core count keeps hiding stalls — measured on a
+    4-core host at 16M keys, end-to-end ingest with WAL: serial 1.9,
+    parts=2 2.8, parts=4 ~3.1, parts=8 ~3.4 M rows/s (parts=16 within
+    noise of 8).
     """
     import os
 
@@ -64,8 +66,8 @@ def make_primary_key(key_bytes: int, has_event_time: bool = False):
         try:
             from aresdb_tpu.memstore.native_primary_key import NativePrimaryKey
 
-            mode = os.environ.get("ARES_PK_PARTS", "2")
-            parts = 2 if mode == "auto" else int(mode)
+            mode = os.environ.get("ARES_PK_PARTS", "8")
+            parts = 8 if mode == "auto" else int(mode)
             return NativePrimaryKey(key_bytes, has_event_time, parts=parts)
         except (RuntimeError, OSError, ValueError):
             pass

@@ -664,7 +664,7 @@ class alignas(128) CuckooIndex {
 //      captured a provisional id).
 class PartitionedCuckoo {
  public:
-  static constexpr int kMaxParts = 8;
+  static constexpr int kMaxParts = 16;
   // provisional batch ids INT32_MAX-p: live batches are negative
   // (memstore), so these can never collide with a real record
   static constexpr int32_t kProvBase = INT32_MAX;
@@ -939,7 +939,7 @@ int64_t cuckoo_dump(void* h, uint8_t* keys_out, int32_t* batch_out,
 void* pk2_new(int key_bytes, int has_event_time, int init_buckets,
               int parts) {
   if (key_bytes <= 0 || key_bytes > 256) return nullptr;
-  if (parts != 2 && parts != 4 && parts != 8) return nullptr;
+  if (parts != 2 && parts != 4 && parts != 8 && parts != 16) return nullptr;
   try {
     return new PartitionedCuckoo(key_bytes, has_event_time != 0,
                                  init_buckets, parts);

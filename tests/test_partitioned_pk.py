@@ -1,11 +1,12 @@
 """Partitioned primary-key differential tests.
 
-The two-way hash-partitioned cuckoo index (native/cuckoo_index.cpp
-PartitionedCuckoo) claims BYTE-IDENTICAL classify_batch output vs the
-serial table (same actions, record ids, counts — reference semantics:
-memstore/ingestion.go:172 insertPrimaryKeys). These tests fuzz that claim
-across mixed batches (dups, null keys, retention, future, TTL expiry) and
-drive a real TableShard ingest with ARES_PK_PARTS=2.
+The hash-partitioned cuckoo index (native/cuckoo_index.cpp
+PartitionedCuckoo, the default at 2 partitions; 4/8 supported) claims
+BYTE-IDENTICAL classify_batch output vs the serial table (same actions,
+record ids, counts — reference semantics: memstore/ingestion.go:172
+insertPrimaryKeys). These tests fuzz that claim across mixed batches
+(dups, null keys, retention, future, TTL expiry) at every partition
+count and drive a real TableShard ingest with ARES_PK_PARTS=2.
 """
 
 import os
