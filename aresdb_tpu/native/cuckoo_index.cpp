@@ -735,35 +735,61 @@ class PartitionedCuckoo {
     const int P = parts_n_;
     int32_t retention = 0, nullpk = 0, future = 0;
     std::vector<int32_t> rows[kMaxParts];
-    // row -> partition map (255 = router-skipped); written serially here,
-    // read serially in phase 2 — never touched by the worker threads
+    // row -> partition map (255 = router-skipped); read serially in
+    // phase 2, never touched by the phase-1 workers
     std::vector<uint8_t> row_part(n);
     for (int p = 0; p < P; p++) rows[p].reserve(n / P + 16);
-    // phase 0: serial router (also the only place the pre-checks run)
+    // phase 0a (parallel over contiguous row ranges — every write is to a
+    // thread-private range of row_part/actions): pre-checks + the routing
+    // murmur, the expensive part of the router
+    const int RT = (n >= (1 << 16)) ? 4 : 1;
+    int32_t pre_counts[4][3] = {};
+    {
+      auto route_range = [&](int t) {
+        int64_t chunk = (n + RT - 1) / RT;
+        int64_t lo = t * chunk;
+        int64_t hi = lo + chunk < n ? lo + chunk : n;
+        int32_t np = 0, rt_ = 0, fu = 0;
+        for (int64_t i = lo; i < hi; i++) {
+          if (!key_valid[i]) {
+            actions[i] = 0;
+            row_part[i] = 255;
+            np++;
+            continue;
+          }
+          int64_t et = event_times ? event_times[i] : 0;
+          if (retention_ts > 0 && et < retention_ts) {
+            actions[i] = 4;
+            row_part[i] = 255;
+            rt_++;
+            continue;
+          }
+          if (future_ts > 0 && et > future_ts) {
+            actions[i] = 5;
+            row_part[i] = 255;
+            fu++;
+            continue;
+          }
+          const uint8_t* key = keys + i * key_bytes_;
+          row_part[i] = static_cast<uint8_t>(part_of(key));
+        }
+        pre_counts[t][0] = np;
+        pre_counts[t][1] = rt_;
+        pre_counts[t][2] = fu;
+      };
+      std::vector<std::thread> rts;
+      for (int t = 1; t < RT; t++) rts.emplace_back(route_range, t);
+      route_range(0);
+      for (auto& t : rts) t.join();
+      for (int t = 0; t < RT; t++) {
+        nullpk += pre_counts[t][0];
+        retention += pre_counts[t][1];
+        future += pre_counts[t][2];
+      }
+    }
+    // phase 0b (serial): build the per-partition row lists
     for (int i = 0; i < n; i++) {
-      if (!key_valid[i]) {
-        actions[i] = 0;
-        row_part[i] = 255;
-        nullpk++;
-        continue;
-      }
-      int64_t et = event_times ? event_times[i] : 0;
-      if (retention_ts > 0 && et < retention_ts) {
-        actions[i] = 4;
-        row_part[i] = 255;
-        retention++;
-        continue;
-      }
-      if (future_ts > 0 && et > future_ts) {
-        actions[i] = 5;
-        row_part[i] = 255;
-        future++;
-        continue;
-      }
-      const uint8_t* key = keys + static_cast<int64_t>(i) * key_bytes_;
-      int p = part_of(key);
-      row_part[i] = static_cast<uint8_t>(p);
-      rows[p].push_back(i);
+      if (row_part[i] != 255) rows[row_part[i]].push_back(i);
     }
     double t_route = debug_timing ? now_s() : 0.0;
     for (int p = 0; p < P; p++)
@@ -796,9 +822,11 @@ class PartitionedCuckoo {
     for (auto& t : workers) t.join();
     double t_phase1 = debug_timing ? now_s() : 0.0;
 
-    // phase 2: ONE serial walk over the rows in original order scatters
+    // phase 2a: ONE serial walk over the rows in original order scatters
     // the compact outputs back AND allocates record ids in arrival order
-    // (exactly the serial spill logic) + patches the provisional slots
+    // (exactly the serial spill logic); slot patches are deferred to a
+    // parallel per-partition pass (2b) — they are random DRAM writes into
+    // each partition's own table, the expensive part of this phase
     std::vector<RecordID> fin[kMaxParts];
     for (int p = 0; p < P; p++) fin[p].resize(n_ins[p]);
     int32_t inserted = 0;
@@ -818,7 +846,6 @@ class PartitionedCuckoo {
         RecordID rec{next_batch, next_index};
         next_index++;
         fin[p][r] = rec;
-        parts_[p]->slot_at(locs[p][r])->record = rec;
         out_batch[i] = rec.batch_id;
         out_index[i] = rec.index;
         inserted++;
@@ -832,6 +859,19 @@ class PartitionedCuckoo {
         out_batch[i] = db_c[p][j];
         out_index[i] = di_c[p][j];
       }
+    }
+    // phase 2b (parallel): patch the provisional slots with their final
+    // records — partition-private random writes
+    {
+      auto patch = [&](int p) {
+        for (int32_t r = 0; r < n_ins[p]; r++)
+          parts_[p]->slot_at(locs[p][r])->record = fin[p][r];
+      };
+      std::vector<std::thread> pts;
+      for (int p = 1; p < P; p++)
+        if (n_ins[p] > 0) pts.emplace_back(patch, p);
+      patch(0);
+      for (auto& t : pts) t.join();
     }
     out_counts[0] = inserted;
     out_counts[1] = 0;
