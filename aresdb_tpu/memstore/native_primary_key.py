@@ -76,6 +76,14 @@ class NativePrimaryKey:
         self.eviction_threshold = cutoff
         self._set_cutoff(self._h, ctypes.c_uint32(cutoff))
 
+    def reserve(self, extra: int) -> None:
+        """Grow once for `extra` incoming keys: chunked classification
+        would otherwise re-double the tables several times mid-batch
+        (each doubling re-inserts every key)."""
+        fn = (self._lib.pk2_reserve if self.parts > 1
+              else self._lib.cuckoo_reserve)
+        fn(self._h, ctypes.c_int64(extra))
+
     def _key_buf(self, key: bytes) -> np.ndarray:
         b = np.frombuffer(key.ljust(self.key_bytes, b"\0")[:self.key_bytes],
                           dtype=np.uint8)

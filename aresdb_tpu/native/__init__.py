@@ -75,6 +75,8 @@ def load():
             u8p, i32p, u32p, i32p]
         lib.cuckoo_dump.restype = ctypes.c_int64
         lib.cuckoo_dump.argtypes = [c, u8p, i32p, u32p, ctypes.c_int64]
+        lib.cuckoo_reserve.argtypes = [c, ctypes.c_int64]
+        lib.pk2_reserve.argtypes = [c, ctypes.c_int64]
         # partitioned primary key: identical surface, pk2_ prefix
         for pre in ("pk2_",):
             getattr(lib, pre + "new").restype = c

