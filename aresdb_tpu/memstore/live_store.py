@@ -26,14 +26,25 @@ class LiveBatch:
         self.capacity = capacity
         self.schema = schema
         self.columns: Dict[int, LiveVectorParty] = {}
+        # guards columns-dict MUTATION and whole-dict ITERATION (the
+        # memory reporter iterates .values() from its own thread);
+        # single-key reads stay lock-free (atomic under the GIL)
+        self._columns_lock = threading.Lock()
 
     def get_or_create_column(self, column_id: int) -> LiveVectorParty:
         vp = self.columns.get(column_id)
         if vp is None:
-            col = self.schema.table.columns[column_id]
-            vp = LiveVectorParty(self.capacity, col.data_type)
-            self.columns[column_id] = vp
+            with self._columns_lock:
+                vp = self.columns.get(column_id)
+                if vp is None:
+                    col = self.schema.table.columns[column_id]
+                    vp = LiveVectorParty(self.capacity, col.data_type)
+                    self.columns[column_id] = vp
         return vp
+
+    def column_parties(self) -> List[LiveVectorParty]:
+        with self._columns_lock:
+            return list(self.columns.values())
 
     def column(self, column_id: int) -> Optional[LiveVectorParty]:
         return self.columns.get(column_id)
@@ -90,11 +101,16 @@ class LiveStore:
         return self.batches[batch_id]
 
     def _get_or_create_batch(self, batch_id: int) -> LiveBatch:
-        b = self.batches.get(batch_id)
-        if b is None:
-            b = LiveBatch(batch_id, self.batch_size, self.schema)
-            self.batches[batch_id] = b
-        return b
+        # must hold self.lock (RLock, so locked callers nest fine):
+        # readers iterate self.batches under the lock, and an unlocked
+        # insert here raced them to "dictionary changed size during
+        # iteration" (caught by test_race_harness's lifecycle storm)
+        with self.lock:
+            b = self.batches.get(batch_id)
+            if b is None:
+                b = LiveBatch(batch_id, self.batch_size, self.schema)
+                self.batches[batch_id] = b
+            return b
 
     # ------------------------------------------------------------------
     # record allocation (reference live_store.go AdvanceNextWriteRecord)
@@ -149,8 +165,10 @@ class LiveStore:
 
     def bytes_estimate(self) -> int:
         total = self.primary_key.allocated_bytes()
-        for b in self.batches.values():
-            for vp in b.columns.values():
+        with self.lock:
+            batches = list(self.batches.values())
+        for b in batches:
+            for vp in b.column_parties():
                 if vp.values is not None:
                     total += vp.values.nbytes
                 total += vp.validity.nbytes

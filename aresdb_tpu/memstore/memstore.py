@@ -122,8 +122,11 @@ class MemStore:
             if tname != table:
                 continue
             shard = self.get_table_shard(tname, sid)
-            for b in shard.live_store.batches.values():
-                b.columns.pop(column_id, None)
+            with shard.live_store.lock:
+                batches = list(shard.live_store.batches.values())
+            for b in batches:
+                with b._columns_lock:
+                    b.columns.pop(column_id, None)
             version = shard.archive_store.get_current_version()
             for ab in version.batches.values():
                 ab.evict_column(column_id)

@@ -261,6 +261,64 @@ def main() -> None:
     rps, sec = geo_rps(*geo_config(0.1))
     record("geo_selective", None, rps, sec)
 
+    # ---- host-side ingestion (not a TPU kernel, but a headline the
+    # reference also publishes benchmarks around): in-process columnar
+    # upsert through the full path — WAL append, 8-way partitioned cuckoo
+    # classification, native gather+scatter column writes
+    def ingest_rps():
+        import tempfile
+
+        from aresdb_tpu.common import data_types as dt
+        from aresdb_tpu.common.schema import Table
+        from aresdb_tpu.common.upsert_batch import (UpsertBatch,
+                                                    build_columnar_upsert)
+        from aresdb_tpu.diskstore.local_diskstore import LocalDiskStore
+        from aresdb_tpu.memstore.memstore import MemStore
+        from aresdb_tpu.metastore.disk_metastore import DiskMetaStore
+
+        day = 86400
+        now = 1_600_000_000
+        base = now - (now % day) - 2 * day
+        n, batch = 8_000_000, 1 << 22
+        ms = MemStore(DiskMetaStore(tempfile.mkdtemp()),
+                      LocalDiskStore(tempfile.mkdtemp()))
+        ms.create_table(Table.from_json({
+            "name": "trips_ingest", "columns": [
+                {"name": "request_at", "type": "Uint32"},
+                {"name": "id", "type": "Uint32"},
+                {"name": "city_id", "type": "Uint16"},
+                {"name": "fare", "type": "Float32"}],
+            "primaryKeyColumns": [1], "isFactTable": True,
+            "config": {"batchSize": batch,
+                       "recordRetentionInDays": 0}}))
+        ms.init_shards()
+        shard = ms.get_table_shard("trips_ingest")
+        rng = np.random.RandomState(5)
+        el = 0.0
+        for off in range(0, n, batch):
+            m = min(batch, n - off)
+            blob = build_columnar_upsert([
+                (0, dt.Uint32,
+                 (base + rng.randint(0, 2 * day, m)).astype(np.uint32),
+                 None, 0),
+                (1, dt.Uint32,
+                 np.arange(off, off + m, dtype=np.uint32), None, 0),
+                (2, dt.Uint16,
+                 rng.randint(0, 300, m).astype(np.uint16), None, 0),
+                (3, dt.Float32,
+                 (rng.rand(m) * 50).astype(np.float32), None, 0)], m)
+            t0 = time.perf_counter()
+            shard.save_upsert_batch(UpsertBatch(blob))
+            el += time.perf_counter() - t0
+        return n / el, el / (n / (1 << 22))
+
+    rps, sec = ingest_rps()
+    paths["ingest"] = {"rows_per_sec": round(rps, 1),
+                       "ms_per_4m_batch": round(sec * 1e3, 2),
+                       "note": "host-side, WAL on, 8-way partitioned "
+                               "cuckoo classify"}
+    print(f"ingest: {rps/1e6:.2f}M rows/s (host, WAL on)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "agg_query_rows_per_sec_per_chip",
         "value": round(dense_rps, 1),
